@@ -1,0 +1,279 @@
+"""Chunked record decode/encode to and from columnar arrays.
+
+A RAD chunk is ``nbytes:u32 | nrec:u32 | records...`` where ``nbytes``
+includes the 8-byte chunk header (reference: chunk framing read back at
+src/collate.rs:749-753; written at src/convert.rs:473-492).
+
+Decoding yields a :class:`ReadBatch`: one NumPy array per record field
+plus a CSR offset array for the ragged alignment lists.  This is the
+boundary between the host-side byte format and the JAX array programs —
+everything downstream operates on these columns.
+
+The per-record offset walk (the only sequential part) runs in native C++
+(csrc/radc.cpp) when available; field extraction is vectorized NumPy
+byte-gathering either way.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import BinaryIO, Dict, List
+
+import numpy as np
+
+from ..constants import MASK_LOWER_31_U32, MASK_TOP_BIT_U32
+from .records import RecordSchema
+from . import _native
+
+
+@dataclass
+class ReadBatch:
+    """Columnar batch of mapped-read records.
+
+    Attributes:
+        read_cols: read-level fields (barcodes, umi), each shape (n,)
+            as uint64.
+        aln_offsets: (n+1,) int64 CSR offsets into the alignment columns.
+        refs: (total_aln,) uint32 reference ids (orientation bit removed
+            when the schema has a ref field).
+        dirs: (total_aln,) bool, True = forward.
+        aln_cols: other alignment-level fields (pos, as, start, end,
+            type, start_pos, frag_len, ...), each shape (total_aln,).
+        chunk_id: (n,) int64 index of the source chunk for each read.
+        chunk_offsets: (n_chunks+1,) int64 read-index boundary per chunk.
+    """
+
+    schema: RecordSchema
+    read_cols: Dict[str, np.ndarray] = field(default_factory=dict)
+    aln_offsets: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
+    refs: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    dirs: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
+    aln_cols: Dict[str, np.ndarray] = field(default_factory=dict)
+    chunk_id: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    chunk_offsets: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
+
+    @property
+    def n_reads(self) -> int:
+        return len(self.aln_offsets) - 1
+
+    @property
+    def n_aln(self) -> int:
+        return int(self.aln_offsets[-1])
+
+    @property
+    def num_aln_per_read(self) -> np.ndarray:
+        return np.diff(self.aln_offsets)
+
+    def barcode(self, level: int = -1) -> np.ndarray:
+        """The collation barcode.  For multi-barcode data level 0 is the
+        sample BC and the last level is the cell BC (the collate key,
+        cf. CollatableMappedRecord::collate_key)."""
+        names = self.schema.barcode_fields
+        return self.read_cols[names[level]]
+
+    @property
+    def umi(self) -> np.ndarray:
+        return self.read_cols[self.schema.umi_field]
+
+
+def _gather_uint(buf: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Gather little-endian unsigned ints of ``width`` bytes starting at
+    ``starts`` from a uint8 buffer, vectorized."""
+    out = np.zeros(len(starts), dtype=np.uint64)
+    for k in range(width):
+        out |= buf[starts + k].astype(np.uint64) << np.uint64(8 * k)
+    return out
+
+
+def _scatter_uint(
+    buf: np.ndarray, starts: np.ndarray, width: int, values: np.ndarray
+) -> None:
+    v = values.astype(np.uint64)
+    for k in range(width):
+        buf[starts + k] = ((v >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8)
+
+
+def _walk_records_py(
+    buf: np.ndarray, rec_region_starts: List[int], rec_region_counts: List[int],
+    read_bytes: int, aln_bytes: int
+):
+    """Pure-Python fallback for the sequential record-offset walk.
+
+    Returns (rec_starts[int64], num_aln[int64]) over all chunks."""
+    total = int(sum(rec_region_counts))
+    rec_starts = np.empty(total, np.int64)
+    num_aln = np.empty(total, np.int64)
+    mv = buf  # uint8 ndarray
+    i = 0
+    u32 = np.uint32
+    del u32
+    for start, count in zip(rec_region_starts, rec_region_counts):
+        off = start
+        for _ in range(count):
+            na = int(
+                mv[off]
+                | (int(mv[off + 1]) << 8)
+                | (int(mv[off + 2]) << 16)
+                | (int(mv[off + 3]) << 24)
+            )
+            rec_starts[i] = off
+            num_aln[i] = na
+            off += 4 + read_bytes + na * aln_bytes
+            i += 1
+    return rec_starts, num_aln
+
+
+def decode_all_chunks(
+    fh: BinaryIO,
+    schema: RecordSchema,
+    num_chunks: int | None = None,
+) -> ReadBatch:
+    """Decode ``num_chunks`` chunks (or until EOF if None) from ``fh``
+    into a columnar :class:`ReadBatch`."""
+    chunk_bufs: List[bytes] = []
+    chunk_recs: List[int] = []
+    n = 0
+    while num_chunks is None or n < num_chunks:
+        hdr = fh.read(8)
+        if len(hdr) < 8:
+            if num_chunks is not None:
+                raise EOFError(
+                    f"expected {num_chunks} chunks but hit EOF after {n}"
+                )
+            break
+        nbytes, nrec = struct.unpack("<II", hdr)
+        body = fh.read(nbytes - 8)
+        if len(body) != nbytes - 8:
+            raise EOFError("truncated chunk body")
+        chunk_bufs.append(body)
+        chunk_recs.append(nrec)
+        n += 1
+    return decode_chunk_bodies(chunk_bufs, chunk_recs, schema)
+
+
+def decode_chunk_bodies(
+    chunk_bufs: List[bytes], chunk_recs: List[int], schema: RecordSchema
+) -> ReadBatch:
+    """Decode pre-read chunk bodies (without the 8-byte chunk headers)."""
+    if chunk_bufs:
+        buf = np.frombuffer(b"".join(chunk_bufs), dtype=np.uint8)
+    else:
+        buf = np.zeros(0, np.uint8)
+    region_starts: List[int] = []
+    pos = 0
+    for b in chunk_bufs:
+        region_starts.append(pos)
+        pos += len(b)
+
+    rb, ab = schema.read_bytes, schema.aln_bytes
+    if _native.available():
+        rec_starts, num_aln = _native.walk_records(
+            buf, np.asarray(region_starts, np.int64),
+            np.asarray(chunk_recs, np.int64), rb, ab,
+        )
+    else:
+        rec_starts, num_aln = _walk_records_py(buf, region_starts, chunk_recs, rb, ab)
+
+    batch = ReadBatch(schema=schema)
+    # read-level fields
+    off = 4
+    for name, w in schema.read_fields:
+        batch.read_cols[name] = _gather_uint(buf, rec_starts + off, w)
+        off += w
+
+    # alignment-level fields
+    aln_offsets = np.zeros(len(rec_starts) + 1, np.int64)
+    np.cumsum(num_aln, out=aln_offsets[1:])
+    total_aln = int(aln_offsets[-1])
+    # flat start offset of each alignment entry
+    aln_base = np.repeat(rec_starts + 4 + rb, num_aln) + (
+        np.arange(total_aln, dtype=np.int64)
+        - np.repeat(aln_offsets[:-1], num_aln)
+    ) * ab
+    foff = 0
+    for name, w in schema.aln_fields:
+        col = _gather_uint(buf, aln_base + foff, w)
+        foff += w
+        if name == schema.ref_field:
+            batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
+            batch.refs = (col & np.uint64(MASK_TOP_BIT_U32)).astype(np.uint32)
+        else:
+            batch.aln_cols[name] = col
+    batch.aln_offsets = aln_offsets
+
+    chunk_offsets = np.zeros(len(chunk_recs) + 1, np.int64)
+    np.cumsum(np.asarray(chunk_recs, np.int64), out=chunk_offsets[1:])
+    batch.chunk_offsets = chunk_offsets
+    batch.chunk_id = np.repeat(
+        np.arange(len(chunk_recs), dtype=np.int64), np.asarray(chunk_recs, np.int64)
+    )
+    return batch
+
+
+def encode_records(
+    schema: RecordSchema,
+    read_cols: Dict[str, np.ndarray],
+    aln_offsets: np.ndarray,
+    refs: np.ndarray | None,
+    dirs: np.ndarray | None,
+    aln_cols: Dict[str, np.ndarray],
+) -> np.ndarray:
+    """Vectorized encode of records (no chunk header) to a byte buffer."""
+    n = len(aln_offsets) - 1
+    num_aln = np.diff(aln_offsets)
+    rb, ab = schema.read_bytes, schema.aln_bytes
+    rec_sizes = 4 + rb + num_aln * ab
+    rec_starts = np.zeros(n + 1, np.int64)
+    np.cumsum(rec_sizes, out=rec_starts[1:])
+    total = int(rec_starts[-1])
+    buf = np.zeros(total, np.uint8)
+    rec_starts = rec_starts[:-1]
+
+    _scatter_uint(buf, rec_starts, 4, num_aln.astype(np.uint64))
+    off = 4
+    for name, w in schema.read_fields:
+        _scatter_uint(buf, rec_starts + off, w, read_cols[name])
+        off += w
+
+    total_aln = int(aln_offsets[-1])
+    aln_base = np.repeat(rec_starts + 4 + rb, num_aln) + (
+        np.arange(total_aln, dtype=np.int64) - np.repeat(aln_offsets[:-1], num_aln)
+    ) * ab
+    foff = 0
+    for name, w in schema.aln_fields:
+        if name == schema.ref_field:
+            col = refs.astype(np.uint64) | (
+                dirs.astype(np.uint64) << np.uint64(31)
+            )
+        else:
+            col = aln_cols[name].astype(np.uint64)
+        _scatter_uint(buf, aln_base + foff, w, col)
+        foff += w
+    return buf
+
+
+class ChunkWriter:
+    """Writes chunks (with nbytes/nrec headers) to a binary stream."""
+
+    def __init__(self, fh: BinaryIO):
+        self.fh = fh
+        self.num_chunks = 0
+
+    def write_chunk_bytes(self, body: np.ndarray, nrec: int) -> None:
+        nbytes = int(body.nbytes) + 8
+        self.fh.write(struct.pack("<II", nbytes, nrec))
+        self.fh.write(body.tobytes())
+        self.num_chunks += 1
+
+    def write_records(
+        self,
+        schema: RecordSchema,
+        read_cols: Dict[str, np.ndarray],
+        aln_offsets: np.ndarray,
+        refs: np.ndarray | None,
+        dirs: np.ndarray | None,
+        aln_cols: Dict[str, np.ndarray],
+    ) -> None:
+        body = encode_records(schema, read_cols, aln_offsets, refs, dirs, aln_cols)
+        self.write_chunk_bytes(body, len(aln_offsets) - 1)

@@ -1,0 +1,112 @@
+"""RAD header and prelude.
+
+Layout (reference: RadHeader::write as used by src/convert.rs:238-257;
+read back at src/cellfilter.rs:507-509 via RadPrelude::from_bytes):
+
+    is_paired  : u8
+    ref_count  : u64
+    ref names  : ref_count x (name_len:u16 | utf8 bytes)
+    num_chunks : u64            (backpatched after writing chunks)
+
+followed by the three tag sections (file, read, alignment) and then the
+file-level tag *values* in file-tag declaration order.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import BinaryIO, Dict, List
+
+from .types import (
+    SECTION_ALN,
+    SECTION_FILE,
+    SECTION_READ,
+    TagSection,
+    TagValue,
+    read_tag_value,
+    write_tag_value,
+)
+
+
+@dataclass
+class RadHeader:
+    is_paired: int = 0
+    ref_names: List[str] = field(default_factory=list)
+    num_chunks: int = 0
+
+    @property
+    def ref_count(self) -> int:
+        return len(self.ref_names)
+
+    @classmethod
+    def from_bytes(cls, fh: BinaryIO) -> "RadHeader":
+        (is_paired,) = struct.unpack("<B", fh.read(1))
+        (ref_count,) = struct.unpack("<Q", fh.read(8))
+        names = []
+        for _ in range(ref_count):
+            (nlen,) = struct.unpack("<H", fh.read(2))
+            names.append(fh.read(nlen).decode("utf-8"))
+        (num_chunks,) = struct.unpack("<Q", fh.read(8))
+        return cls(is_paired, names, num_chunks)
+
+    def write(self, fh: BinaryIO) -> int:
+        """Write the header; returns the byte offset of the num_chunks
+        field (for backpatching, cf. src/convert.rs:254)."""
+        start = fh.tell()
+        fh.write(struct.pack("<B", self.is_paired))
+        fh.write(struct.pack("<Q", self.ref_count))
+        for n in self.ref_names:
+            nb = n.encode("utf-8")
+            fh.write(struct.pack("<H", len(nb)))
+            fh.write(nb)
+        pos = fh.tell()
+        fh.write(struct.pack("<Q", self.num_chunks))
+        del start
+        return pos
+
+
+@dataclass
+class RadPrelude:
+    hdr: RadHeader
+    file_tags: TagSection
+    read_tags: TagSection
+    aln_tags: TagSection
+
+    @classmethod
+    def from_bytes(cls, fh: BinaryIO) -> "RadPrelude":
+        hdr = RadHeader.from_bytes(fh)
+        ft = TagSection.from_bytes(fh, SECTION_FILE)
+        rt = TagSection.from_bytes(fh, SECTION_READ)
+        at = TagSection.from_bytes(fh, SECTION_ALN)
+        return cls(hdr, ft, rt, at)
+
+    def write(self, fh: BinaryIO) -> int:
+        """Write header + tag sections; returns num_chunks offset."""
+        nc_pos = self.hdr.write(fh)
+        self.file_tags.write(fh)
+        self.read_tags.write(fh)
+        self.aln_tags.write(fh)
+        return nc_pos
+
+    def parse_file_tag_values(self, fh: BinaryIO) -> Dict[str, TagValue]:
+        vals: Dict[str, TagValue] = {}
+        for t in self.file_tags.tags:
+            vals[t.name] = read_tag_value(fh, t.typeid)
+        return vals
+
+    def write_file_tag_values(self, fh: BinaryIO, vals: Dict[str, TagValue]) -> None:
+        for t in self.file_tags.tags:
+            write_tag_value(fh, t.typeid, vals[t.name])
+
+
+def read_prelude(fh: BinaryIO):
+    """Read the prelude and file tag values; returns (prelude, file_tag_map,
+    data_start_offset)."""
+    prelude = RadPrelude.from_bytes(fh)
+    ftm = prelude.parse_file_tag_values(fh)
+    return prelude, ftm, fh.tell()
+
+
+def read_file_tag_values(fh: BinaryIO, prelude: RadPrelude):
+    return prelude.parse_file_tag_values(fh)
