@@ -220,6 +220,8 @@ def find_neighbors_batch(
     kept_sorted = np.asarray(kept_sorted, np.uint64)
     counts = np.zeros(len(queries), np.int64)
     rep = np.zeros(len(queries), np.uint64)
+    if len(kept_sorted) == 0:
+        return counts, rep
     for s in range(0, len(queries), block):
         q = queries[s : s + block]
         cand = snp_neighbors(q, length)  # (b, 4L) includes exact copies

@@ -1,0 +1,368 @@
+"""Per-cell equivalence-class EM.
+
+Semantics follow src/em.rs exactly:
+
+* ``em_optimize_subset`` (em.rs:178-299): MIN_ITER=2 / MAX_ITER=100,
+  rel-tol 1e-2 checked only where the new alpha exceeds 1e-2; after
+  convergence, alphas < 0.01 are zeroed and **one last round** runs;
+  final floor at 0.01.  USA mode couples spliced/unspliced/ambiguous
+  abundances through ``get_abundance_for`` (em.rs:94-114).
+* ``em_optimize`` (em.rs:330-425): same loop *without* the extra
+  thresholded last round.
+* Single-label classes contribute their count directly each round
+  (bypassing the denominator), and seed the informative init.
+
+Two implementations with identical semantics:
+
+* a per-cell NumPy reference (used for small inputs and as the test
+  oracle), and
+* a **batched JAX kernel** that runs B cells per device step as one
+  fused gather / normalize / scatter-add program under
+  ``lax.while_loop`` with per-cell convergence masks — the dense-batched
+  EM that is this engine's core TPU kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import (
+    ALPHA_CHECK_CUTOFF,
+    EM_MAX_ITER,
+    EM_MIN_ITER,
+    EM_REL_DIFF_TOLERANCE,
+    MIN_OUTPUT_ALPHA,
+)
+
+
+# --- NumPy reference implementation -----------------------------------------
+
+def _abundance_usa(alphas: np.ndarray, idx: np.ndarray, uoff: int, aoff: int):
+    """get_abundance_for (em.rs:94-114), vectorized over label indices."""
+    ab = np.empty(len(idx), np.float32)
+    amb = idx >= aoff
+    uns = (idx >= uoff) & ~amb
+    spl = idx < uoff
+    ab[amb] = alphas[idx[amb] - uoff] + alphas[idx[amb] - aoff] + alphas[idx[amb]]
+    ab[uns] = alphas[idx[uns] + uoff] + alphas[idx[uns]]
+    ab[spl] = alphas[idx[spl] + aoff] + alphas[idx[spl]]
+    return ab
+
+
+def em_optimize_cell_np(
+    label_offsets: np.ndarray,
+    labels: np.ndarray,
+    counts: np.ndarray,
+    num_alphas: int,
+    usa_offsets: Optional[Tuple[int, int]] = None,
+    init_uniform: bool = False,
+    with_last_round: bool = True,
+    init_alphas: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """One cell's EM; mirrors em_optimize_subset / em_optimize.
+
+    ``init_alphas`` overrides the init entirely (used by bootstraps'
+    Random init)."""
+    E = len(counts)
+    lens = np.diff(label_offsets)
+    alphas = np.zeros(num_alphas, np.float32)
+    needs_em = False
+    single = lens == 1
+    s_idx = labels[label_offsets[:-1][single]]
+    np.add.at(alphas, s_idx, counts[single].astype(np.float32))
+    needs_em = bool((~single).any())
+
+    if not needs_em and init_alphas is None:
+        return alphas
+
+    if init_alphas is not None:
+        alphas = init_alphas.astype(np.float32).copy()
+    elif init_uniform:
+        alphas = np.full(num_alphas, np.float32(1.0) / np.float32(num_alphas))
+    else:
+        alphas = ((alphas + np.float32(0.5)) * np.float32(1e-3)).astype(np.float32)
+
+    multi = ~single
+    m_off = label_offsets[:-1][multi]
+    m_len = lens[multi]
+    m_ct = counts[multi].astype(np.float32)
+    m_elem = np.concatenate(
+        [labels[o : o + l] for o, l in zip(m_off, m_len)]
+    ) if multi.any() else np.zeros(0, labels.dtype)
+    m_seg = np.repeat(np.arange(len(m_off)), m_len)
+    s_ct = counts[single].astype(np.float32)
+
+    it = 0
+    last_round = False
+    converged = True
+    while it < EM_MIN_ITER or (it < EM_MAX_ITER and not converged) or last_round:
+        out = np.zeros(num_alphas, np.float32)
+        np.add.at(out, s_idx, s_ct)
+        if len(m_elem):
+            if usa_offsets is not None:
+                ab = _abundance_usa(alphas, m_elem.astype(np.int64), *usa_offsets)
+            else:
+                ab = alphas[m_elem]
+            denom = np.zeros(len(m_off), np.float32)
+            # sequential-order accumulation within each class
+            np.add.at(denom, m_seg, ab)
+            ok = denom > 0
+            inv = np.zeros(len(m_off), np.float32)
+            inv[ok] = m_ct[ok] / denom[ok]
+            np.add.at(out, m_elem, ab * inv[m_seg])
+        check = out > ALPHA_CHECK_CUTOFF
+        rel = np.abs(alphas - out)
+        converged = not bool((check & (rel > EM_REL_DIFF_TOLERANCE)).any())
+        alphas = out
+        it += 1
+        if last_round:
+            break
+        if with_last_round and it >= EM_MIN_ITER and converged:
+            alphas = np.where(alphas < MIN_OUTPUT_ALPHA, np.float32(0), alphas)
+            last_round = True
+        if not with_last_round and it >= EM_MIN_ITER and converged:
+            break
+    alphas = np.where(alphas < MIN_OUTPUT_ALPHA, np.float32(0), alphas)
+    return alphas
+
+
+# --- batched JAX kernel ------------------------------------------------------
+
+_jit_cache = {}
+
+
+def _get_em_kernel(usa: bool, with_last_round: bool):
+    import jax
+    import jax.numpy as jnp
+
+    key = (usa, with_last_round)
+    if key in _jit_cache:
+        return _jit_cache[key]
+
+    def abundance(alphas, idx, uoff, aoff):
+        # idx: (B,E,L) int32 into the R+1 padded alpha space; pad rows
+        # point at R (always 0).  USA coupling per em.rs:94-114.
+        amb = idx >= aoff
+        uns = (idx >= uoff) & ~amb
+        a_self = jnp.take_along_axis(alphas, idx.reshape(idx.shape[0], -1), axis=1).reshape(idx.shape)
+        shift = jnp.where(amb, -uoff, jnp.where(uns, uoff, aoff))
+        p1 = jnp.take_along_axis(
+            alphas, jnp.clip(idx + shift, 0, alphas.shape[1] - 1).reshape(idx.shape[0], -1), axis=1
+        ).reshape(idx.shape)
+        shift2 = jnp.where(amb, -aoff, 0)
+        p2 = jnp.take_along_axis(
+            alphas, jnp.clip(idx + shift2, 0, alphas.shape[1] - 1).reshape(idx.shape[0], -1), axis=1
+        ).reshape(idx.shape)
+        extra2 = jnp.where(amb, p2, 0.0)
+        return a_self + p1 + extra2
+
+    def kernel(labels, lens, counts, init_alphas, uoff, aoff, R):
+        # labels: (B,E,L) int32 (pad -> R); lens: (B,E); counts: (B,E) f32
+        # init_alphas: (B,R+1) f32
+        B, E, L = labels.shape
+        single = lens == 1
+        valid = lens > 0
+        lmask = (
+            jnp.arange(L)[None, None, :] < lens[:, :, None]
+        )
+        batch_idx = jnp.broadcast_to(jnp.arange(B)[:, None, None], labels.shape)
+
+        s_label = labels[:, :, 0]
+        s_contrib = jnp.where(single & valid, counts, 0.0)
+
+        def base_out(alphas):
+            out = jnp.zeros_like(alphas)
+            out = out.at[jnp.arange(B)[:, None], jnp.where(single, s_label, R)].add(
+                s_contrib
+            )
+            return out
+
+        def one_update(alphas):
+            if usa:
+                ab = abundance(alphas, labels, uoff, aoff)
+            else:
+                ab = jnp.take_along_axis(
+                    alphas, labels.reshape(B, -1), axis=1
+                ).reshape(labels.shape)
+            ab = jnp.where(lmask, ab, 0.0)
+            multi = valid & ~single
+            denom = ab.sum(axis=2)
+            inv = jnp.where((denom > 0) & multi, counts / jnp.maximum(denom, 1e-30), 0.0)
+            contrib = ab * inv[:, :, None]
+            out = base_out(alphas)
+            out = out.at[
+                batch_idx.reshape(-1), jnp.where(lmask, labels, R).reshape(-1)
+            ].add(jnp.where(multi[:, :, None], contrib, 0.0).reshape(-1))
+            out = out.at[:, R].set(0.0)
+            return out
+
+        def cond(state):
+            alphas, it, active, last = state
+            return jnp.logical_and(it < EM_MAX_ITER + 2, active.any())
+
+        def body(state):
+            alphas, it, active, last = state
+            out = one_update(alphas)
+            check = out > ALPHA_CHECK_CUTOFF
+            rel = jnp.abs(alphas - out)
+            not_conv = (check & (rel > EM_REL_DIFF_TOLERANCE)).any(axis=1)
+            new_alphas = jnp.where(active[:, None], out, alphas)
+            it1 = it + 1
+            conv = ~not_conv
+            if with_last_round:
+                # cells that just finished their last round stop
+                stop = last
+                # cells that converged (it>=MIN) threshold and enter last round
+                enter_last = active & ~last & conv & (it1 >= EM_MIN_ITER)
+                # cells that hit MAX_ITER unconverged exit with no last round
+                timeout = active & ~last & ~enter_last & (it1 >= EM_MAX_ITER)
+                thresh = jnp.where(
+                    enter_last[:, None] & (new_alphas < MIN_OUTPUT_ALPHA),
+                    0.0,
+                    new_alphas,
+                )
+                new_alphas = thresh
+                new_last = jnp.where(active, enter_last, last)
+                new_active = active & ~stop & ~timeout
+            else:
+                done = (conv & (it1 >= EM_MIN_ITER)) | (it1 >= EM_MAX_ITER)
+                new_active = active & ~done
+                new_last = last
+            return (new_alphas, it1, new_active, new_last)
+
+        init_state = (
+            init_alphas,
+            jnp.zeros((), jnp.int32),
+            jnp.ones((B,), bool),
+            jnp.zeros((B,), bool),
+        )
+        import jax.lax as lax
+
+        alphas, _, _, _ = lax.while_loop(cond, body, init_state)
+        alphas = jnp.where(alphas < MIN_OUTPUT_ALPHA, 0.0, alphas)
+        return alphas
+
+    fn = jax.jit(kernel, static_argnums=(4, 5, 6))
+    _jit_cache[key] = fn
+    return fn
+
+
+def _pad_pow2(x: int, lo: int = 1) -> int:
+    return max(lo, 1 << (max(x, 1) - 1).bit_length())
+
+
+def em_cells_batched(
+    cell_eq_offsets: np.ndarray,
+    label_offsets: np.ndarray,
+    labels: np.ndarray,
+    counts: np.ndarray,
+    num_rows: int,
+    usa_offsets: Optional[Tuple[int, int]],
+    init_uniform: bool,
+    with_last_round: bool,
+    use_jax: bool = True,
+    max_batch_elems: int = 1 << 27,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Run EM for every cell; returns per-cell sparse results
+    [(gene_idx, values), ...] in cell order.
+
+    Cells whose classes are all singletons skip EM entirely (the
+    reference's needs_em fast path, em.rs:192-210).
+    """
+    C = len(cell_eq_offsets) - 1
+    results: List[Tuple[np.ndarray, np.ndarray]] = [None] * C  # type: ignore
+    lens_all = np.diff(label_offsets)
+
+    # split cells: no-EM (all singleton) vs EM
+    needs_em = np.zeros(C, bool)
+    e_cell = np.repeat(np.arange(C), np.diff(cell_eq_offsets))
+    np.logical_or.at(needs_em, e_cell, lens_all > 1)
+
+    # fast path: unique-count cells
+    for ci in np.flatnonzero(~needs_em):
+        s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
+        if s == e:
+            results[ci] = (np.zeros(0, np.int64), np.zeros(0, np.float32))
+            continue
+        idx = labels[label_offsets[s] : label_offsets[e]]
+        alphas = np.zeros(num_rows, np.float32)
+        np.add.at(alphas, idx, counts[s:e].astype(np.float32))
+        nz = np.flatnonzero(alphas)
+        results[ci] = (nz, alphas[nz])
+
+    em_cells = np.flatnonzero(needs_em)
+    if len(em_cells) == 0:
+        return results
+
+    if not use_jax:
+        for ci in em_cells:
+            s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
+            lo = label_offsets[s : e + 1] - label_offsets[s]
+            lab = labels[label_offsets[s] : label_offsets[e]]
+            alphas = em_optimize_cell_np(
+                lo, lab, counts[s:e], num_rows, usa_offsets,
+                init_uniform, with_last_round,
+            )
+            nz = np.flatnonzero(alphas)
+            results[ci] = (nz, alphas[nz])
+        return results
+
+    import jax.numpy as jnp
+
+    R = num_rows
+    uoff, aoff = usa_offsets if usa_offsets is not None else (0, 0)
+    # bucket EM cells by (padded E, padded L)
+    nE = np.diff(cell_eq_offsets)[em_cells]
+    maxL = np.zeros(C, np.int64)
+    np.maximum.at(maxL, e_cell, lens_all)
+    buckets = {}
+    for ci, ne in zip(em_cells, nE):
+        key = (_pad_pow2(int(ne), 8), _pad_pow2(int(maxL[ci]), 2))
+        buckets.setdefault(key, []).append(ci)
+
+    kern = _get_em_kernel(usa_offsets is not None, with_last_round)
+    for (Ep, Lp), cells in buckets.items():
+        # batch size bounded by memory: B*(R+1) floats and B*Ep*Lp ints
+        per_cell = (R + 1) * 3 + Ep * Lp * 2
+        B = max(1, min(len(cells), max_batch_elems // max(per_cell, 1)))
+        for s0 in range(0, len(cells), B):
+            group = cells[s0 : s0 + B]
+            b = len(group)
+            lab_pad = np.full((b, Ep, Lp), R, np.int32)
+            len_pad = np.zeros((b, Ep), np.int32)
+            ct_pad = np.zeros((b, Ep), np.float32)
+            init = np.zeros((b, R + 1), np.float32)
+            for bi, ci in enumerate(group):
+                s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
+                ne = e - s
+                ct_pad[bi, :ne] = counts[s:e]
+                for k in range(ne):
+                    ls, le = label_offsets[s + k], label_offsets[s + k + 1]
+                    ll = le - ls
+                    lab_pad[bi, k, :ll] = labels[ls:le]
+                    len_pad[bi, k] = ll
+                # informative / uniform init, seeded from unique counts
+                a0 = np.zeros(R, np.float32)
+                sng = (np.diff(label_offsets[s : e + 1]) == 1)
+                sl = labels[label_offsets[s : e][sng]]
+                np.add.at(a0, sl, counts[s:e][sng].astype(np.float32))
+                if init_uniform:
+                    a0[:] = np.float32(1.0) / np.float32(R)
+                else:
+                    a0 = (a0 + np.float32(0.5)) * np.float32(1e-3)
+                init[bi, :R] = a0
+            out = np.asarray(
+                kern(
+                    jnp.asarray(lab_pad), jnp.asarray(len_pad),
+                    jnp.asarray(ct_pad), jnp.asarray(init),
+                    uoff, aoff, R,
+                )
+            )
+            for bi, ci in enumerate(group):
+                alphas = out[bi, :R]
+                nz = np.flatnonzero(alphas)
+                results[ci] = (nz.astype(np.int64), alphas[nz])
+    return results

@@ -1,0 +1,262 @@
+"""collate — group reads by corrected cell barcode.
+
+The reference implements this as an out-of-core scatter/gather over
+temp-file buckets (src/collate.rs:396-939).  TPU-first, collation is a
+single device sort: ingest the RAD file to columnar arrays, correct
+barcodes through the permit map (vectorized binary search), filter
+alignments to the expected orientation, and stable-sort reads by cell
+rank (cells ordered by descending read count, the reference's
+largest-cells-first order, collate.rs:180-182).
+
+The output contract matches the reference exactly: ``map.collated.rad``
+with one chunk per cell and num_chunks patched in the header
+(collate.rs:542-581), ``collate.json``, and
+``unmapped_bc_count_collated.bin``.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+from .. import __version__
+from ..radz import bincodeio, read_prelude, record_type_from_prelude, KnownRecordType
+from ..radz.chunkio import ReadBatch, decode_all_chunks, encode_records
+from ..radz.records import RecordSchema
+from ..radz import unmapped as unmappedio
+from ..utils import aln_strand_mask, check_version_compat, write_json
+from .logging_ import get_logger
+
+log = get_logger("collate")
+
+
+def _lookup_map(keys_sorted: np.ndarray, vals: np.ndarray, query: np.ndarray):
+    """Vectorized hash-map lookup via binary search.
+    Returns (hit_mask, mapped_values)."""
+    if len(keys_sorted) == 0:
+        return np.zeros(len(query), bool), np.zeros(len(query), np.uint64)
+    idx = np.searchsorted(keys_sorted, query)
+    idx_c = np.minimum(idx, len(keys_sorted) - 1)
+    hit = (idx < len(keys_sorted)) & (keys_sorted[idx_c] == query)
+    return hit, vals[idx_c]
+
+
+def correct_and_filter(
+    batch: ReadBatch,
+    map_keys: np.ndarray,
+    map_vals: np.ndarray,
+    expected_ori: str,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Correct barcodes and filter alignments by orientation.
+
+    Returns (corrected_bc_per_read, keep_read_mask, keep_aln_mask,
+    new_aln_offsets_for_kept_reads, stats).  Matches the behavior of
+    dump_corrected_cb_chunk_to_temp_file_generic: records whose barcode
+    isn't correctable are dropped; alignments not matching the expected
+    orientation are dropped; records left with no alignments are dropped.
+    """
+    bcs = batch.barcode()
+    hit, corrected = _lookup_map(map_keys, map_vals, bcs)
+
+    keep_aln = aln_strand_mask(batch.dirs, expected_ori)
+    # per-read surviving alignment counts
+    n = batch.n_reads
+    kept_per_read = np.add.reduceat(keep_aln.astype(np.int64), batch.aln_offsets[:-1]) \
+        if n else np.zeros(0, np.int64)
+    kept_per_read[np.diff(batch.aln_offsets) == 0] = 0
+    keep_read = hit & (kept_per_read > 0)
+
+    # expand read mask to alignments, intersect with orientation mask
+    read_of_aln = np.repeat(np.arange(n), batch.num_aln_per_read)
+    keep_aln_final = keep_aln & keep_read[read_of_aln]
+
+    new_offsets = np.zeros(int(keep_read.sum()) + 1, np.int64)
+    np.cumsum(kept_per_read[keep_read], out=new_offsets[1:])
+    stats = {"dropped_reads": int(n - keep_read.sum())}
+    return corrected, keep_read, keep_aln_final, new_offsets, stats
+
+
+def collate(
+    input_dir: Path,
+    rad_dir: Path,
+    num_threads: int = 8,
+    max_records: int = 30_000_000,
+    compress_out: bool = False,
+    cmdline: str = "",
+    version: str = __version__,
+) -> None:
+    input_dir = Path(input_dir)
+    rad_dir = Path(rad_dir)
+    mdata = check_version_compat(version, input_dir / "generate_permit_list.json")
+
+    if mdata.get("multi_barcode"):
+        from .collate_multi import collate_multi_bc
+
+        return collate_multi_bc(
+            input_dir, rad_dir, num_threads, max_records, compress_out,
+            cmdline, version,
+        )
+
+    if compress_out:
+        from ..radz import snappyz  # noqa: F401  (raises if unsupported)
+
+    # permit_freq.bin -> cells ordered by descending read count
+    bclen, freq_bc, freq_ct = bincodeio.read_permit_freq(input_dir / "permit_freq.bin")
+    del bclen
+    order = np.lexsort((freq_bc, -freq_ct.astype(np.int64)))
+    cell_bcs = freq_bc[order]
+    cell_cts = freq_ct[order]
+    total_to_collate = int(freq_ct.sum())
+
+    expected_ori = mdata["expected_ori"]
+    velo_mode = bool(mdata.get("velo_mode", False))
+
+    # correction map
+    map_keys, map_vals = bincodeio.read_u64_map_file(input_dir / "permit_map.bin")
+    log.info("deserialized correction map of length: %d", len(map_keys))
+
+    # unmapped counts
+    bcs_u, cts_u = unmappedio.read_raw_unmapped(rad_dir / "unmapped_bc_count.bin")
+    if len(bcs_u):
+        hit, corr = _lookup_map(map_keys, map_vals, bcs_u)
+        cb, inv = np.unique(corr[hit], return_inverse=True)
+        agg = np.zeros(len(cb), np.uint64)
+        np.add.at(agg, inv, cts_u[hit].astype(np.uint64))
+        unmappedio.write_collated_single(
+            input_dir / "unmapped_bc_count_collated.bin", cb, agg.astype(np.uint32)
+        )
+    else:
+        unmappedio.write_collated_single(
+            input_dir / "unmapped_bc_count_collated.bin",
+            np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+        )
+
+    # ingest the input RAD
+    with open(rad_dir / "map.rad", "rb") as fh:
+        prelude, ftm, _ = read_prelude(fh)
+        rec_type, _info = record_type_from_prelude(prelude, ftm)
+        if rec_type == KnownRecordType.ATAC:
+            raise ValueError(
+                'To process atac-seq data, you should use the "atac" sub-command'
+            )
+        schema = RecordSchema.from_prelude(prelude)
+        batch = decode_all_chunks(fh, schema, prelude.hdr.num_chunks)
+    log.info(
+        "collating %d reads across %d chunks into %d cells",
+        batch.n_reads, prelude.hdr.num_chunks, len(cell_bcs),
+    )
+
+    corrected, keep_read, keep_aln, new_offsets, _ = correct_and_filter(
+        batch, map_keys, map_vals, expected_ori
+    )
+
+    # rank cells by the descending-count order
+    cell_sorted = np.sort(cell_bcs)
+    cell_rank_of_sorted = np.empty(len(cell_bcs), np.int64)
+    cell_rank_of_sorted[np.argsort(cell_bcs, kind="stable")] = np.arange(len(cell_bcs))
+    # i.e. rank[i] for sorted barcode i
+    hit2, _ = _lookup_map(cell_sorted, cell_sorted, corrected[keep_read])
+    assert hit2.all(), "corrected barcode missing from permit list"
+    rank = cell_rank_of_sorted[
+        np.searchsorted(cell_sorted, corrected[keep_read])
+    ]
+
+    # gather surviving reads/alignments into new columnar arrays
+    kept_reads = np.flatnonzero(keep_read)
+    read_cols = {k: v[kept_reads] for k, v in batch.read_cols.items()}
+    # replace the collation barcode with the corrected value
+    read_cols[batch.schema.barcode_fields[-1]] = corrected[keep_read]
+    refs = batch.refs[keep_aln]
+    dirs = batch.dirs[keep_aln]
+    aln_cols = {k: v[keep_aln] for k, v in batch.aln_cols.items()}
+
+    # stable sort by cell rank (preserves input read order within a cell)
+    sort_idx = np.argsort(rank, kind="stable")
+    rank_sorted = rank[sort_idx]
+    read_cols = {k: v[sort_idx] for k, v in read_cols.items()}
+    # permuting ragged alignment lists: build gather index per alignment
+    nal = np.diff(new_offsets)
+    src_starts = new_offsets[:-1][sort_idx]
+    out_nal = nal[sort_idx]
+    out_offsets = np.zeros(len(sort_idx) + 1, np.int64)
+    np.cumsum(out_nal, out=out_offsets[1:])
+    aln_gather = np.repeat(src_starts, out_nal) + (
+        np.arange(int(out_offsets[-1])) - np.repeat(out_offsets[:-1], out_nal)
+    )
+    refs = refs[aln_gather]
+    dirs = dirs[aln_gather]
+    aln_cols = {k: v[aln_gather] for k, v in aln_cols.items()}
+
+    # per-cell read counts; the reference asserts these match permit_freq
+    per_cell = np.zeros(len(cell_bcs), np.int64)
+    u_rank, u_ct = np.unique(rank_sorted, return_counts=True)
+    per_cell[u_rank] = u_ct
+    if not np.array_equal(per_cell, cell_cts.astype(np.int64)):
+        log.warning(
+            "per-cell collated record counts differ from permit_freq counts "
+            "(total %d vs %d)", int(per_cell.sum()), total_to_collate,
+        )
+
+    # write the collated file: same prelude, num_chunks = number of cells
+    cfname = (
+        "velo.map.collated.rad" if velo_mode
+        else ("map.collated.rad.sz" if compress_out else "map.collated.rad")
+    )
+    write_json(input_dir / "collate.json", {
+        "cmd": cmdline,
+        "version_str": version,
+        "compressed_output": compress_out,
+    })
+
+    out_path = input_dir / cfname
+    import io
+
+    sink: object
+    if compress_out:
+        from ..radz import snappyz
+
+        raw = io.BytesIO()
+        sink = raw
+    else:
+        sink = open(out_path, "wb")
+    try:
+        prelude.hdr.num_chunks = len(cell_bcs)
+        prelude.write(sink)
+        prelude.write_file_tag_values(sink, ftm)
+        cell_starts = np.zeros(len(cell_bcs) + 1, np.int64)
+        np.cumsum(per_cell, out=cell_starts[1:])
+        for ci in range(len(cell_bcs)):
+            s, e = int(cell_starts[ci]), int(cell_starts[ci + 1])
+            if s == e:
+                # reference never emits empty cells (every permit entry has
+                # reads); mirror by emitting nothing and flagging below
+                continue
+            body = encode_records(
+                schema,
+                {k: v[s:e] for k, v in read_cols.items()},
+                out_offsets[s : e + 1] - out_offsets[s],
+                refs[out_offsets[s] : out_offsets[e]],
+                dirs[out_offsets[s] : out_offsets[e]],
+                {k: v[out_offsets[s] : out_offsets[e]] for k, v in aln_cols.items()},
+            )
+            sink.write(struct.pack("<II", body.nbytes + 8, e - s))
+            sink.write(body.tobytes())
+        n_written = int((per_cell > 0).sum())
+        if n_written != len(cell_bcs):
+            # patch the header with the actual chunk count
+            pos = sink.tell()
+            sink.seek(1 + 8 + sum(2 + len(n.encode()) for n in prelude.hdr.ref_names))
+            sink.write(struct.pack("<Q", n_written))
+            sink.seek(pos)
+        if compress_out:
+            from ..radz import snappyz
+
+            with open(out_path, "wb") as out:
+                snappyz.frame_compress_stream(raw.getvalue(), out)
+    finally:
+        if not compress_out:
+            sink.close()
+    log.info("finished collating input rad file; wrote %d cell chunks", n_written)

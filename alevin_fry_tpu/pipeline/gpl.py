@@ -1,0 +1,343 @@
+"""generate-permit-list (RNA).
+
+Re-implements src/cellfilter.rs as batched array programs:
+
+* the per-barcode read histogram is a sort + run-length count over the
+  strand-compatible reads (the reference's DashMap histogram,
+  cellfilter.rs:1283-1418);
+* the unfiltered-list path matches whitelist membership via binary
+  search and rescues unmatched barcodes that have a *unique* Hamming<=1
+  neighbor among the kept barcodes (cellfilter.rs:105-333);
+* the filtered paths (knee / force-cells / expect-cells / explicit
+  list) select barcodes by frequency threshold and build the full
+  1-edit (SNP+indel) correction map (cellfilter.rs:336-480).
+
+Outputs the same artifact contract as the reference: permit_freq.bin,
+all_freq.bin (filtered paths), permit_map.bin, generate_permit_list.json.
+
+Determinism note: where the reference resolves contested 1-edit
+neighbors by seeded-hash iteration order (utils.rs:1043-1048), we use an
+explicit priority (descending read frequency, then ascending barcode) —
+deterministic and documented; the unfiltered unique-neighbor rescue (the
+bit-parity CI path) has no such ties.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .. import __version__
+from ..ops import barcodes as bcops
+from ..ops.knee import get_knee
+from ..radz import bincodeio, read_prelude, record_type_from_prelude, KnownRecordType
+from ..radz.chunkio import ReadBatch, decode_all_chunks
+from ..radz.records import RecordSchema
+from ..utils import (
+    read_barcode_file,
+    read_strand_mask,
+    strand_from_ori_arg,
+    write_json,
+)
+from .logging_ import get_logger
+
+log = get_logger("gpl")
+
+
+@dataclass
+class CellFilterMethod:
+    """One of knee-distance / force-cells / expect-cells / explicit list /
+    unfiltered external list (cellfilter.rs:51-71)."""
+
+    kind: str  # "knee" | "force" | "expect" | "explicit" | "unfiltered"
+    count: int = 0
+    path: Optional[Path] = None
+    min_reads: int = 10
+
+    def describe(self) -> str:
+        return {
+            "knee": "KneeFinding",
+            "force": f"ForceCells({self.count})",
+            "expect": f"ExpectCells({self.count})",
+            "explicit": f"ExplicitList({self.path})",
+            "unfiltered": f"UnfilteredExternalList({self.path}, {self.min_reads})",
+        }[self.kind]
+
+
+@dataclass
+class GenPermitListOpts:
+    input_dir: Path
+    output_dir: Path
+    fmeth: CellFilterMethod
+    expected_ori: str  # "fw" | "rc" | "both" | "either"
+    threads: int = 8
+    velo_mode: bool = False
+    cmdline: str = ""
+    version: str = __version__
+    # multi-barcode (10x Flex) options
+    sample_bc_list: Optional[Path] = None
+    sample_names: Optional[Path] = None
+    sample_correction_mode: str = "exact"  # "exact" | "1-edit"
+    sample_bc_ori: str = "forward"  # "forward" | "reverse"
+
+
+def _serialize_opts(opts: GenPermitListOpts) -> dict:
+    d = {
+        "input_dir": str(opts.input_dir),
+        "output_dir": str(opts.output_dir),
+        "fmeth": opts.fmeth.describe(),
+        "expected_ori": opts.expected_ori,
+        "velo_mode": opts.velo_mode,
+        "threads": opts.threads,
+        "cmdline": opts.cmdline,
+        "version": opts.version,
+        "sample_bc_list": str(opts.sample_bc_list) if opts.sample_bc_list else None,
+        "sample_names": str(opts.sample_names) if opts.sample_names else None,
+        "sample_correction_mode": opts.sample_correction_mode,
+        "sample_bc_ori": opts.sample_bc_ori,
+    }
+    return d
+
+
+def _histogram(bcs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Sorted (barcode, count) histogram."""
+    if len(bcs) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    uniq, counts = np.unique(bcs, return_counts=True)
+    return uniq, counts.astype(np.uint64)
+
+
+def generate_permit_list(opts: GenPermitListOpts) -> int:
+    """Run the stage; returns the number of distinct corrected barcodes
+    (the reference's return contract, cellfilter.rs:487)."""
+    i_dir = Path(opts.input_dir)
+    rad_path = i_dir / "map.rad"
+    with open(rad_path, "rb") as fh:
+        prelude, ftm, _ = read_prelude(fh)
+        rec_type, info = record_type_from_prelude(prelude, ftm)
+        if rec_type == KnownRecordType.ATAC:
+            raise ValueError(
+                'To process atac-seq data, you should use the "atac" sub-command'
+            )
+        if rec_type == KnownRecordType.RNA_MULTI_BC:
+            from .gpl_multi import do_generate_permit_list_multi_bc
+
+            schema = RecordSchema.from_prelude(prelude)
+            batch = decode_all_chunks(fh, schema, prelude.hdr.num_chunks)
+            return do_generate_permit_list_multi_bc(opts, prelude, ftm, batch, info)
+        schema = RecordSchema.from_prelude(prelude)
+        if prelude.hdr.num_chunks == 0:
+            raise ValueError(
+                "The RAD file appears to have no chunks; this most commonly "
+                "occurs when no reads are mapped due to an incorrect chemistry"
+            )
+        log.info(
+            "record type %s; ref_count %d; num_chunks %d",
+            rec_type.value, prelude.hdr.ref_count, prelude.hdr.num_chunks,
+        )
+        batch = decode_all_chunks(fh, schema, prelude.hdr.num_chunks)
+
+    strand = strand_from_ori_arg(opts.expected_ori)
+    compat = read_strand_mask(batch.dirs, batch.aln_offsets, strand)
+    num_reads = batch.n_reads
+    num_compat = int(compat.sum())
+    max_ambig = int(batch.num_aln_per_read[compat].max()) if num_compat else 0
+    bcs = batch.barcode()[compat]
+    log.info(
+        "observed %d reads (%d orientation consistent); max ambiguity %d refs",
+        num_reads, num_compat, max_ambig,
+    )
+
+    bclen = int(ftm["cblen"])
+    out_dir = Path(opts.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if opts.fmeth.kind == "unfiltered":
+        return _process_unfiltered(opts, bcs, bclen, num_reads, max_ambig, out_dir)
+    return _process_filtered(opts, bcs, bclen, max_ambig, out_dir)
+
+
+# --- unfiltered external list (cellfilter.rs:105-333) -----------------------
+
+def _process_unfiltered(
+    opts: GenPermitListOpts,
+    bcs: np.ndarray,
+    bclen: int,
+    num_reads: int,
+    max_ambig: int,
+    out_dir: Path,
+) -> int:
+    wl, first_bclen = read_barcode_file(opts.fmeth.path)
+    if first_bclen != bclen:
+        log.warning(
+            "provided permit list has barcodes of length %d but mapped reads "
+            "have barcodes of length %d", first_bclen, bclen,
+        )
+    wl_sorted = np.sort(np.unique(wl))
+    log.info("number of unfiltered bcs read = %d", len(wl_sorted))
+
+    uniq, counts = _histogram(bcs)
+    idx = np.searchsorted(wl_sorted, uniq)
+    idx_c = np.minimum(idx, max(len(wl_sorted) - 1, 0))
+    in_wl = (len(wl_sorted) > 0) & (idx < len(wl_sorted)) & (wl_sorted[idx_c] == uniq)
+
+    matched_bc, matched_ct = uniq[in_wl], counts[in_wl]
+    unmatched_bc, unmatched_ct = uniq[~in_wl], counts[~in_wl]
+    num_unmatched_reads = int(unmatched_ct.sum())
+
+    # diagnostic: warn if too many reads miss the permit list exactly
+    # (diagnostics.rs:3-22, threshold 0.3)
+    if num_reads > 0:
+        frac = num_unmatched_reads / num_reads
+        if frac >= 0.3:
+            log.warning(
+                "Percentage of mapped reads not matching a known barcode "
+                "exactly (%.3f%%) is > the suggested fraction (30%%)", frac * 100,
+            )
+        else:
+            log.info(
+                "%.3f%% of mapped reads did not match a known barcode exactly "
+                "(< 30%% warning threshold)", frac * 100,
+            )
+
+    # min_freq split: barcodes below threshold are recycled into the
+    # unmatched pool for 1-edit rescue (cellfilter.rs:124-156)
+    min_freq = int(opts.fmeth.min_reads)
+    keep = matched_ct >= min_freq
+    kept_bc = matched_bc[keep]
+    kept_ct = matched_ct[keep].copy()
+    below_bc, below_ct = matched_bc[~keep], matched_ct[~keep]
+    log.info("num_passing = %d", len(kept_bc))
+
+    rescue_bc = np.concatenate([unmatched_bc, below_bc])
+    rescue_ct = np.concatenate([unmatched_ct, below_ct])
+    order = np.argsort(rescue_bc, kind="stable")
+    rescue_bc, rescue_ct = rescue_bc[order], rescue_ct[order]
+
+    kept_sorted = kept_bc  # already sorted (np.unique order)
+    ncounts, reps = bcops.find_neighbors_batch(rescue_bc, kept_sorted, bclen)
+    # unique single-mismatch neighbor that isn't the barcode itself
+    rescued = (ncounts == 1) & (reps != rescue_bc)
+    found_approx = int(rescue_ct[rescued].sum())
+    ambig_approx = int(rescue_ct[ncounts > 1].sum())
+    not_found = int(rescue_ct[ncounts == 0].sum())
+    num_corrected = int(rescued.sum())
+    log.info(
+        "of %d distinct unmatched barcodes: %d recoverable; reads: %d rescued, "
+        "%d ambiguous, %d not found",
+        len(rescue_bc), num_corrected, found_approx, ambig_approx, not_found,
+    )
+
+    # add rescued counts to their kept neighbor
+    if num_corrected:
+        tgt = np.searchsorted(kept_sorted, reps[rescued])
+        np.add.at(kept_ct, tgt, rescue_ct[rescued])
+
+    bincodeio.write_permit_freq(out_dir / "permit_freq.bin", bclen, kept_bc, kept_ct)
+
+    # correction map: kept -> itself, rescued -> unique neighbor
+    map_keys = np.concatenate([kept_bc, rescue_bc[rescued]])
+    map_vals = np.concatenate([kept_bc, reps[rescued]])
+    bincodeio.write_u64_map_file(out_dir / "permit_map.bin", map_keys, map_vals)
+
+    meta = {
+        "velo_mode": opts.velo_mode,
+        "expected_ori": strand_from_ori_arg(opts.expected_ori),
+        "version_str": opts.version,
+        "max-ambig-record": max_ambig,
+        "cmd": opts.cmdline,
+        "permit-list-type": "unfiltered",
+        "gpl_options": _serialize_opts(opts),
+    }
+    write_json(out_dir / "generate_permit_list.json", meta)
+    log.info("total number of distinct corrected barcodes: %d", num_corrected)
+    return num_corrected
+
+
+# --- filtered methods (cellfilter.rs:336-480) --------------------------------
+
+def _process_filtered(
+    opts: GenPermitListOpts,
+    bcs: np.ndarray,
+    bclen: int,
+    max_ambig: int,
+    out_dir: Path,
+) -> int:
+    uniq, counts = _histogram(bcs)
+    freq = np.sort(counts)[::-1]
+
+    meth = opts.fmeth
+    if meth.kind == "knee":
+        num_bc = get_knee(freq, 100)
+        min_freq = int(freq[num_bc])
+        valid_mask = counts >= min_freq
+        valid_bc = uniq[valid_mask]
+        log.info(
+            "knee distance method resulted in the selection of %d permitted "
+            "barcodes.", len(valid_bc),
+        )
+    elif meth.kind == "force":
+        top_k = meth.count
+        num_bc = len(freq) - 1 if len(freq) < top_k else top_k - 1
+        min_freq = int(freq[num_bc])
+        valid_mask = counts >= min_freq
+        valid_bc = uniq[valid_mask]
+    elif meth.kind == "expect":
+        robust_quantile = 0.99
+        robust_div = 10.0
+        robust_ind = int(round(meth.count * robust_quantile))
+        ind = min(len(freq) - 1, robust_ind)
+        robust_freq = int(freq[ind])
+        min_freq = max(1, int(round(robust_freq / robust_div)))
+        valid_mask = counts >= min_freq
+        valid_bc = uniq[valid_mask]
+    elif meth.kind == "explicit":
+        valid_bc, _ = read_barcode_file(meth.path, bclen)
+        valid_mask = None
+    else:
+        raise ValueError(f"unsupported filter method {meth.kind}")
+
+    # priority order for contested 1-edit neighbors: for frequency-based
+    # methods, higher-count barcodes first (ties: ascending barcode); for
+    # an explicit list, file order (matching the reference's iteration
+    # over the provided list).
+    if meth.kind != "explicit":
+        vc = counts[valid_mask]
+        order = np.lexsort((valid_bc, -vc.astype(np.int64)))
+        prio_bc = valid_bc[order]
+    else:
+        prio_bc = valid_bc
+
+    map_keys, map_vals = bcops.generate_permitlist_map(prio_bc, bclen)
+
+    # correct the histogram through the full permit map
+    ms = np.argsort(map_keys, kind="stable")
+    mk, mv = map_keys[ms], map_vals[ms]
+    idx = np.searchsorted(mk, uniq)
+    idx_c = np.minimum(idx, max(len(mk) - 1, 0))
+    hit = (len(mk) > 0) & (idx < len(mk)) & (mk[idx_c] == uniq)
+    num_corrected = int(hit.sum())
+    corrected_to = mv[idx_c[hit]]
+    perm_bc, inv = np.unique(corrected_to, return_inverse=True)
+    perm_ct = np.zeros(len(perm_bc), np.uint64)
+    np.add.at(perm_ct, inv, counts[hit])
+
+    bincodeio.write_permit_freq(out_dir / "permit_freq.bin", bclen, perm_bc, perm_ct)
+    bincodeio.write_permit_freq(out_dir / "all_freq.bin", bclen, uniq, counts)
+    bincodeio.write_u64_map_file(out_dir / "permit_map.bin", map_keys, map_vals)
+
+    meta = {
+        "velo_mode": opts.velo_mode,
+        "expected_ori": strand_from_ori_arg(opts.expected_ori),
+        "version_str": opts.version,
+        "max-ambig-record": max_ambig,
+        "cmd": opts.cmdline,
+        "permit-list-type": "filtered",
+        "gpl_options": _serialize_opts(opts),
+    }
+    write_json(out_dir / "generate_permit_list.json", meta)
+    log.info("total number of distinct corrected barcodes: %d", num_corrected)
+    return num_corrected

@@ -1,0 +1,643 @@
+"""quant — per-cell UMI resolution and gene-level quantification.
+
+Re-implements src/quant.rs over columnar arrays:
+
+* every cell with < 100 records takes the sparse winner-take-all fast
+  path regardless of resolution strategy (quant.rs:433,760 — behavioral
+  spec of the reference), producing USA-slot counts with no EM, no
+  bootstraps and no eqclass-dump contribution;
+* larger cells dispatch on the resolution strategy: cr-like /
+  cr-like-em (winner-take-all or prefer-ambig tie handling), trivial,
+  and the parsimony family (PUG-based, ops/pug.py);
+* USA mode: 3-column tg-maps triple the output rows into
+  spliced / unspliced / ambiguous blocks (num_rows = max_gid+2 plus
+  half, quant.rs:1586-1604), column names suffixed ``-U`` / ``-A``.
+
+Outputs the reference's artifact contract: alevin/quants_mat.mtx +
+rows/cols, featureDump.txt (with sample_name column for multi-sample
+inputs), quant.json, optional geqc_counts.mtx + gene_eqclass.txt.gz and
+bootstrap mean/var matrices.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import __version__
+from ..constants import SMALL_CELL_FAST_THRESHOLD
+from ..ops import crlike
+from ..ops.em import em_cells_batched
+from ..radz import read_prelude, record_type_from_prelude, KnownRecordType
+from ..radz.chunkio import ReadBatch, decode_all_chunks
+from ..radz.mtx import rust_f32_str, write_matrix_market
+from ..radz.records import RecordSchema
+from ..radz.unmapped import UnmappedLookup
+from ..ops.barcodes import unpack_seqs_to_strings
+from ..utils import parse_tg_map, read_barcode_file, same_gene, write_json
+from .logging_ import get_logger
+
+log = get_logger("quant")
+
+RESOLUTIONS = (
+    "trivial", "cr-like", "cr-like-em", "parsimony", "parsimony-em",
+    "parsimony-gene", "parsimony-gene-em",
+)
+EM_RESOLUTIONS = ("cr-like-em", "parsimony-em", "parsimony-gene-em")
+PARSIMONY_RESOLUTIONS = (
+    "parsimony", "parsimony-em", "parsimony-gene", "parsimony-gene-em",
+)
+
+
+@dataclass
+class QuantOpts:
+    input_dir: Path
+    tg_map: Path
+    output_dir: Path
+    num_threads: int = 8
+    num_bootstraps: int = 0
+    init_uniform: bool = False
+    summary_stat: bool = False
+    dump_eq: bool = False
+    resolution: str = "cr-like"
+    pug_exact_umi: bool = False
+    sa_model: str = "winner-take-all"
+    small_thresh: int = 10
+    large_graph_thresh: int = 1000
+    filter_list: Optional[Path] = None
+    cmdline: str = ""
+    version: str = __version__
+
+
+def quantify(opts: QuantOpts) -> None:
+    parent = Path(opts.input_dir)
+    with open(parent / "collate.json") as fh:
+        collate_md = json.load(fh)
+    compressed = bool(collate_md["compressed_output"])
+
+    if compressed:
+        from ..radz import snappyz
+        import io
+
+        with open(parent / "map.collated.rad.sz", "rb") as fh:
+            raw = snappyz.frame_decompress(fh)
+        br = io.BytesIO(raw)
+    else:
+        br = open(parent / "map.collated.rad", "rb")
+    try:
+        _do_quantify(br, opts, parent)
+    finally:
+        br.close()
+
+
+def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
+    prelude, ftm, _ = read_prelude(br)
+    rec_type, info = record_type_from_prelude(prelude, ftm)
+    if rec_type == KnownRecordType.ATAC:
+        raise ValueError(
+            'To process atac-seq data, you should use the "atac" sub-command'
+        )
+    schema = RecordSchema.from_prelude(prelude)
+    hdr = prelude.hdr
+    log.info(
+        "quantifying %d cells over %d references (record type %s)",
+        hdr.num_chunks, hdr.ref_count, rec_type.value,
+    )
+
+    # multi-sample manifest (multi-barcode data)
+    sample_names: Optional[List[str]] = None
+    if (parent / "collation_manifest.bin").exists():
+        from ..radz.collation import CollationManifest
+
+        manifest = CollationManifest.read_from_file(parent / "collation_manifest.bin")
+        sample_names = [
+            g.name if g.name is not None else f"{g.key:x}"
+            for g in manifest.sample_groups
+        ]
+
+    # tg-map
+    tid_to_gid, gene_names, gene_name_to_id, usa_mode = parse_tg_map(
+        Path(opts.tg_map), hdr.ref_names
+    )
+    num_genes = len(gene_name_to_id)
+    if usa_mode:
+        assert opts.num_bootstraps == 0, (
+            "currently USA-mode analysis cannot be used with bootstrapping."
+        )
+    sa_model = opts.sa_model
+    if not usa_mode and sa_model != "winner-take-all":
+        log.info(
+            "When not operating in USA-mode, the SplicedAmbiguityModel will "
+            "be ignored."
+        )
+        sa_model = "winner-take-all"
+    if usa_mode:
+        mid = max(gene_name_to_id.values()) + 2
+        num_rows = mid + mid // 2
+        usa_offsets = (num_rows // 3, 2 * num_rows // 3)
+    else:
+        num_rows = num_genes
+        usa_offsets = None
+    log.info(
+        "tg-map contained %d genes mapping to %d transcripts (usa_mode=%s)",
+        num_genes, len(tid_to_gid), usa_mode,
+    )
+
+    barcode_len = int(
+        ftm.get("cblen") or ftm.get("b1len") or ftm.get("b0len")
+    )
+
+    unmapped = UnmappedLookup.from_file(parent / "unmapped_bc_count_collated.bin")
+
+    # decode the collated file: one chunk per cell
+    batch = decode_all_chunks(br, schema, hdr.num_chunks)
+
+    # optional quant-subset filter: keep cells whose (first-record)
+    # barcode is in the list (quant.rs:1732-1743)
+    keep_cells = np.ones(hdr.num_chunks, bool)
+    if opts.filter_list is not None:
+        fset, _len = read_barcode_file(Path(opts.filter_list), barcode_len)
+        fsorted = np.sort(np.unique(fset))
+        first_read = batch.chunk_offsets[:-1]
+        cell_bc_all = batch.barcode()[first_read]
+        idx = np.searchsorted(fsorted, cell_bc_all)
+        idx_c = np.minimum(idx, max(len(fsorted) - 1, 0))
+        keep_cells = (
+            (len(fsorted) > 0)
+            & (idx < len(fsorted))
+            & (fsorted[idx_c] == cell_bc_all)
+        )
+
+    result = _resolve_cells(
+        batch, keep_cells, tid_to_gid, opts, sa_model, usa_mode, usa_offsets,
+        num_genes, num_rows, sample_names,
+    )
+
+    _write_outputs(
+        opts, parent, result, gene_names, usa_mode, num_rows, barcode_len,
+        unmapped, sample_names,
+    )
+
+
+@dataclass
+class CellResult:
+    cells: np.ndarray           # processed cell indices (row order)
+    cell_bcs: np.ndarray        # uint64 barcode per processed cell
+    sample_idx: Optional[np.ndarray]  # per processed cell, or None
+    nrec: np.ndarray            # mapped records per cell
+    rows: np.ndarray            # MTX COO
+    cols: np.ndarray
+    vals: np.ndarray
+    mmrate: Dict[int, float]
+    alt_res_cells: List[int]
+    dump_eq_data: Optional[tuple]
+    boot_mean: Optional[tuple]
+    boot_var: Optional[tuple]
+
+
+def _resolve_cells(
+    batch: ReadBatch,
+    keep_cells: np.ndarray,
+    tid_to_gid: np.ndarray,
+    opts: QuantOpts,
+    sa_model: str,
+    usa_mode: bool,
+    usa_offsets,
+    num_genes: int,
+    num_rows: int,
+    sample_names,
+) -> CellResult:
+    n_cells_all = len(batch.chunk_offsets) - 1
+    nrec_all = np.diff(batch.chunk_offsets)
+    processed = np.flatnonzero(keep_cells & (nrec_all > 0))
+    # row order = file (cell) order
+    cell_row = np.full(n_cells_all, -1, np.int64)
+    cell_row[processed] = np.arange(len(processed))
+
+    first_read = batch.chunk_offsets[:-1]
+    cell_bcs = batch.barcode()[first_read[processed]]
+    sample_idx = None
+    if sample_names is not None and len(batch.schema.barcode_fields) > 1:
+        # the scatter phase stored the sample ordinal in barcodes[0]
+        # (quant.rs:1955-1956)
+        sample_idx = batch.barcode(0)[first_read[processed]].astype(np.int64)
+
+    # read-level views restricted to processed cells
+    cell_of_read = batch.chunk_id
+    read_keep = keep_cells[cell_of_read]
+    # small/large split by record count
+    small_cell = nrec_all < SMALL_CELL_FAST_THRESHOLD
+
+    rows_l: List[np.ndarray] = []
+    cols_l: List[np.ndarray] = []
+    vals_l: List[np.ndarray] = []
+    mmrate: Dict[int, float] = {}
+    alt_res_cells: List[int] = []
+    dump_eq_data = None
+    boot_mean = boot_var = None
+
+    def add_coo(cells_idx, cols, vals):
+        rows_l.append(cell_row[cells_idx])
+        cols_l.append(np.asarray(cols, np.int64))
+        vals_l.append(np.asarray(vals, np.float32))
+
+    # --- small cells: always the sparse cr-like WTA fast path ------------
+    sel_small = read_keep & small_cell[cell_of_read]
+    if sel_small.any():
+        sub = _subset_reads(batch, sel_small)
+        groups = crlike.resolve_crlike(
+            sub["cell"], sub["umi"], sub["refs"], sub["offs"], tid_to_gid,
+            prefer_ambig=False,
+        )
+        if usa_mode:
+            slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
+        else:
+            slot, valid = crlike.nonusa_unique_slots(groups)
+        r, c, v = crlike.counts_from_slots(
+            groups.cell, slot, valid, n_cells_all, num_rows
+        )
+        add_coo(r, c, v)
+
+    # --- large cells ------------------------------------------------------
+    sel_large = read_keep & ~small_cell[cell_of_read]
+    if sel_large.any():
+        sub = _subset_reads(batch, sel_large)
+        res = opts.resolution
+        if res in ("cr-like", "cr-like-em"):
+            groups = crlike.resolve_crlike(
+                sub["cell"], sub["umi"], sub["refs"], sub["offs"], tid_to_gid,
+                prefer_ambig=(usa_mode and sa_model == "prefer-ambig"),
+            )
+            dump_eq_data, bm, bv = _counts_from_groups(
+                groups, res, usa_mode, usa_offsets, num_genes, num_rows,
+                n_cells_all, opts, add_coo,
+            )
+            boot_mean, boot_var = bm, bv
+        elif res == "trivial":
+            r, c, v, mm = crlike.resolve_trivial(
+                sub["cell"], sub["umi"], sub["refs"], sub["offs"], tid_to_gid,
+                n_cells_all, num_genes,
+            )
+            add_coo(r, c, v)
+            for ci in np.unique(sub["cell"]):
+                mmrate[int(ci)] = float(mm[ci])
+        elif res in PARSIMONY_RESOLUTIONS:
+            from ..ops import pug
+
+            gene_level = res in ("parsimony-gene", "parsimony-gene-em")
+            groups_eqc, alt_cells = pug.resolve_parsimony_cells(
+                sub, tid_to_gid, num_genes,
+                pug_exact_umi=opts.pug_exact_umi,
+                large_graph_thresh=opts.large_graph_thresh,
+                gene_level=gene_level,
+            )
+            alt_res_cells.extend(int(c) for c in alt_cells)
+            dump_eq_data, bm, bv = _counts_from_eqclasses(
+                groups_eqc, res, usa_mode, usa_offsets, num_genes, num_rows,
+                n_cells_all, opts, add_coo,
+            )
+            boot_mean, boot_var = bm, bv
+        else:
+            raise ValueError(f"unknown resolution strategy {res}")
+
+    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
+    order = np.lexsort((cols, rows))
+    return CellResult(
+        cells=processed,
+        cell_bcs=cell_bcs,
+        sample_idx=sample_idx,
+        nrec=nrec_all[processed],
+        rows=rows[order], cols=cols[order], vals=vals[order],
+        mmrate=mmrate,
+        alt_res_cells=alt_res_cells,
+        dump_eq_data=dump_eq_data,
+        boot_mean=boot_mean,
+        boot_var=boot_var,
+    )
+
+
+def _subset_reads(batch: ReadBatch, read_mask: np.ndarray) -> dict:
+    idx = np.flatnonzero(read_mask)
+    nal = batch.num_aln_per_read[idx]
+    offs = np.zeros(len(idx) + 1, np.int64)
+    np.cumsum(nal, out=offs[1:])
+    gather = np.repeat(batch.aln_offsets[:-1][idx], nal) + (
+        np.arange(int(offs[-1])) - np.repeat(offs[:-1], nal)
+    )
+    return {
+        "cell": batch.chunk_id[idx],
+        "umi": batch.umi[idx],
+        "refs": batch.refs[gather],
+        "offs": offs,
+    }
+
+
+def _counts_from_groups(
+    groups, res, usa_mode, usa_offsets, num_genes, num_rows, n_cells_all,
+    opts, add_coo,
+):
+    """cr-like family: extract counts or run EM from per-UMI tie sets."""
+    eqc = crlike.group_eqclasses(groups)
+    return _counts_from_eqclasses(
+        eqc, res, usa_mode, usa_offsets, num_genes, num_rows, n_cells_all,
+        opts, add_coo,
+    )
+
+
+def _counts_from_eqclasses(
+    eqc: crlike.CellEqClasses, res, usa_mode, usa_offsets, num_genes,
+    num_rows, n_cells_all, opts, add_coo,
+):
+    only_unique = res in ("cr-like", "parsimony", "parsimony-gene")
+    dump_eq_data = (eqc, usa_mode) if opts.dump_eq else None
+    boot_mean = boot_var = None
+
+    if usa_mode and only_unique:
+        # integer extract_counts path
+        g = crlike.UmiGroups(
+            cell=np.repeat(eqc.cell_ids, np.diff(eqc.cell_eq_offsets)),
+            umi=np.zeros(len(eqc.counts), np.uint64),
+            label_offsets=eqc.label_offsets,
+            labels=eqc.labels,
+        )
+        slot, valid = crlike.usa_slots_for_groups(g, num_rows)
+        # each class contributes its count
+        c = g.cell[valid]
+        s = slot[valid]
+        w = eqc.counts[valid].astype(np.float32)
+        key = c * np.int64(num_rows) + s
+        uk, inv = np.unique(key, return_inverse=True)
+        agg = np.zeros(len(uk), np.float32)
+        np.add.at(agg, inv, w)
+        add_coo((uk // num_rows), uk % num_rows, agg)
+        return dump_eq_data, boot_mean, boot_var
+
+    if only_unique:
+        # non-USA: count only singleton classes per gene
+        lens = np.diff(eqc.label_offsets)
+        sgl = lens == 1
+        c = np.repeat(eqc.cell_ids, np.diff(eqc.cell_eq_offsets))[sgl]
+        gidx = eqc.labels[eqc.label_offsets[:-1][sgl]].astype(np.int64)
+        w = eqc.counts[sgl].astype(np.float32)
+        key = c * np.int64(num_rows) + gidx
+        uk, inv = np.unique(key, return_inverse=True)
+        agg = np.zeros(len(uk), np.float32)
+        np.add.at(agg, inv, w)
+        add_coo((uk // num_rows), uk % num_rows, agg)
+        return dump_eq_data, boot_mean, boot_var
+
+    # EM path
+    if usa_mode:
+        lab_offs, labels = crlike.usa_transform_labels(eqc, num_rows)
+        em_rows = num_rows
+        em_usa = usa_offsets
+        with_last_round = True
+    else:
+        lab_offs, labels = eqc.label_offsets, eqc.labels
+        em_rows = num_genes
+        em_usa = None
+        with_last_round = False
+    results = em_cells_batched(
+        eqc.cell_eq_offsets, lab_offs, labels, eqc.counts,
+        em_rows, em_usa, opts.init_uniform, with_last_round,
+    )
+    for ci, (nz, vv) in zip(eqc.cell_ids, results):
+        add_coo(np.full(len(nz), ci), nz, vv)
+
+    if opts.num_bootstraps > 0:
+        from ..ops.bootstrap import run_bootstraps
+
+        boot_mean, boot_var = run_bootstraps(
+            eqc, lab_offs, labels, em_rows, opts.num_bootstraps,
+            opts.init_uniform, opts.summary_stat,
+        )
+    return dump_eq_data, boot_mean, boot_var
+
+
+# --- output writing ----------------------------------------------------------
+
+def _write_outputs(
+    opts: QuantOpts,
+    parent: Path,
+    result: CellResult,
+    gene_names: List[str],
+    usa_mode: bool,
+    num_rows: int,
+    barcode_len: int,
+    unmapped: UnmappedLookup,
+    sample_names,
+) -> None:
+    out_path = Path(opts.output_dir)
+    out_path.mkdir(parents=True, exist_ok=True)
+    mat_path = out_path / "alevin"
+    mat_path.mkdir(parents=True, exist_ok=True)
+
+    n_rows_out = len(result.cells)
+
+    # quants_mat_cols.txt (quant.rs:1745-1768)
+    with open(mat_path / "quants_mat_cols.txt", "w") as fh:
+        for g in gene_names:
+            fh.write(f"{g}\n")
+        if usa_mode:
+            for g in gene_names:
+                fh.write(f"{g}-U\n")
+            for g in gene_names:
+                fh.write(f"{g}-A\n")
+
+    # quants_mat_rows.txt + featureDump.txt
+    bc_strs = unpack_seqs_to_strings(result.cell_bcs, barcode_len)
+    unmapped_cts = unmapped.get(result.cell_bcs)
+
+    # per-cell stats from the COO triplets
+    sum_umi = np.zeros(n_rows_out, np.float32)
+    max_umi = np.zeros(n_rows_out, np.float32)
+    num_expr = np.zeros(n_rows_out, np.int64)
+    over_mean = np.zeros(n_rows_out, np.int64)
+    if len(result.rows):
+        np.add.at(sum_umi, result.rows, result.vals)
+        np.maximum.at(max_umi, result.rows, result.vals)
+        np.add.at(num_expr, result.rows, (result.vals > 0).astype(np.int64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_expr_arr = sum_umi / num_expr.astype(np.float32)
+        gt = result.vals > mean_expr_arr[result.rows]
+        np.add.at(over_mean, result.rows, gt.astype(np.int64))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_expr = (sum_umi / num_expr.astype(np.float32)).astype(np.float32)
+        mean_by_max = (mean_expr / max_umi).astype(np.float32)
+
+    empty_cells = [int(c) for c in result.cells[num_expr == 0]]
+
+    with open(mat_path / "quants_mat_rows.txt", "w") as fbc, open(
+        out_path / "featureDump.txt", "w"
+    ) as ffd:
+        if sample_names is not None:
+            ffd.write(
+                "CB\tsample_name\tCorrectedReads\tMappedReads\tDeduplicatedReads\t"
+                "MappingRate\tDedupRate\tMeanByMax\tNumGenesExpressed\t"
+                "NumGenesOverMean\n"
+            )
+        else:
+            ffd.write(
+                "CB\tCorrectedReads\tMappedReads\tDeduplicatedReads\tMappingRate\t"
+                "DedupRate\tMeanByMax\tNumGenesExpressed\tNumGenesOverMean\n"
+            )
+        for i in range(n_rows_out):
+            bc_str = bc_strs[i]
+            nm = int(result.nrec[i])
+            nu = int(unmapped_cts[i])
+            mapping_rate = np.float32(nm) / np.float32(nm + nu)
+            dedup_rate = sum_umi[i] / np.float32(nm)
+            sn = None
+            if sample_names is not None and result.sample_idx is not None:
+                si = int(result.sample_idx[i])
+                sn = sample_names[si] if si < len(sample_names) else None
+            if sn is not None:
+                fbc.write(f"{sn}_{bc_str}\n")
+                ffd.write(f"{bc_str}\t{sn}\t")
+            elif sample_names is not None:
+                # should not happen post simpleaf#195 fix; keep 10 fields
+                fbc.write(f"{bc_str}\n")
+                ffd.write(f"{bc_str}\tNA\t")
+            else:
+                fbc.write(f"{bc_str}\n")
+                ffd.write(f"{bc_str}\t")
+            ffd.write(
+                f"{nm + nu}\t{nm}\t{rust_f32_str(sum_umi[i])}\t"
+                f"{rust_f32_str(mapping_rate)}\t{rust_f32_str(dedup_rate)}\t"
+                f"{rust_f32_str(mean_by_max[i])}\t{num_expr[i]}\t{over_mean[i]}\n"
+            )
+
+    write_matrix_market(
+        mat_path / "quants_mat.mtx",
+        result.rows, result.cols, result.vals,
+        (n_rows_out, num_rows),
+    )
+
+    if result.boot_mean is not None:
+        bm_r, bm_c, bm_v = result.boot_mean
+        write_matrix_market(
+            mat_path / "bootstraps_mean.mtx", bm_r, bm_c, bm_v,
+            (n_rows_out, num_rows),
+        )
+        bv_r, bv_c, bv_v = result.boot_var
+        write_matrix_market(
+            mat_path / "bootstraps_var.mtx", bv_r, bv_c, bv_v,
+            (n_rows_out, num_rows),
+        )
+
+    if opts.dump_eq and result.dump_eq_data is not None:
+        _write_eqc_counts(result, num_rows, usa_mode, mat_path)
+
+    meta_info = {
+        "cmd": opts.cmdline,
+        "version_str": opts.version,
+        "resolution_strategy": _resolution_display(opts.resolution),
+        "num_quantified_cells": n_rows_out,
+        "num_genes": num_rows,
+        "dump_eq": opts.dump_eq,
+        "usa_mode": usa_mode,
+        "alt_resolved_cell_numbers": result.alt_res_cells,
+        "empty_resolved_cell_numbers": empty_cells,
+        "quant_options": {
+            "input_dir": str(opts.input_dir),
+            "tg_map": str(opts.tg_map),
+            "output_dir": str(opts.output_dir),
+            "num_threads": opts.num_threads,
+            "num_bootstraps": opts.num_bootstraps,
+            "init_uniform": opts.init_uniform,
+            "summary_stat": opts.summary_stat,
+            "dump_eq": opts.dump_eq,
+            "resolution": _resolution_display(opts.resolution),
+            "pug_exact_umi": opts.pug_exact_umi,
+            "sa_model": opts.sa_model,
+            "small_thresh": opts.small_thresh,
+            "large_graph_thresh": opts.large_graph_thresh,
+            "filter_list": str(opts.filter_list) if opts.filter_list else None,
+            "cmdline": opts.cmdline,
+            "version": opts.version,
+        },
+    }
+    write_json(out_path / "quant.json", meta_info)
+    log.info("finished quantifying %d cells", n_rows_out)
+
+
+def _resolution_display(res: str) -> str:
+    """The reference serializes the enum Debug name (quant.rs:92-96)."""
+    return {
+        "trivial": "Trivial",
+        "cr-like": "CellRangerLike",
+        "cr-like-em": "CellRangerLikeEm",
+        "parsimony": "Parsimony",
+        "parsimony-em": "ParsimonyEm",
+        "parsimony-gene": "ParsimonyGene",
+        "parsimony-gene-em": "ParsimonyGeneEm",
+    }[res]
+
+
+def _write_eqc_counts(result: CellResult, num_rows: int, usa_mode: bool, mat_path: Path):
+    """geqc_counts.mtx + gene_eqclass.txt.gz (quant.rs:228-354).
+
+    Global eqclass ids are assigned in first-encounter order over cells
+    (deterministic here since cell order is deterministic); labels are
+    written with USA relabeling when usa_mode."""
+    eqc, _usa = result.dump_eq_data
+    # global interning of label lists across cells
+    key_to_id: Dict[bytes, int] = {}
+    trip_r: List[int] = []
+    trip_c: List[int] = []
+    trip_v: List[float] = []
+    id_labels: List[np.ndarray] = []
+    cell_rows = {int(c): r for r, c in enumerate(result.cells)}
+    for k, ci in enumerate(eqc.cell_ids):
+        s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
+        row = cell_rows.get(int(ci))
+        if row is None:
+            continue
+        for j in range(s, e):
+            lab = eqc.labels[eqc.label_offsets[j] : eqc.label_offsets[j + 1]]
+            kb = lab.tobytes()
+            gid = key_to_id.get(kb)
+            if gid is None:
+                gid = len(key_to_id)
+                key_to_id[kb] = gid
+                id_labels.append(lab)
+            trip_r.append(row)
+            trip_c.append(gid)
+            trip_v.append(float(eqc.counts[j]))
+    write_matrix_market(
+        mat_path / "geqc_counts.mtx",
+        np.asarray(trip_r, np.int64), np.asarray(trip_c, np.int64),
+        np.asarray(trip_v, np.float32),
+        (len(result.cells), len(key_to_id)),
+    )
+    unspliced_off = num_rows // 3
+    ambig_off = 2 * unspliced_off
+    with gzip.open(mat_path / "gene_eqclass.txt.gz", "wt") as fh:
+        fh.write(f"{num_rows}\n")
+        fh.write(f"{len(key_to_id)}\n")
+        for eqid, lab in enumerate(id_labels):
+            if usa_mode:
+                toks = []
+                i = 0
+                while i < len(lab):
+                    cg = int(lab[i])
+                    if i + 1 < len(lab) and same_gene(cg, int(lab[i + 1]), True):
+                        toks.append((cg >> 1) + ambig_off)
+                        i += 2
+                        continue
+                    if cg % 2 == 0:
+                        toks.append(cg >> 1)
+                    else:
+                        toks.append((cg >> 1) + unspliced_off)
+                    i += 1
+                fh.write("\t".join(str(t) for t in toks))
+            else:
+                fh.write("\t".join(str(int(g)) for g in lab))
+            fh.write(f"\t{eqid}\n")

@@ -1,0 +1,186 @@
+"""Snappy framing-format codec (pure Python + NumPy).
+
+The reference optionally compresses the collated RAD file with Snappy
+frames (``snap::write::FrameEncoder`` at src/collate.rs:564-575, read
+back with ``FrameDecoder`` at src/quant.rs:372-382).  No snappy binding
+is available in this environment, so:
+
+* decompression implements the full Snappy block format (literals and
+  all three copy element kinds), so we can read files produced by the
+  reference;
+* compression emits valid *uncompressed* frame chunks (type 0x01) —
+  a legal snappy framing stream any decoder accepts; we trade
+  compression ratio for zero dependency.
+
+Framing spec: https://github.com/google/snappy/blob/main/framing_format.txt
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO
+
+import numpy as np
+
+_STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
+_MAX_CHUNK = 65536
+
+# --- CRC-32C (Castagnoli), table-driven --------------------------------------
+_POLY = 0x82F63B78
+_TABLE = np.zeros(256, np.uint32)
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ _POLY if (_c & 1) else (_c >> 1)
+    _TABLE[_i] = _c
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    arr = np.frombuffer(data, np.uint8)
+    table = _TABLE
+    for b in arr:
+        crc = int(table[(crc ^ int(b)) & 0xFF]) ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    c = crc32c(data)
+    return ((((c >> 15) | (c << 17)) & 0xFFFFFFFF) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# --- block format ------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int):
+    shift = 0
+    val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return val, pos
+        shift += 7
+
+
+def block_decompress(buf: bytes) -> bytes:
+    """Decode one Snappy block."""
+    ulen, pos = _read_varint(buf, 0)
+    out = bytearray(ulen)
+    opos = 0
+    n = len(buf)
+    while pos < n:
+        tag = buf[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(buf[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            out[opos : opos + ln] = buf[pos : pos + ln]
+            pos += ln
+            opos += ln
+        else:
+            if kind == 1:
+                ln = ((tag >> 2) & 0x7) + 4
+                off = ((tag >> 5) << 8) | buf[pos]
+                pos += 1
+            elif kind == 2:
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(buf[pos : pos + 2], "little")
+                pos += 2
+            else:
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(buf[pos : pos + 4], "little")
+                pos += 4
+            src = opos - off
+            if off >= ln:
+                out[opos : opos + ln] = out[src : src + ln]
+                opos += ln
+            else:
+                # overlapping copy: byte-by-byte semantics
+                for _ in range(ln):
+                    out[opos] = out[src]
+                    opos += 1
+                    src += 1
+    return bytes(out[:opos]) if opos != ulen else bytes(out)
+
+
+def _write_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def block_compress_literal(data: bytes) -> bytes:
+    """A valid snappy block storing ``data`` as a single literal."""
+    out = bytearray(_write_varint(len(data)))
+    n = len(data)
+    if n == 0:
+        return bytes(out)
+    ln = n - 1
+    if ln < 60:
+        out.append(ln << 2)
+    elif ln < (1 << 8):
+        out.append(60 << 2)
+        out += ln.to_bytes(1, "little")
+    elif ln < (1 << 16):
+        out.append(61 << 2)
+        out += ln.to_bytes(2, "little")
+    elif ln < (1 << 24):
+        out.append(62 << 2)
+        out += ln.to_bytes(3, "little")
+    else:
+        out.append(63 << 2)
+        out += ln.to_bytes(4, "little")
+    out += data
+    return bytes(out)
+
+
+# --- framing -----------------------------------------------------------------
+
+def frame_compress_stream(data: bytes, fh: BinaryIO) -> None:
+    """Write ``data`` as a snappy framing stream of uncompressed chunks."""
+    fh.write(_STREAM_ID)
+    for s in range(0, len(data), _MAX_CHUNK):
+        chunk = data[s : s + _MAX_CHUNK]
+        body = struct.pack("<I", _masked_crc(chunk)) + chunk
+        fh.write(struct.pack("<I", (len(body) << 8) | 0x01))
+        fh.write(body)
+
+
+def frame_decompress(fh: BinaryIO) -> bytes:
+    """Read a whole snappy framing stream."""
+    out = bytearray()
+    hdr = fh.read(4)
+    first = True
+    while len(hdr) == 4:
+        word = struct.unpack("<I", hdr)[0]
+        ctype = word & 0xFF
+        ln = word >> 8
+        body = fh.read(ln)
+        if len(body) != ln:
+            raise EOFError("truncated snappy frame")
+        if ctype == 0xFF:
+            if first and body != b"sNaPpY":
+                raise ValueError("bad snappy stream identifier")
+        elif ctype == 0x00:
+            out += block_decompress(body[4:])
+        elif ctype == 0x01:
+            out += body[4:]
+        elif ctype == 0xFE or 0x80 <= ctype <= 0xFD:
+            pass  # padding / skippable
+        else:
+            raise ValueError(f"unskippable snappy chunk type 0x{ctype:02x}")
+        first = False
+        hdr = fh.read(4)
+    return bytes(out)
