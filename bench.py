@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""End-to-end pipeline benchmark.
+
+Generates a synthetic 10x-v3-like RAD dataset (Zipf-distributed reads
+per cell, whitelist + 1-edit noise barcodes, multi-mapping reads), runs
+the full generate-permit-list -> collate -> quant cr-like pipeline, and
+reports end-to-end reads/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference repository publishes no benchmark numbers
+(BASELINE.md); the Rust toolchain is unavailable in this image so the
+reference binary cannot be built and timed here.  ``REF_READS_PER_SEC``
+is a documented estimate of alevin-fry's end-to-end throughput
+(gpl+collate+quant cr-like) on a 16-thread server, derived from the
+runtimes reported in He et al., Nat Methods 19:316-322 (2022).
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_READS_PER_SEC = 800_000.0
+
+N_CELLS = int(os.environ.get("AFT_BENCH_CELLS", 4000))
+N_READS = int(os.environ.get("AFT_BENCH_READS", 2_000_000))
+N_TXPS = int(os.environ.get("AFT_BENCH_TXPS", 20_000))
+BC_LEN = 16
+UMI_LEN = 12
+
+
+def make_dataset(d: Path, rng: np.random.RandomState):
+    from alevin_fry_tpu.radz import RadWriter
+    from alevin_fry_tpu.radz.chunkio import encode_records
+    from alevin_fry_tpu.ops.barcodes import snp_neighbors, unpack_seqs_to_strings
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    from synth import make_rna_prelude
+
+    refs = [f"tx_{i}" for i in range(N_TXPS)]
+    prelude, ftv = make_rna_prelude(refs, BC_LEN, UMI_LEN)
+
+    # whitelist barcodes
+    wl = np.unique(
+        rng.randint(0, 1 << 62, size=2 * N_CELLS).astype(np.uint64)
+        & np.uint64((1 << (2 * BC_LEN)) - 1)
+    )[:N_CELLS]
+    # Zipf-ish reads per cell
+    w = 1.0 / np.arange(1, N_CELLS + 1) ** 0.7
+    w /= w.sum()
+    cell_of_read = rng.choice(N_CELLS, size=N_READS, p=w)
+    bcs = wl[cell_of_read]
+    # 5% of reads get a 1-substitution error
+    nmut = N_READS // 20
+    mut_idx = rng.choice(N_READS, size=nmut, replace=False)
+    variants = snp_neighbors(bcs[mut_idx], BC_LEN)
+    pick = rng.randint(0, variants.shape[1], size=nmut)
+    bcs[mut_idx] = variants[np.arange(nmut), pick]
+
+    umis = rng.randint(0, 1 << (2 * UMI_LEN), size=N_READS).astype(np.uint64)
+    # 80% unique mapping, 20% map to 2 transcripts
+    nal = np.where(rng.rand(N_READS) < 0.8, 1, 2)
+    offs = np.zeros(N_READS + 1, np.int64)
+    np.cumsum(nal, out=offs[1:])
+    refs_col = rng.randint(0, N_TXPS, size=int(offs[-1])).astype(np.uint32)
+    dirs = np.ones(int(offs[-1]), bool)
+
+    (d / "rad").mkdir()
+    with open(d / "rad" / "map.rad", "wb") as fh:
+        w_ = RadWriter(fh, prelude, ftv)
+        chunk = 100_000
+        for s in range(0, N_READS, chunk):
+            e = min(s + chunk, N_READS)
+            body = encode_records(
+                w_.schema,
+                {"b": bcs[s:e], "u": umis[s:e]},
+                offs[s : e + 1] - offs[s],
+                refs_col[offs[s] : offs[e]],
+                dirs[offs[s] : offs[e]],
+                {},
+            )
+            w_.chunks.write_chunk_bytes(body, e - s)
+        w_.finalize()
+
+    with open(d / "permit.txt", "w") as fh:
+        for s in unpack_seqs_to_strings(wl, BC_LEN):
+            fh.write(s + "\n")
+    with open(d / "t2g.tsv", "w") as fh:
+        for i in range(N_TXPS):
+            fh.write(f"tx_{i}\tg_{i // 4}\n")
+
+
+def main():
+    rng = np.random.RandomState(7)
+    d = Path(tempfile.mkdtemp(prefix="aft_bench_"))
+    try:
+        make_dataset(d, rng)
+
+        from alevin_fry_tpu.pipeline.collate import collate
+        from alevin_fry_tpu.pipeline.gpl import (
+            CellFilterMethod, GenPermitListOpts, generate_permit_list,
+        )
+        from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+
+        t0 = time.perf_counter()
+        generate_permit_list(GenPermitListOpts(
+            input_dir=d / "rad", output_dir=d / "gpl",
+            fmeth=CellFilterMethod("unfiltered", path=d / "permit.txt", min_reads=10),
+            expected_ori="fw", cmdline="bench",
+        ))
+        collate(d / "gpl", d / "rad", cmdline="bench")
+        quantify(QuantOpts(
+            input_dir=d / "gpl", tg_map=d / "t2g.tsv",
+            output_dir=d / "quant", resolution="cr-like", cmdline="bench",
+        ))
+        dt = time.perf_counter() - t0
+
+        reads_per_sec = N_READS / dt
+        print(json.dumps({
+            "metric": "end-to-end reads/s (gpl+collate+quant cr-like)",
+            "value": round(reads_per_sec, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(reads_per_sec / REF_READS_PER_SEC, 3),
+        }))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
