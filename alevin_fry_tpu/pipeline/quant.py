@@ -273,10 +273,22 @@ def _resolve_cells(
                 sub["cell"], sub["umi"], sub["refs"], sub["offs"], tid_to_gid,
                 prefer_ambig=(usa_mode and sa_model == "prefer-ambig"),
             )
-            dump_eq_data, bm, bv = _counts_from_groups(
-                groups, res, usa_mode, usa_offsets, num_genes, num_rows,
-                n_cells_all, opts, add_coo,
-            )
+            if res == "cr-like" and not opts.dump_eq:
+                # pure gene-unique counting: no eqclass grouping needed
+                if usa_mode:
+                    slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
+                else:
+                    slot, valid = crlike.nonusa_unique_slots(groups)
+                r, c, v = crlike.counts_from_slots(
+                    groups.cell, slot, valid, n_cells_all, num_rows
+                )
+                add_coo(r, c, v)
+                bm = bv = None
+            else:
+                dump_eq_data, bm, bv = _counts_from_groups(
+                    groups, res, usa_mode, usa_offsets, num_genes, num_rows,
+                    n_cells_all, opts, add_coo,
+                )
             boot_mean, boot_var = bm, bv
         elif res == "trivial":
             r, c, v, mm = crlike.resolve_trivial(

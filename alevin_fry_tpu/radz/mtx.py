@@ -39,18 +39,19 @@ def write_matrix_market(
         fh.write("% written by alevin-fry-tpu\n")
         fh.write(f"{shape[0]} {shape[1]} {len(vals)}\n")
         # bulk formatting: integral values (the common case for count
-        # matrices) go through a fast integer path
+        # matrices) go through a fast vectorized integer path
         ivals = vals.astype(np.int64)
         is_int = (vals == ivals) & np.isfinite(vals)
-        out = np.empty(len(vals), dtype=object)
-        if is_int.any():
-            out[is_int] = [str(i) for i in ivals[is_int]]
-        if (~is_int).any():
-            out[~is_int] = [rust_f32_str(v) for v in vals[~is_int]]
-        lines = [
-            f"{r + 1} {c + 1} {s}\n" for r, c, s in zip(rows, cols, out)
-        ]
-        fh.writelines(lines)
+        vstr = np.char.mod("%d", ivals)
+        if not is_int.all():
+            vstr = vstr.astype(object)
+            ni = np.flatnonzero(~is_int)
+            vstr[ni] = [rust_f32_str(v) for v in vals[ni]]
+        body = np.char.add(
+            np.char.add(np.char.mod("%d ", rows + 1), np.char.mod("%d ", cols + 1)),
+            np.char.add(np.asarray(vstr, dtype=np.str_), "\n"),
+        )
+        fh.write("".join(body.tolist()))
 
 
 def read_matrix_market(path: Path):
