@@ -330,7 +330,9 @@ def em_cells_batched(
         B = max(1, min(len(cells), max_batch_elems // max(per_cell, 1)))
         for s0 in range(0, len(cells), B):
             group = cells[s0 : s0 + B]
-            b = len(group)
+            # pad the batch dimension to a power of two so the jit cache
+            # is keyed by a small set of shapes
+            b = _pad_pow2(len(group), 1)
             lab_pad = np.full((b, Ep, Lp), R, np.int32)
             len_pad = np.zeros((b, Ep), np.int32)
             ct_pad = np.zeros((b, Ep), np.float32)

@@ -1,0 +1,109 @@
+"""EM kernel tests: reference semantics (hand-computed cases) and
+NumPy-vs-JAX implementation agreement."""
+
+import numpy as np
+import pytest
+
+from alevin_fry_tpu.ops.em import em_cells_batched, em_optimize_cell_np
+
+
+def _em_np(label_lists, counts, R, usa=None, uniform=False, last_round=True):
+    offs = np.zeros(len(label_lists) + 1, np.int64)
+    for i, l in enumerate(label_lists):
+        offs[i + 1] = offs[i] + len(l)
+    labels = np.concatenate([np.asarray(l, np.uint32) for l in label_lists]) \
+        if label_lists else np.zeros(0, np.uint32)
+    return em_optimize_cell_np(
+        offs, labels, np.asarray(counts, np.uint32), R, usa, uniform, last_round
+    )
+
+
+def test_unique_only_shortcut():
+    # all singleton classes -> direct counts, no EM
+    out = _em_np([[0], [2], [0]], [3, 5, 2], 4)
+    np.testing.assert_array_equal(out, [5, 0, 5, 0])
+
+
+def test_em_splits_multimappers():
+    # 10 unique on gene0, 10 unique on gene1, 10 shared between them:
+    # EM splits the shared class evenly (informative init is symmetric)
+    out = _em_np([[0], [1], [0, 1]], [10, 10, 10], 2)
+    assert abs(out[0] - 15.0) < 0.1
+    assert abs(out[1] - 15.0) < 0.1
+    assert abs(out.sum() - 30.0) < 1e-3
+
+
+def test_em_asymmetric():
+    # strong evidence for gene0 pulls the ambiguous mass toward it
+    out = _em_np([[0], [1], [0, 1]], [90, 10, 20], 2)
+    assert out[0] > 105  # most of the 20 go to gene 0
+    assert abs(out.sum() - 120.0) < 0.05
+
+
+def test_min_output_floor():
+    # tiny abundances are floored to zero (MIN_OUTPUT_ALPHA = 0.01)
+    out = _em_np([[0], [0, 1]], [1000, 1], 2)
+    assert out[1] == 0.0 or out[1] >= 0.01
+
+
+def test_usa_abundance_coupling():
+    # USA offsets: R=6 (2 genes x S/U/A); spliced idx 0, unspliced 2,
+    # ambiguous 4 belong to gene 0.  A class over {0} and one ambiguous
+    # class over {0, 1}: the USA abundance for slot 0 includes the
+    # ambiguous mass.
+    R = 6
+    usa = (2, 4)
+    out = _em_np([[0], [4], [0, 1]], [10, 5, 4], R, usa=usa)
+    assert abs(out.sum() - 19.0) < 0.05
+    assert out[0] > out[1]  # slot 0 (with its ambig partner) wins the split
+
+
+@pytest.mark.parametrize("usa", [None, (4, 8)])
+@pytest.mark.parametrize("with_last_round", [True, False])
+def test_jax_matches_numpy(usa, with_last_round):
+    rng = np.random.RandomState(42)
+    R = 12
+    C = 17
+    cell_eq_offsets = [0]
+    lab_offsets = [0]
+    labels = []
+    counts = []
+    for _ in range(C):
+        ne = rng.randint(1, 9)
+        for _ in range(ne):
+            ll = rng.randint(1, 4)
+            labels.extend(rng.choice(R, size=ll, replace=False).tolist())
+            lab_offsets.append(len(labels))
+            counts.append(rng.randint(1, 20))
+        cell_eq_offsets.append(cell_eq_offsets[-1] + ne)
+    cell_eq_offsets = np.asarray(cell_eq_offsets, np.int64)
+    lab_offsets = np.asarray(lab_offsets, np.int64)
+    labels = np.asarray(labels, np.uint32)
+    counts = np.asarray(counts, np.uint32)
+
+    res_np = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, usa, False,
+        with_last_round, use_jax=False,
+    )
+    res_jx = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, usa, False,
+        with_last_round, use_jax=True,
+    )
+    for ci, ((ni, nv), (ji, jv)) in enumerate(zip(res_np, res_jx)):
+        np.testing.assert_array_equal(ni, ji, err_msg=f"cell {ci} support")
+        np.testing.assert_allclose(nv, jv, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"cell {ci} values")
+
+
+def test_count_conservation():
+    rng = np.random.RandomState(3)
+    R = 30
+    label_lists = []
+    counts = []
+    for _ in range(50):
+        ll = rng.randint(1, 5)
+        label_lists.append(rng.choice(R, size=ll, replace=False))
+        counts.append(rng.randint(1, 50))
+    out = _em_np(label_lists, counts, R)
+    # total mass conserved up to the output floor
+    assert abs(out.sum() - sum(counts)) < 0.05 * len(counts)
