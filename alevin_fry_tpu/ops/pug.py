@@ -1,0 +1,411 @@
+"""Parsimonious UMI graph (PUG) resolution.
+
+Re-implements pugutils.rs:65-1331:
+
+* per cell, nodes are (equivalence class, UMI-rank) pairs; edges join
+  UMIs within Hamming distance 1 that share >=1 transcript, directed
+  from x to y when freq(x) > 2*freq(y)-1, else bidirected
+  (extract_graph, pugutils.rs:65-267); ``pug_exact_umi`` restricts to
+  identical UMIs;
+* weakly connected components via union-find (pugutils.rs:278-301);
+* per component, a greedy cover by largest monochromatic arborescence:
+  repeated BFS from each uncovered vertex restricted to vertices whose
+  label contains a candidate transcript (collapse_vertices,
+  pugutils.rs:308-391); the intersection of covered labels projects to
+  a gene set that increments the gene-eqclass count
+  (get_num_molecules, pugutils.rs:989-1331);
+* components larger than ``large_graph_thresh`` fall back to cr-like
+  resolution and flag the cell (pugutils.rs:916-982,1055-1072).
+
+Determinism note: the reference seeds the uncovered-vertex hash set
+per cell barcode, making its tie-breaking deterministic-but-arbitrary
+(pugutils.rs:1077-1092).  We iterate vertices in ascending id order —
+deterministic and documented; ties between equal-size arborescences
+resolve to the lowest vertex id / first transcript in label order,
+matching the reference's first-strictly-greater update rule.
+
+Per-cell graphs are bounded (large_graph_thresh, default 1000) so this
+stage runs host-side per cell; the Hamming tests within/between
+classes are vectorized with NumPy.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .crlike import CellEqClasses
+
+
+def _hamming1_matrix(u1: np.ndarray, u2: np.ndarray) -> np.ndarray:
+    """Pairwise 2-bit Hamming distances clipped to {0,1,2+} between two
+    UMI vectors; returns an int8 matrix with values 0, 1 or 2."""
+    x = u1[:, None] ^ u2[None, :]
+    two = (x | (x >> np.uint64(1))) & np.uint64(0x5555555555555555)
+    # popcount via bit tricks on u64
+    v = two
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    pc = (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return np.minimum(pc, 2).astype(np.int8)
+
+
+class _DSU:
+    def __init__(self, n: int):
+        self.p = list(range(n))
+
+    def find(self, x: int) -> int:
+        p = self.p
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[rb] = ra
+
+
+def _build_cell_eqclasses(
+    umis: np.ndarray, refs: np.ndarray, offs: np.ndarray,
+    tid_to_gid: np.ndarray, gene_level: bool,
+):
+    """Group a cell's reads into equivalence classes.
+
+    Transcript-level identity is the verbatim refs list (the reference
+    keys its eqid_map by the raw slice, eq_class.rs:859); gene-level
+    identity is the sorted+deduped gene projection
+    (eq_class.rs:723-775).  Returns (labels_per_eq, sorted_labels,
+    umi_count_lists)."""
+    n = len(offs) - 1
+    key_to_eq: Dict[bytes, int] = {}
+    eq_labels: List[np.ndarray] = []
+    eq_sorted: List[np.ndarray] = []
+    eq_umis: List[List[int]] = []
+    for i in range(n):
+        r = refs[offs[i] : offs[i + 1]]
+        if gene_level:
+            lab = np.unique(tid_to_gid[r])
+            key = lab.tobytes()
+        else:
+            lab = r
+            key = r.tobytes()
+        e = key_to_eq.get(key)
+        if e is None:
+            e = len(eq_labels)
+            key_to_eq[key] = e
+            eq_labels.append(lab.astype(np.uint32))
+            eq_sorted.append(np.sort(lab.astype(np.uint32)))
+            eq_umis.append([])
+        eq_umis[e].append(int(umis[i]))
+    # collapse duplicate UMIs with counts, sorted by UMI
+    eq_umi_arr: List[Tuple[np.ndarray, np.ndarray]] = []
+    for lst in eq_umis:
+        u, c = np.unique(np.asarray(lst, np.uint64), return_counts=True)
+        eq_umi_arr.append((u, c.astype(np.uint32)))
+    return eq_labels, eq_sorted, eq_umi_arr
+
+
+def _add_edges(adj, base_x, ux, cx, base_y, uy, cy, exact: bool, same_class: bool):
+    """Add PUG edges between the UMI lists of two classes (or within one
+    when same_class).  Direction rule per pugutils.rs:76-99."""
+    h = _hamming1_matrix(ux, uy)
+    if same_class:
+        iu, ju = np.triu_indices(len(ux), k=1)
+        pairs = zip(iu.tolist(), ju.tolist())
+    else:
+        ii, jj = np.nonzero(h <= (0 if exact else 1))
+        pairs = zip(ii.tolist(), jj.tolist())
+    for i, j in pairs:
+        d = h[i, j]
+        if exact:
+            if d != 0:
+                continue
+            adj[base_x + i].append(base_y + j)
+            adj[base_y + j].append(base_x + i)
+            continue
+        if d == 0:
+            adj[base_x + i].append(base_y + j)
+            adj[base_y + j].append(base_x + i)
+        elif d == 1:
+            fx, fy = int(cx[i]), int(cy[j])
+            if fx > 2 * fy - 1:
+                adj[base_x + i].append(base_y + j)
+            elif fy > 2 * fx - 1:
+                adj[base_y + j].append(base_x + i)
+            else:
+                adj[base_x + i].append(base_y + j)
+                adj[base_y + j].append(base_x + i)
+
+
+def _resolve_one_cell(
+    umis: np.ndarray, refs: np.ndarray, offs: np.ndarray,
+    tid_to_gid: np.ndarray,
+    pug_exact_umi: bool, large_graph_thresh: int, gene_level: bool,
+) -> Tuple[Dict[bytes, Tuple[np.ndarray, int]], bool]:
+    """Returns ({sorted-gene-label-bytes: (label, count)}, used_alt)."""
+    eq_labels, eq_sorted, eq_umis = _build_cell_eqclasses(
+        umis, refs, offs, tid_to_gid, gene_level
+    )
+    nec = len(eq_labels)
+    node_base = np.zeros(nec + 1, np.int64)
+    for e in range(nec):
+        node_base[e + 1] = node_base[e] + len(eq_umis[e][0])
+    nv = int(node_base[-1])
+    adj: List[List[int]] = [[] for _ in range(nv)]
+
+    # inverted index: transcript -> classes containing it
+    ref_to_eqs: Dict[int, List[int]] = {}
+    for e in range(nec):
+        for t in eq_sorted[e]:
+            ref_to_eqs.setdefault(int(t), []).append(e)
+
+    for e in range(nec):
+        ux, cx = eq_umis[e]
+        _add_edges(adj, int(node_base[e]), ux, cx, int(node_base[e]), ux, cx,
+                   pug_exact_umi, same_class=True)
+        seen = set()
+        for t in eq_sorted[e]:
+            for e2 in ref_to_eqs[int(t)]:
+                if e2 <= e or e2 in seen:
+                    continue
+                seen.add(e2)
+                uy, cy = eq_umis[e2]
+                _add_edges(adj, int(node_base[e]), ux, cx, int(node_base[e2]),
+                           uy, cy, pug_exact_umi, same_class=False)
+
+    # weakly connected components
+    dsu = _DSU(nv)
+    for a in range(nv):
+        for b in adj[a]:
+            dsu.union(a, b)
+    comps: Dict[int, List[int]] = {}
+    for vtx in range(nv):
+        comps.setdefault(dsu.find(vtx), []).append(vtx)
+
+    # node -> eqclass lookup
+    node_eq = np.zeros(nv, np.int64)
+    for e in range(nec):
+        node_eq[node_base[e] : node_base[e + 1]] = e
+
+    gene_eqc: Dict[bytes, Tuple[np.ndarray, int]] = {}
+    used_alt = False
+
+    def _project(label_sorted: np.ndarray) -> np.ndarray:
+        if gene_level:
+            return label_sorted
+        return np.unique(tid_to_gid[label_sorted])
+
+    def bump(genes: np.ndarray):
+        kb = genes.tobytes()
+        cur = gene_eqc.get(kb)
+        gene_eqc[kb] = (genes, (cur[1] if cur else 0) + 1)
+
+    for comp in comps.values():
+        if len(comp) == 1:
+            tv = comp[0]
+            genes = _project(eq_sorted[node_eq[tv]])
+            assert len(genes) > 0, "can't find representative gene(s) for a molecule"
+            bump(genes)
+            continue
+        if len(comp) > large_graph_thresh:
+            _large_component_crlike(
+                comp, node_eq, node_base, eq_sorted, eq_umis, tid_to_gid,
+                gene_level, gene_eqc,
+            )
+            used_alt = True
+            continue
+        uncovered = set(comp)
+        while uncovered:
+            num_remaining = len(uncovered)
+            best_mcc: List[int] = []
+            best_txp = -1
+            for v in sorted(uncovered):
+                cand_mcc, cand_txp = _collapse_vertices(
+                    v, uncovered, adj, node_eq, eq_sorted
+                )
+                if len(best_mcc) < len(cand_mcc):
+                    best_mcc = cand_mcc
+                    best_txp = cand_txp
+                if len(cand_mcc) == num_remaining:
+                    break
+            assert best_txp != -1, "Could not find a covering transcript"
+            # intersect labels over the mcc
+            global_txps = set(int(t) for t in eq_sorted[node_eq[best_mcc[0]]])
+            for vtx in best_mcc[1:]:
+                lab = eq_sorted[node_eq[vtx]]
+                global_txps.intersection_update(int(t) for t in lab)
+            gt = np.asarray(sorted(global_txps), np.uint32)
+            genes = _project(gt)
+            assert len(genes) > 0, "can't find representative gene(s) for a molecule"
+            bump(genes)
+            for vtx in best_mcc:
+                uncovered.discard(vtx)
+    return gene_eqc, used_alt
+
+
+def _collapse_vertices(v, uncovered, adj, node_eq, eq_sorted):
+    """Largest monochromatic arborescence from v (pugutils.rs:308-391):
+    for each transcript in v's label, BFS over outgoing edges restricted
+    to uncovered vertices whose label contains that transcript; the
+    first strictly-largest tree wins."""
+    best: List[int] = []
+    best_txp = -1
+    vlab = eq_sorted[node_eq[v]]
+    for txp in vlab:
+        t = int(txp)
+        visited = {v}
+        mcc = []
+        q = deque([v])
+        while q:
+            cv = q.popleft()
+            mcc.append(cv)
+            for nxt in adj[cv]:
+                if nxt not in uncovered or nxt in visited:
+                    continue
+                visited.add(nxt)
+                lab = eq_sorted[node_eq[nxt]]
+                j = np.searchsorted(lab, t)
+                if j < len(lab) and lab[j] == t:
+                    q.append(nxt)
+        if len(best) < len(mcc):
+            best = mcc
+            best_txp = t
+    return best, best_txp
+
+
+def _large_component_crlike(
+    comp, node_eq, node_base, eq_sorted, eq_umis, tid_to_gid, gene_level,
+    gene_eqc,
+):
+    """cr-like fallback within an oversized component
+    (pugutils.rs:916-982): collect the component's (umi, freq) pairs per
+    class, emit (umi, gene, count) triplets, winner-take-all."""
+    trips: List[Tuple[int, int, int]] = []
+    for vtx in comp:
+        e = int(node_eq[vtx])
+        rank = vtx - int(node_base[e])
+        u = int(eq_umis[e][0][rank])
+        c = int(eq_umis[e][1][rank])
+        if gene_level:
+            gset = eq_sorted[e]
+        else:
+            gset = np.unique(tid_to_gid[eq_sorted[e]])
+        for g in gset:
+            trips.append((u, int(g), c))
+    trips.sort()
+    # streaming winner-take-all identical to
+    # resolve_num_molecules_crlike_from_vec (pugutils.rs:644-749)
+    curr_umi, curr_gn, _ = trips[0]
+    max_count = 0
+    count_aggr = 0
+    best: List[int] = []
+    first = True
+
+    def commit(genes: List[int]):
+        arr = np.asarray(genes, np.uint32)
+        kb = arr.tobytes()
+        cur = gene_eqc.get(kb)
+        gene_eqc[kb] = (arr, (cur[1] if cur else 0) + 1)
+
+    for idx, (u, g, c) in enumerate(trips):
+        if first:
+            curr_umi, curr_gn = u, g
+            count_aggr = max_count = c
+            best = [g]
+            first = False
+        elif u != curr_umi:
+            commit(best)
+            curr_umi, curr_gn = u, g
+            best = [g]
+            count_aggr = max_count = c
+        else:
+            if g == curr_gn:
+                count_aggr += c
+            else:
+                count_aggr = c
+                curr_gn = g
+            if count_aggr > max_count:
+                max_count = count_aggr
+                if best != [g]:
+                    best = [g]
+            elif count_aggr == max_count:
+                best.append(g)
+        if idx == len(trips) - 1:
+            commit(best)
+
+
+def resolve_parsimony_cells(
+    sub: dict,
+    tid_to_gid: np.ndarray,
+    num_genes: int,
+    pug_exact_umi: bool,
+    large_graph_thresh: int,
+    gene_level: bool,
+) -> Tuple[CellEqClasses, List[int]]:
+    """Resolve every cell in ``sub`` (cell/umi/refs/offs arrays as built
+    by quant's _subset_reads) via the PUG algorithm; returns per-cell
+    gene eqclasses and the list of cells that used the large-component
+    fallback."""
+    cell = sub["cell"]
+    umi = sub["umi"]
+    refs = sub["refs"]
+    offs = sub["offs"]
+    cells = np.unique(cell)
+    # reads are contiguous per cell (collated order)
+    alt_cells: List[int] = []
+
+    cell_ids = []
+    cell_eq_counts = []
+    labels_flat: List[np.ndarray] = []
+    counts_flat: List[int] = []
+    label_lens: List[int] = []
+
+    # per-cell read ranges
+    boundaries = np.searchsorted(cell, cells, side="left")
+    boundaries = np.append(boundaries, len(cell))
+    for k, ci in enumerate(cells):
+        rs, re = boundaries[k], boundaries[k + 1]
+        o = offs[rs : re + 1] - offs[rs]
+        r = refs[offs[rs] : offs[re]]
+        u = umi[rs:re]
+        # large-graph threshold of 0 means "always fall back"?  The
+        # reference treats 0 as the default for non-parsimony modes; for
+        # parsimony the CLI default is 1000.  A component is "large" when
+        # strictly greater than the threshold (pugutils.rs:1055).
+        gene_eqc, used_alt = _resolve_one_cell(
+            u, r, o, tid_to_gid, pug_exact_umi, large_graph_thresh, gene_level
+        )
+        if used_alt:
+            alt_cells.append(int(ci))
+        # deterministic label order: sort by label bytes
+        items = sorted(gene_eqc.items(), key=lambda kv: (len(kv[1][0]), kv[0]))
+        cell_ids.append(int(ci))
+        cell_eq_counts.append(len(items))
+        for _, (lab, ct) in items:
+            labels_flat.append(lab)
+            counts_flat.append(ct)
+            label_lens.append(len(lab))
+
+    E = len(counts_flat)
+    label_offsets = np.zeros(E + 1, np.int64)
+    np.cumsum(np.asarray(label_lens, np.int64), out=label_offsets[1:])
+    eqc = CellEqClasses(
+        cell_ids=np.asarray(cell_ids, np.int64),
+        cell_eq_offsets=np.concatenate(
+            [[0], np.cumsum(np.asarray(cell_eq_counts, np.int64))]
+        ),
+        label_offsets=label_offsets,
+        labels=(
+            np.concatenate(labels_flat).astype(np.uint32)
+            if labels_flat else np.zeros(0, np.uint32)
+        ),
+        counts=np.asarray(counts_flat, np.uint32),
+    )
+    return eqc, alt_cells

@@ -1,0 +1,161 @@
+"""Parsimony (PUG) resolution tests with hand-computed expectations.
+
+The distinguishing behavior vs cr-like: UMIs within Hamming distance 1
+that share a transcript collapse into one molecule when the frequency
+rule freq(x) > 2*freq(y)-1 holds (pugutils.rs:76-99, 308-391).
+"""
+
+import numpy as np
+import pytest
+
+from alevin_fry_tpu.ops.barcodes import pack_seq
+from alevin_fry_tpu.pipeline.collate import collate
+from alevin_fry_tpu.pipeline.gpl import (
+    CellFilterMethod, GenPermitListOpts, generate_permit_list,
+)
+from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+from alevin_fry_tpu.radz.mtx import read_matrix_market
+from synth import write_rna_rad
+
+BC_LEN = 8
+UMI_LEN = 8
+
+
+def _pad_umi(i: int) -> int:
+    """UMIs with pairwise Hamming distance >= 2 (each base-4 digit is
+    duplicated).  i+1 keeps them distinct from the all-A UMI; they only
+    share transcripts with each other, so distance to u_a/u_b is moot."""
+    i = i + 1
+    v = 0
+    for k in range(4):
+        d = (i >> (2 * k)) & 3
+        v |= d << (4 * k)
+        v |= d << (4 * k + 2)
+    return v
+
+
+def _dataset(tmp_path):
+    refs = ["t0", "t1", "t2"]
+    CB = "AAAAAAAA"
+    u_a = 0          # AAAAAAAA
+    u_b = 1          # AAAAAAAC -> Hamming 1 from u_a
+    reads = []
+    for _ in range(3):
+        reads.append((pack_seq(CB), u_a, [(0, True)]))
+    reads.append((pack_seq(CB), u_b, [(0, True)]))
+    for i in range(97):
+        reads.append((pack_seq(CB), _pad_umi(i), [(2, True)]))
+    assert len(reads) == 101  # >= SMALL_CELL_FAST_THRESHOLD
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, [reads], bc_len=BC_LEN, umi_len=UMI_LEN)
+    (tmp_path / "permit.txt").write_text(CB + "\n")
+    t2g = tmp_path / "t2g.tsv"
+    t2g.write_text("t0\tg0\nt1\tg1\nt2\tg2\n")
+    gpl = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=tmp_path / "permit.txt", min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(gpl, rad_dir, cmdline="t")
+    return gpl, t2g
+
+
+def _mat(qdir):
+    r, c, v, shape = read_matrix_market(qdir / "alevin" / "quants_mat.mtx")
+    m = np.zeros(shape)
+    m[r, c] = v
+    return m
+
+
+def test_parsimony_merges_one_edit_umis(tmp_path):
+    gpl, t2g = _dataset(tmp_path)
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=t2g, output_dir=tmp_path / "qp",
+        resolution="parsimony", pug_exact_umi=False, cmdline="t",
+    ))
+    # u_b (freq 1) collapses into u_a (freq 3): one molecule on g0
+    np.testing.assert_array_equal(_mat(tmp_path / "qp"), [[1, 0, 97]])
+
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=t2g, output_dir=tmp_path / "qc",
+        resolution="cr-like", cmdline="t",
+    ))
+    # cr-like keeps the two UMIs distinct
+    np.testing.assert_array_equal(_mat(tmp_path / "qc"), [[2, 0, 97]])
+
+
+def test_parsimony_exact_umi_no_merge(tmp_path):
+    gpl, t2g = _dataset(tmp_path)
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=t2g, output_dir=tmp_path / "qe",
+        resolution="parsimony", pug_exact_umi=True, cmdline="t",
+    ))
+    # exact-UMI mode: Hamming-1 pairs do NOT merge
+    np.testing.assert_array_equal(_mat(tmp_path / "qe"), [[2, 0, 97]])
+
+
+def test_parsimony_em_resolves_ambiguous(tmp_path):
+    refs = ["t0", "t1", "t2"]
+    CB = "AAAAAAAA"
+    reads = [(pack_seq(CB), 0, [(0, True)]) for _ in range(3)]
+    reads.append((pack_seq(CB), 1, [(0, True)]))
+    # one gene-ambiguous UMI far from the others
+    reads.append((pack_seq(CB), (2 << 12) | (2 << 8), [(0, True), (1, True)]))
+    for i in range(96):
+        reads.append((pack_seq(CB), _pad_umi(i), [(2, True)]))
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, [reads], bc_len=BC_LEN, umi_len=UMI_LEN)
+    (tmp_path / "permit.txt").write_text(CB + "\n")
+    t2g = tmp_path / "t2g.tsv"
+    t2g.write_text("t0\tg0\nt1\tg1\nt2\tg2\n")
+    gpl = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=tmp_path / "permit.txt", min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(gpl, rad_dir, cmdline="t")
+
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=t2g, output_dir=tmp_path / "qp",
+        resolution="parsimony", pug_exact_umi=False, cmdline="t",
+    ))
+    # ambiguous {g0,g1} class dropped under plain parsimony
+    np.testing.assert_array_equal(_mat(tmp_path / "qp"), [[1, 0, 96]])
+
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=t2g, output_dir=tmp_path / "qpe",
+        resolution="parsimony-em", pug_exact_umi=False, cmdline="t",
+    ))
+    m = _mat(tmp_path / "qpe")
+    # EM pulls the ambiguous molecule toward g0 (unique evidence)
+    assert m[0, 0] > 1.8
+    assert m[0, 1] < 0.2
+    assert abs(m[0].sum() - 98) < 0.1
+
+
+def test_parsimony_gene_level(tmp_path):
+    gpl, t2g = _dataset(tmp_path)
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=t2g, output_dir=tmp_path / "qg",
+        resolution="parsimony-gene", pug_exact_umi=False, cmdline="t",
+    ))
+    np.testing.assert_array_equal(_mat(tmp_path / "qg"), [[1, 0, 97]])
+
+
+def test_large_graph_fallback(tmp_path):
+    gpl, t2g = _dataset(tmp_path)
+    # threshold 1: the 2-vertex component exceeds it -> cr-like fallback
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=t2g, output_dir=tmp_path / "qf",
+        resolution="parsimony", pug_exact_umi=False, large_graph_thresh=1,
+        cmdline="t",
+    ))
+    np.testing.assert_array_equal(_mat(tmp_path / "qf"), [[2, 0, 97]])
+    import json
+
+    meta = json.loads((tmp_path / "qf" / "quant.json").read_text())
+    assert meta["alt_resolved_cell_numbers"] == [0]
