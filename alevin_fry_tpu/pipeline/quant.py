@@ -317,6 +317,11 @@ def _resolve_cells(
         else:
             raise ValueError(f"unknown resolution strategy {res}")
 
+    # bootstrap triplets carry global cell indices; remap to row indices
+    if boot_mean is not None:
+        boot_mean = (cell_row[boot_mean[0]], boot_mean[1], boot_mean[2])
+        boot_var = (cell_row[boot_var[0]], boot_var[1], boot_var[2])
+
     rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
     cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
     vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
