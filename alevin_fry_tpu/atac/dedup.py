@@ -1,0 +1,111 @@
+"""atac deduplicate (reference: src/atac/deduplicate.rs).
+
+Over the *collated* RAD (one chunk per cell): keep uniquely-mapped
+proper pairs (na == 1 and map_type == 4, atac/deduplicate.rs:187),
+sort each cell's HitInfo records, run-length deduplicate with counts,
+and write BED rows (fragments >= 2000bp counted but not written).
+Reports the reference's four counters.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .. import __version__
+from ..constants import MAX_ATAC_FRAG_LEN
+from ..radz import read_prelude
+from ..radz.chunkio import decode_all_chunks
+from ..radz.records import RecordSchema
+from .sort import write_bed_rows
+from ..pipeline.logging_ import get_logger
+
+log = get_logger("atac.dedup")
+
+
+def deduplicate(
+    input_dir: Path,
+    num_threads: int = 8,
+    rev: bool = True,
+    cmdline: str = "",
+    version: str = __version__,
+) -> dict:
+    input_dir = Path(input_dir)
+    with open(input_dir / "collate.json") as fh:
+        collate_md = json.load(fh)
+    compressed = bool(collate_md["compressed_output"])
+    if compressed:
+        import io
+
+        from ..radz import snappyz
+
+        with open(input_dir / "map.collated.rad.sz", "rb") as fh:
+            br = io.BytesIO(snappyz.frame_decompress(fh))
+    else:
+        br = open(input_dir / "map.collated.rad", "rb")
+    try:
+        prelude, ftm, _ = read_prelude(br)
+        schema = RecordSchema.from_prelude(prelude)
+        batch = decode_all_chunks(br, schema, prelude.hdr.num_chunks)
+    finally:
+        br.close()
+    bc_len = int(ftm["cblen"])
+
+    na = batch.num_aln_per_read
+    first_aln = batch.aln_offsets[:-1]
+    mtype = np.zeros(batch.n_reads, np.int64)
+    valid_first = na > 0
+    mtype[valid_first] = batch.aln_cols["type"][first_aln[valid_first]].astype(np.int64)
+
+    multimapped = na > 1
+    proper = (na == 1) & (mtype == 4)
+    non_proper = (na == 1) & (mtype != 4)
+
+    keep = proper
+    fa = first_aln[keep]
+    cell = batch.chunk_id[keep]
+    chrs = batch.refs[fa].astype(np.int64)
+    starts = batch.aln_cols["start_pos"][fa].astype(np.int64)
+    flens = batch.aln_cols["frag_len"][fa].astype(np.int64)
+    bcs = batch.barcode()[keep]
+
+    # per-cell sort + dedup (cells are contiguous chunks; sorting with
+    # the cell as the outer key preserves per-cell grouping)
+    order = np.lexsort((bcs, flens, starts, chrs, cell))
+    cell, chrs, starts, flens, bcs = (
+        cell[order], chrs[order], starts[order], flens[order], bcs[order]
+    )
+    new = np.ones(len(cell), bool)
+    if len(cell):
+        new[1:] = (
+            (cell[1:] != cell[:-1]) | (chrs[1:] != chrs[:-1])
+            | (starts[1:] != starts[:-1]) | (flens[1:] != flens[:-1])
+            | (bcs[1:] != bcs[:-1])
+        )
+    si = np.flatnonzero(new)
+    counts = np.diff(np.append(si, len(cell)))
+    num_dedup = int((counts > 1).sum())
+    num_long = int((flens[si] >= MAX_ATAC_FRAG_LEN).sum())
+
+    with open(input_dir / "map.bed", "w") as fh:
+        write_bed_rows(
+            fh, prelude.hdr.ref_names,
+            chrs[si], starts[si], flens[si], bcs[si], counts, bc_len, rev,
+        )
+
+    stats = {
+        "num_multimapped": int(multimapped.sum()),
+        "num_dedup": num_dedup,
+        "num_non_mapped_pair": int(non_proper.sum()),
+        "num_frag_len_over_max": num_long,
+    }
+    log.info(
+        "records >1 mapping: %d; deduplicated: %d; non-proper pairs: %d; "
+        "frag length > %d: %d",
+        stats["num_multimapped"], stats["num_dedup"],
+        stats["num_non_mapped_pair"], MAX_ATAC_FRAG_LEN,
+        stats["num_frag_len_over_max"],
+    )
+    return stats

@@ -1,0 +1,158 @@
+"""atac generate-permit-list (reference: src/atac/cellfilter.rs).
+
+Only the unfiltered-external-list method is supported (the reference's
+CellFilterMethod for ATAC, atac/cellfilter.rs:56-65).  In the same pass
+over the reads we histogram the genomic 100kb bins of uniquely-mapped
+read start positions (atac/cellfilter.rs:67-102) for the later sort
+stage's bucket planning, and optionally reverse-complement the
+whitelist (permit-bc-ori, default rc).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from .. import __version__
+from ..constants import ATAC_BIN_SIZE
+from ..ops import barcodes as bcops
+from ..radz import bincodeio, read_prelude, record_type_from_prelude, KnownRecordType
+from ..radz.chunkio import decode_all_chunks
+from ..radz.records import RecordSchema
+from ..utils import read_barcode_file, write_json
+from ..pipeline.logging_ import get_logger
+
+log = get_logger("atac.gpl")
+
+
+@dataclass
+class AtacGplOpts:
+    input_dir: Path
+    output_dir: Path
+    unfiltered_pl: Path
+    min_reads: int = 10
+    rc: bool = True
+    threads: int = 8
+    cmdline: str = ""
+    version: str = __version__
+
+
+def initialize_rec_list(ref_lens: np.ndarray, size_range: int):
+    """Cumulative bin offsets per reference (atac/cellfilter.rs:38-53).
+    Returns (blens[nrefs+1], total_bins)."""
+    nrange = np.ceil(ref_lens.astype(np.float32) / np.float32(size_range)).astype(
+        np.int64
+    )
+    blens = np.zeros(len(ref_lens) + 1, np.uint64)
+    np.cumsum(nrange, out=blens[1:])
+    return blens, int(blens[-1])
+
+
+def generate_permit_list(opts: AtacGplOpts) -> int:
+    i_dir = Path(opts.input_dir)
+    with open(i_dir / "map.rad", "rb") as fh:
+        prelude, ftm, _ = read_prelude(fh)
+        rec_type, _info = record_type_from_prelude(prelude, ftm)
+        if rec_type != KnownRecordType.ATAC:
+            raise ValueError(
+                f"atac generate-permit-list requires an ATAC RAD file, got {rec_type}"
+            )
+        schema = RecordSchema.from_prelude(prelude)
+        nc = prelude.hdr.num_chunks if prelude.hdr.num_chunks > 0 else None
+        batch = decode_all_chunks(fh, schema, nc)
+    num_chunks = len(batch.chunk_offsets) - 1
+    bclen = int(ftm["cblen"])
+    ref_lens = np.asarray(ftm["ref_lengths"], np.uint64)
+
+    # whitelist (optionally reverse-complemented, atac/cellfilter.rs:104-139)
+    wl, first_bclen = read_barcode_file(opts.unfiltered_pl)
+    if opts.rc:
+        wl = bcops.revcomp_packed(wl, first_bclen)
+    wl_sorted = np.sort(np.unique(wl))
+    log.info("number of unfiltered bcs read = %d", len(wl_sorted))
+
+    bcs = batch.barcode()
+    num_reads = batch.n_reads
+    max_ambig = int(batch.num_aln_per_read.max()) if num_reads else 0
+
+    # genomic bin histogram over uniquely-mapped reads
+    # (start_pos.len() == 1, atac/cellfilter.rs:92-99)
+    blens, tot_bins = initialize_rec_list(ref_lens, ATAC_BIN_SIZE)
+    uniq_read = batch.num_aln_per_read == 1
+    first_aln = batch.aln_offsets[:-1][uniq_read]
+    uref = batch.refs[first_aln].astype(np.int64)
+    upos = batch.aln_cols["start_pos"][first_aln].astype(np.int64)
+    bin_idx = blens[uref].astype(np.int64) + upos // ATAC_BIN_SIZE
+    bins = np.zeros(tot_bins, np.uint64)
+    np.add.at(bins, bin_idx, 1)
+    bmax = int(bins.max()) if tot_bins else 0
+
+    out_dir = Path(opts.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    bincodeio.write_u64_vec_file(out_dir / "bin_recs.bin", bins)
+    bincodeio.write_u64_vec_file(out_dir / "bin_lens.bin", blens)
+
+    # barcode histogram + unique-1-edit rescue (same machinery as RNA)
+    uniq, counts = np.unique(bcs, return_counts=True)
+    counts = counts.astype(np.uint64)
+    idx = np.searchsorted(wl_sorted, uniq)
+    idx_c = np.minimum(idx, max(len(wl_sorted) - 1, 0))
+    in_wl = (len(wl_sorted) > 0) & (idx < len(wl_sorted)) & (wl_sorted[idx_c] == uniq)
+    matched_bc, matched_ct = uniq[in_wl], counts[in_wl]
+    unmatched_bc, unmatched_ct = uniq[~in_wl], counts[~in_wl]
+    num_unmatched_reads = int(unmatched_ct.sum())
+    if num_reads > 0 and num_unmatched_reads / num_reads >= 0.3:
+        log.warning(
+            "Percentage of mapped reads not matching a known barcode exactly "
+            "(%.3f%%) is > the suggested fraction (30%%)",
+            100.0 * num_unmatched_reads / num_reads,
+        )
+
+    keep = matched_ct >= np.uint64(opts.min_reads)
+    kept_bc = matched_bc[keep]
+    kept_ct = matched_ct[keep].copy()
+    below_bc, below_ct = matched_bc[~keep], matched_ct[~keep]
+    log.info("num_passing = %d", len(kept_bc))
+
+    rescue_bc = np.concatenate([unmatched_bc, below_bc])
+    rescue_ct = np.concatenate([unmatched_ct, below_ct])
+    order = np.argsort(rescue_bc, kind="stable")
+    rescue_bc, rescue_ct = rescue_bc[order], rescue_ct[order]
+    ncounts, reps = bcops.find_neighbors_batch(rescue_bc, kept_bc, bclen)
+    rescued = (ncounts == 1) & (reps != rescue_bc)
+    num_corrected = int(rescued.sum())
+    if num_corrected:
+        tgt = np.searchsorted(kept_bc, reps[rescued])
+        np.add.at(kept_ct, tgt, rescue_ct[rescued])
+    log.info(
+        "%d distinct unmatched barcodes, %d recoverable", len(rescue_bc),
+        num_corrected,
+    )
+
+    bincodeio.write_permit_freq(out_dir / "permit_freq.bin", bclen, kept_bc, kept_ct)
+    map_keys = np.concatenate([kept_bc, rescue_bc[rescued]])
+    map_vals = np.concatenate([kept_bc, reps[rescued]])
+    bincodeio.write_u64_map_file(out_dir / "permit_map.bin", map_keys, map_vals)
+
+    meta = {
+        "version_str": opts.version,
+        "max-ambig-record": max_ambig,
+        "num-chunks": num_chunks,
+        "cmd": opts.cmdline,
+        "permit-list-type": "unfiltered",
+        "gpl_options": {
+            "input_dir": str(opts.input_dir),
+            "output_dir": str(opts.output_dir),
+            "fmeth": f"UnfilteredExternalList({opts.unfiltered_pl}, {opts.min_reads})",
+            "threads": opts.threads,
+            "rc": opts.rc,
+            "cmdline": opts.cmdline,
+            "version": opts.version,
+        },
+        "max-rec-in-bin": bmax,
+    }
+    write_json(out_dir / "generate_permit_list.json", meta)
+    log.info("total number of distinct corrected barcodes: %d", num_corrected)
+    return num_corrected

@@ -1,0 +1,104 @@
+"""ATAC pipeline tests: gpl (bin histogram) -> collate -> sort / dedup."""
+
+import json
+
+import numpy as np
+
+from alevin_fry_tpu.cli import main
+from alevin_fry_tpu.ops.barcodes import pack_seq, revcomp_packed, unpack_seq
+from synth import write_atac_rad
+
+BC_LEN = 8
+
+
+def _dataset(tmp_path):
+    refs = ["chr1", "chr2"]
+    ref_lens = [250_000, 150_000]  # 3 bins + 2 bins
+    CB1, CB2 = "AAAAAAAA", "CCCCCCCC"
+    CB1_mut = "AAAAAAAT"
+    chunks = [[
+        # cell1: duplicate fragment (x2), one long fragment, one multimapped
+        (pack_seq(CB1), [(0, 4, 1000, 150)]),
+        (pack_seq(CB1), [(0, 4, 1000, 150)]),
+        (pack_seq(CB1), [(1, 4, 120_000, 3000)]),   # >= 2000 -> not written
+        (pack_seq(CB1), [(0, 4, 5, 70), (1, 4, 9, 70)]),  # multimapped
+        (pack_seq(CB1_mut), [(0, 4, 220_000, 90)]),  # 1-edit rescue
+        # cell2
+        (pack_seq(CB2), [(1, 4, 50, 100)]),
+        (pack_seq(CB2), [(0, 2, 700, 80)]),          # non-proper (type != 4)
+    ]]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_atac_rad(rad_dir / "map.rad", refs, ref_lens, chunks, bc_len=BC_LEN)
+    # whitelist given in reverse-complement orientation (default rc mode)
+    wl = tmp_path / "wl.txt"
+    rc1 = unpack_seq(int(revcomp_packed(np.asarray([pack_seq(CB1)], np.uint64), BC_LEN)[0]), BC_LEN)
+    rc2 = unpack_seq(int(revcomp_packed(np.asarray([pack_seq(CB2)], np.uint64), BC_LEN)[0]), BC_LEN)
+    wl.write_text(f"{rc1}\n{rc2}\n")
+    return rad_dir, wl, CB1, CB2
+
+
+def test_atac_full_pipeline(tmp_path):
+    rad_dir, wl, CB1, CB2 = _dataset(tmp_path)
+    gpl = tmp_path / "gpl"
+    assert main([
+        "atac", "generate-permit-list", "-i", str(rad_dir), "-o", str(gpl),
+        "-u", str(wl), "-m", "1", "-d", "rc",
+    ]) == 0
+    meta = json.loads((gpl / "generate_permit_list.json").read_text())
+    assert meta["permit-list-type"] == "unfiltered"
+    assert meta["gpl_options"]["rc"] is True
+    assert meta["num-chunks"] == 1
+    # bin histogram: uniquely-mapped reads only (6 of 7)
+    from alevin_fry_tpu.radz import bincodeio
+
+    bins = bincodeio.read_u64_vec_file(gpl / "bin_recs.bin")
+    blens = bincodeio.read_u64_vec_file(gpl / "bin_lens.bin")
+    np.testing.assert_array_equal(blens, [0, 3, 5])
+    # chr1 bin 0: pos 1000 x2 + pos 700 = 3; chr1 bin 2: rescue read at
+    # 220000; chr2 bin 0 (idx 3): pos 50; chr2 bin 1 (idx 4): 120000
+    np.testing.assert_array_equal(bins, [3, 0, 1, 1, 1])
+    assert meta["max-rec-in-bin"] == 3
+
+    assert main([
+        "atac", "collate", "-i", str(gpl), "-r", str(rad_dir), "-t", "2",
+    ]) == 0
+    from alevin_fry_tpu.radz import read_prelude
+    from alevin_fry_tpu.radz.chunkio import decode_all_chunks
+    from alevin_fry_tpu.radz.records import RecordSchema
+
+    with open(gpl / "map.collated.rad", "rb") as fh:
+        prelude, ftm, _ = read_prelude(fh)
+        batch = decode_all_chunks(
+            fh, RecordSchema.from_prelude(prelude), prelude.hdr.num_chunks
+        )
+    assert prelude.hdr.num_chunks == 2
+    np.testing.assert_array_equal(np.diff(batch.chunk_offsets), [5, 2])
+
+    # dedup over the collated file
+    assert main(["atac", "deduplicate", "-i", str(gpl), "-d", "rc"]) == 0
+    bed = (gpl / "map.bed").read_text().splitlines()
+    # proper unique pairs: cell1 {1000x2 dup, 3000-long (dropped), rescue},
+    # cell2 {50}; long fragment excluded from BED
+    assert len(bed) == 3
+    # barcodes written reverse-complemented (rc mode)
+    rc_cb1 = bed[0].split("\t")[3]
+    assert rc_cb1 == "TTTTTTTT"  # revcomp of AAAAAAAA
+    row0 = bed[0].split("\t")
+    assert row0[:3] == ["chr1", "1000", "1150"] and row0[4] == "2"
+
+    # sort path over the original RAD
+    assert main([
+        "atac", "sort", "-i", str(gpl), "-r", str(rad_dir), "-t", "2",
+    ]) == 0
+    sbed = (gpl / "map.bed").read_text().splitlines()
+    # sort ignores map_type (keeps non-proper) but drops multimapped;
+    # fragments: chr1:1000x2, chr1:220000 (rescued), chr1:700, chr2:50,
+    # chr2:120000(3000bp dropped)
+    assert len(sbed) == 4
+    cols = [l.split("\t") for l in sbed]
+    assert [c[0] for c in cols] == ["chr1", "chr1", "chr1", "chr2"]
+    assert cols[0][1] == "700"      # globally coordinate-sorted
+    assert cols[1][1] == "1000" and cols[1][4] == "2"
+    assert cols[2][1] == "220000"
+    assert cols[3][1] == "50"
