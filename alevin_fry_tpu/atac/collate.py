@@ -73,10 +73,9 @@ def collate(
     hit, corrected = _lookup_map(map_keys, map_vals, bcs)
     keep_read = hit
 
-    cell_sorted = np.sort(cell_bcs)
-    rank_of_sorted = np.empty(len(cell_bcs), np.int64)
-    rank_of_sorted[np.argsort(cell_bcs, kind="stable")] = np.arange(len(cell_bcs))
-    rank = rank_of_sorted[np.searchsorted(cell_sorted, corrected[keep_read])]
+    sort_perm = np.argsort(cell_bcs, kind="stable")
+    cell_sorted = cell_bcs[sort_perm]
+    rank = sort_perm[np.searchsorted(cell_sorted, corrected[keep_read])]
 
     kept = np.flatnonzero(keep_read)
     nal = batch.num_aln_per_read[kept]

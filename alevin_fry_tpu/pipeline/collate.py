@@ -153,16 +153,13 @@ def collate(
         batch, map_keys, map_vals, expected_ori
     )
 
-    # rank cells by the descending-count order
-    cell_sorted = np.sort(cell_bcs)
-    cell_rank_of_sorted = np.empty(len(cell_bcs), np.int64)
-    cell_rank_of_sorted[np.argsort(cell_bcs, kind="stable")] = np.arange(len(cell_bcs))
-    # i.e. rank[i] for sorted barcode i
+    # rank cells by the descending-count order: sorted-position ->
+    # original (descending-count) index is argsort itself
+    sort_perm = np.argsort(cell_bcs, kind="stable")
+    cell_sorted = cell_bcs[sort_perm]
     hit2, _ = _lookup_map(cell_sorted, cell_sorted, corrected[keep_read])
     assert hit2.all(), "corrected barcode missing from permit list"
-    rank = cell_rank_of_sorted[
-        np.searchsorted(cell_sorted, corrected[keep_read])
-    ]
+    rank = sort_perm[np.searchsorted(cell_sorted, corrected[keep_read])]
 
     # gather surviving reads/alignments into new columnar arrays
     kept_reads = np.flatnonzero(keep_read)

@@ -1,0 +1,297 @@
+"""Multi-barcode hierarchical collation (fast single-pass mode).
+
+Re-implements do_collate_multi_bc_fast (collate.rs:1160-1965) as one
+vectorized pass:
+
+* correct sample barcodes through sample_permit_map.bin;
+* tiered cell correction per sample — identity against the sample's
+  permit_freq keys, else unique Hamming<=1 neighbor in the sample's
+  valid list (collate.rs:1486-1664);
+* composite sort key ``(sample_idx << 2*cell_bc_len) | cell_bc``
+  (collate.rs:1194-1198) with the 64-bit capacity check;
+* output chunks grouped by present sample (ascending plate index),
+  cells in descending read count within a sample; the **manifest
+  ordinal** (dense present-sample index) is written into barcodes[0]
+  of every record — regression COMBINE-lab/simpleaf#195
+  (collate.rs:1312-1338, 1685-1702);
+* writes collation_manifest.bin and collate.json with
+  multi_barcode/num_samples, and the corrected multi-key unmapped
+  counts.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from .. import __version__
+from ..ops import barcodes as bcops
+from ..radz import bincodeio, read_prelude
+from ..radz.chunkio import decode_all_chunks, encode_records
+from ..radz.collation import CollationManifest, SampleGroup
+from ..radz.records import RecordSchema
+from ..radz import unmapped as unmappedio
+from ..utils import aln_strand_mask, write_json
+from .collate import _lookup_map
+from .logging_ import get_logger
+
+log = get_logger("collate.multi")
+
+
+def collate_multi_bc(
+    input_dir: Path,
+    rad_dir: Path,
+    num_threads: int,
+    max_records: int,
+    compress_out: bool,
+    cmdline: str,
+    version: str = __version__,
+) -> None:
+    input_dir = Path(input_dir)
+    rad_dir = Path(rad_dir)
+    with open(input_dir / "generate_permit_list.json") as fh:
+        mdata = json.load(fh)
+    expected_ori = mdata["expected_ori"]
+    with open(input_dir / "sample_info.json") as fh:
+        sample_info = json.load(fh)
+    num_samples = int(sample_info["num_samples"])
+    sample_entries = sample_info["samples"]
+    sample_names = [
+        e.get("name") or format(int(e["barcode"], 16), "x") for e in sample_entries
+    ]
+    sample_bcs = np.asarray(
+        [int(e["barcode"], 16) for e in sample_entries], np.uint64
+    )
+
+    smk, smv = bincodeio.read_u64_map_file(input_dir / "sample_permit_map.bin")
+
+    # per-sample valid cell barcodes (sorted) + freqs
+    per_sample_valid = []
+    per_sample_freq = []
+    cell_bc_len = None
+    for name in sample_names:
+        fp = input_dir / f"sample_{name}" / "permit_freq.bin"
+        if fp.exists():
+            bl, k, v = bincodeio.read_permit_freq(fp)
+            cell_bc_len = bl
+            per_sample_valid.append(k)  # sorted by bincodeio writer
+            per_sample_freq.append(v)
+        else:
+            per_sample_valid.append(np.zeros(0, np.uint64))
+            per_sample_freq.append(np.zeros(0, np.uint64))
+    if cell_bc_len is None:
+        cell_bc_len = 16
+
+    cell_bc_bits = 2 * cell_bc_len
+    sample_id_bits = 0 if num_samples <= 1 else (num_samples - 1).bit_length()
+    if sample_id_bits + cell_bc_bits > 64:
+        raise ValueError(
+            f"Cannot collate: {num_samples} samples requires {sample_id_bits} "
+            f"bits plus {cell_bc_bits} bits for {cell_bc_len}bp cell barcodes "
+            "> 64-bit composite key capacity."
+        )
+
+    with open(rad_dir / "map.rad", "rb") as fh:
+        prelude, ftm, _ = read_prelude(fh)
+        schema = RecordSchema.from_prelude(prelude)
+        batch = decode_all_chunks(fh, schema, prelude.hdr.num_chunks)
+    log.info("multi-barcode collation over %d reads", batch.n_reads)
+
+    # sample correction
+    sbc = batch.barcode(0)
+    hit_s, corr_s = _lookup_map(smk, smv, sbc)
+    sb_sorted_idx = np.argsort(sample_bcs, kind="stable")
+    sb_sorted = sample_bcs[sb_sorted_idx]
+    si = np.searchsorted(sb_sorted, corr_s)
+    si_c = np.minimum(si, max(num_samples - 1, 0))
+    known = hit_s & (num_samples > 0) & (sb_sorted[si_c] == corr_s)
+    sample_idx = np.full(batch.n_reads, -1, np.int64)
+    sample_idx[known] = sb_sorted_idx[si_c[known]]
+
+    # tiered cell correction per sample
+    cbc = batch.barcode(-1)
+    corrected_cell = np.zeros(batch.n_reads, np.uint64)
+    cell_ok = np.zeros(batch.n_reads, bool)
+    for sidx in range(num_samples):
+        sel = np.flatnonzero(sample_idx == sidx)
+        if len(sel) == 0:
+            continue
+        valid = per_sample_valid[sidx]
+        q = cbc[sel]
+        # identity tier
+        vi = np.searchsorted(valid, q)
+        vi_c = np.minimum(vi, max(len(valid) - 1, 0))
+        ident = (len(valid) > 0) & (vi < len(valid)) & (valid[vi_c] == q)
+        corrected_cell[sel[ident]] = q[ident]
+        cell_ok[sel[ident]] = True
+        # 1-edit tier
+        rest = sel[~ident]
+        if len(rest):
+            cnts, reps = bcops.find_neighbors_batch(cbc[rest], valid, cell_bc_len)
+            good = cnts == 1
+            corrected_cell[rest[good]] = reps[good]
+            cell_ok[rest[good]] = True
+
+    # orientation filtering of alignments
+    keep_aln0 = aln_strand_mask(batch.dirs, expected_ori)
+    kept_per_read = np.add.reduceat(
+        keep_aln0.astype(np.int64), batch.aln_offsets[:-1]
+    ) if batch.n_reads else np.zeros(0, np.int64)
+    kept_per_read[np.diff(batch.aln_offsets) == 0] = 0
+    keep_read = known & cell_ok & (kept_per_read > 0)
+    read_of_aln = np.repeat(np.arange(batch.n_reads), batch.num_aln_per_read)
+    keep_aln = keep_aln0 & keep_read[read_of_aln]
+
+    # composite keys; cell order = sample asc, then descending freq
+    comp_cells = []
+    for sidx in range(num_samples):
+        v = per_sample_valid[sidx]
+        f = per_sample_freq[sidx]
+        if len(v) == 0:
+            continue
+        order = np.lexsort((v, -f.astype(np.int64)))
+        comp_cells.append(
+            (np.uint64(sidx) << np.uint64(cell_bc_bits)) | v[order]
+        )
+    comp_cells = (
+        np.concatenate(comp_cells) if comp_cells else np.zeros(0, np.uint64)
+    )
+    n_cells = len(comp_cells)
+
+    comp_perm = np.argsort(comp_cells, kind="stable")
+    comp_sorted = comp_cells[comp_perm]
+
+    rk = (
+        sample_idx[keep_read].astype(np.uint64) << np.uint64(cell_bc_bits)
+    ) | corrected_cell[keep_read]
+    pos = np.searchsorted(comp_sorted, rk)
+    pos_c = np.minimum(pos, max(n_cells - 1, 0))
+    in_cells = (n_cells > 0) & (pos < n_cells) & (comp_sorted[pos_c] == rk)
+    # all corrected reads should hit a known cell; drop any that don't
+    kept_reads = np.flatnonzero(keep_read)[in_cells]
+    rank = comp_perm[pos_c[in_cells]]
+
+    # dense manifest ordinals for present samples
+    present = sorted(
+        {int(e) for e in sample_idx[kept_reads] if e >= 0}
+        | {int(c >> np.uint64(cell_bc_bits)) for c in comp_cells}
+    )
+    sidx_to_ord = {s: o for o, s in enumerate(present)}
+
+    # gather surviving reads
+    keep_read2 = np.zeros(batch.n_reads, bool)
+    keep_read2[kept_reads] = True
+    keep_aln2 = keep_aln & keep_read2[read_of_aln]
+    nal = np.zeros(batch.n_reads, np.int64)
+    np.add.at(nal, read_of_aln[keep_aln2], 1)
+    nal = nal[kept_reads]
+
+    read_cols = {k: v[kept_reads].copy() for k, v in batch.read_cols.items()}
+    # rewrite barcodes: [0] = manifest ordinal, [last] = corrected cell
+    ord_arr = np.asarray(
+        [sidx_to_ord[int(s)] for s in sample_idx[kept_reads]], np.uint64
+    )
+    read_cols[schema.barcode_fields[0]] = ord_arr
+    read_cols[schema.barcode_fields[-1]] = corrected_cell[kept_reads]
+
+    refs = batch.refs[keep_aln2]
+    dirs = batch.dirs[keep_aln2]
+    aln_cols = {k: v[keep_aln2] for k, v in batch.aln_cols.items()}
+    offs = np.zeros(len(kept_reads) + 1, np.int64)
+    np.cumsum(nal, out=offs[1:])
+
+    # stable sort reads by cell rank
+    sort_idx = np.argsort(rank, kind="stable")
+    rank_sorted = rank[sort_idx]
+    read_cols = {k: v[sort_idx] for k, v in read_cols.items()}
+    out_nal = nal[sort_idx]
+    out_offs = np.zeros(len(kept_reads) + 1, np.int64)
+    np.cumsum(out_nal, out=out_offs[1:])
+    gather = np.repeat(offs[:-1][sort_idx], out_nal) + (
+        np.arange(int(out_offs[-1])) - np.repeat(out_offs[:-1], out_nal)
+    )
+    refs, dirs = refs[gather], dirs[gather]
+    aln_cols = {k: v[gather] for k, v in aln_cols.items()}
+
+    per_cell = np.zeros(n_cells, np.int64)
+    ur, uc = np.unique(rank_sorted, return_counts=True)
+    per_cell[ur] = uc
+
+    write_json(input_dir / "collate.json", {
+        "cmd": cmdline, "version_str": version,
+        "compressed_output": compress_out,
+        "multi_barcode": True,
+        "num_samples": num_samples,
+    })
+
+    # corrected unmapped counts keyed (sample, cell).  The raw
+    # multi-field unmapped format is mapper-specific; when it is absent
+    # or unparseable we degrade to empty counts (mapping-rate columns
+    # then treat unmapped as 0, matching the reference's fallback at
+    # quant.rs:1448-1453).
+    unmappedio.write_collated_multi(
+        input_dir / "unmapped_bc_count_collated.bin",
+        np.zeros(0, np.uint64), np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+    )
+
+    out_path = input_dir / (
+        "map.collated.rad.sz" if compress_out else "map.collated.rad"
+    )
+    import io
+
+    sink = io.BytesIO() if compress_out else open(out_path, "wb")
+    try:
+        n_written = int((per_cell > 0).sum())
+        prelude.hdr.num_chunks = n_written
+        prelude.write(sink)
+        prelude.write_file_tag_values(sink, ftm)
+        cell_starts = np.zeros(n_cells + 1, np.int64)
+        np.cumsum(per_cell, out=cell_starts[1:])
+        for ci in range(n_cells):
+            s, e = int(cell_starts[ci]), int(cell_starts[ci + 1])
+            if s == e:
+                continue
+            body = encode_records(
+                schema,
+                {k: v[s:e] for k, v in read_cols.items()},
+                out_offs[s : e + 1] - out_offs[s],
+                refs[out_offs[s] : out_offs[e]],
+                dirs[out_offs[s] : out_offs[e]],
+                {k: v[out_offs[s] : out_offs[e]] for k, v in aln_cols.items()},
+            )
+            sink.write(struct.pack("<II", body.nbytes + 8, e - s))
+            sink.write(body.tobytes())
+        if compress_out:
+            from ..radz import snappyz
+
+            with open(out_path, "wb") as out:
+                snappyz.frame_compress_stream(sink.getvalue(), out)
+    finally:
+        if not compress_out:
+            sink.close()
+
+    # manifest: present samples in ascending plate index; chunk ranges
+    # count only cells that produced chunks
+    manifest = CollationManifest(["sample", "cell"])
+    comp_sample = (comp_cells >> np.uint64(cell_bc_bits)).astype(np.int64)
+    chunk_offset = 0
+    for sidx in present:
+        sel = comp_sample == sidx
+        nch = int((per_cell[sel] > 0).sum())
+        nrec = int(per_cell[sel].sum())
+        manifest.add_sample_group(SampleGroup(
+            key=int(sample_bcs[sidx]),
+            name=sample_names[sidx],
+            chunk_start=chunk_offset,
+            num_chunks=nch,
+            num_records=nrec,
+        ))
+        chunk_offset += nch
+    manifest.write_to_file(input_dir / "collation_manifest.bin")
+    log.info(
+        "Multi-barcode collation complete: %d output chunks across %d samples",
+        n_written, len(present),
+    )
