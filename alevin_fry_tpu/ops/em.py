@@ -129,6 +129,69 @@ def em_optimize_cell_np(
     return alphas
 
 
+def em_optimize_long_read_cell_np(
+    label_offsets: np.ndarray,
+    labels: np.ndarray,
+    counts: np.ndarray,
+    prob_rows,  # list (per class) of per-molecule probability row arrays
+    num_alphas: int,
+    init_uniform: bool = False,
+) -> np.ndarray:
+    """Long-read probability-weighted EM (em.rs:716-844): for each
+    multi-label class, the per-transcript probability is the average of
+    the class's molecule rows; the E-step weights alphas by it.  Same
+    loop bounds as em_optimize (no thresholded last round).
+
+    Robustness divergence: the reference indexes probability rows by
+    molecule count and panics when a class (e.g. from the
+    large-component fallback) carries no rows; we fall back to uniform
+    weights for such classes."""
+    lens = np.diff(label_offsets)
+    alphas = np.zeros(num_alphas, np.float32)
+    single = lens == 1
+    s_idx = labels[label_offsets[:-1][single]]
+    s_ct = counts[single].astype(np.float32)
+    np.add.at(alphas, s_idx, s_ct)
+    if not (~single).any():
+        return alphas
+
+    if init_uniform:
+        alphas = np.full(num_alphas, np.float32(1.0) / np.float32(num_alphas))
+    else:
+        alphas = ((alphas + np.float32(0.5)) * np.float32(1e-3)).astype(np.float32)
+
+    multi = np.flatnonzero(~single)
+    m_labels = [labels[label_offsets[i] : label_offsets[i + 1]] for i in multi]
+    m_ct = counts[multi].astype(np.float32)
+    m_avg = []
+    for k, i in enumerate(multi):
+        ll = len(m_labels[k])
+        rows = prob_rows[i] if prob_rows is not None and i < len(prob_rows) else []
+        usable = [r[:ll] for r in rows if len(r) >= ll]
+        if usable:
+            m_avg.append(np.mean(np.stack(usable), axis=0).astype(np.float32))
+        else:
+            m_avg.append(np.ones(ll, np.float32))
+
+    it = 0
+    converged = True
+    while it < EM_MIN_ITER or (it < EM_MAX_ITER and not converged):
+        out = np.zeros(num_alphas, np.float32)
+        np.add.at(out, s_idx, s_ct)
+        for k in range(len(multi)):
+            lab = m_labels[k]
+            w = alphas[lab] * m_avg[k]
+            denom = np.float32(w.sum())
+            if denom > 0:
+                out[lab] += w * (m_ct[k] / denom)
+        check = out > ALPHA_CHECK_CUTOFF
+        rel = np.abs(alphas - out)
+        converged = not bool((check & (rel > EM_REL_DIFF_TOLERANCE)).any())
+        alphas = out
+        it += 1
+    return np.where(alphas < MIN_OUTPUT_ALPHA, np.float32(0), alphas)
+
+
 # --- batched JAX kernel ------------------------------------------------------
 
 _jit_cache = {}

@@ -75,6 +75,7 @@ class _DSU:
 def _build_cell_eqclasses(
     umis: np.ndarray, refs: np.ndarray, offs: np.ndarray,
     tid_to_gid: np.ndarray, gene_level: bool,
+    aln_probs: np.ndarray | None = None,
 ):
     """Group a cell's reads into equivalence classes.
 
@@ -82,12 +83,17 @@ def _build_cell_eqclasses(
     keys its eqid_map by the raw slice, eq_class.rs:859); gene-level
     identity is the sorted+deduped gene projection
     (eq_class.rs:723-775).  Returns (labels_per_eq, sorted_labels,
-    umi_count_lists)."""
+    umi_count_lists, prob_rows) where prob_rows (long-read payloads
+    only) holds, per eqclass, per UMI rank, the flattened per-read
+    alignment-probability rows (stride = label length; the reference's
+    AttributeMap layout, eq_class.rs:350-420)."""
     n = len(offs) - 1
     key_to_eq: Dict[bytes, int] = {}
     eq_labels: List[np.ndarray] = []
     eq_sorted: List[np.ndarray] = []
     eq_umis: List[List[int]] = []
+    eq_read_probs: List[List[Tuple[int, np.ndarray]]] = []
+    with_probs = aln_probs is not None
     for i in range(n):
         r = refs[offs[i] : offs[i + 1]]
         if gene_level:
@@ -103,13 +109,34 @@ def _build_cell_eqclasses(
             eq_labels.append(lab.astype(np.uint32))
             eq_sorted.append(np.sort(lab.astype(np.uint32)))
             eq_umis.append([])
+            eq_read_probs.append([])
         eq_umis[e].append(int(umis[i]))
+        if with_probs:
+            eq_read_probs[e].append((int(umis[i]), aln_probs[offs[i] : offs[i + 1]]))
     # collapse duplicate UMIs with counts, sorted by UMI
     eq_umi_arr: List[Tuple[np.ndarray, np.ndarray]] = []
-    for lst in eq_umis:
+    eq_probs: List[List[np.ndarray]] | None = [] if with_probs else None
+    for e, lst in enumerate(eq_umis):
         u, c = np.unique(np.asarray(lst, np.uint64), return_counts=True)
         eq_umi_arr.append((u, c.astype(np.uint32)))
-    return eq_labels, eq_sorted, eq_umi_arr
+        if with_probs:
+            # per umi rank: concatenate the prob rows of its reads
+            rows_by_umi: Dict[int, List[np.ndarray]] = {}
+            for uu, row in eq_read_probs[e]:
+                rows_by_umi.setdefault(uu, []).append(row)
+            eq_probs.append(
+                [np.concatenate(rows_by_umi[int(uu)]) for uu in u]
+            )
+    return eq_labels, eq_sorted, eq_umi_arr, eq_probs
+
+
+def _probs_for_eq_umi_tx(eq_probs, eqid: int, umi_rank: int, tx_index: int,
+                         label_len: int) -> np.ndarray:
+    """Column slice of the flat per-UMI probability rows — literally
+    ``flat[tx_index::label_len]`` matching EqMap::probs_for_eq_umi_tx
+    (eq_class.rs:1039-1059)."""
+    flat = eq_probs[eqid][umi_rank]
+    return flat[tx_index::label_len]
 
 
 def _add_edges(adj, base_x, ux, cx, base_y, uy, cy, exact: bool, same_class: bool):
@@ -148,10 +175,14 @@ def _resolve_one_cell(
     umis: np.ndarray, refs: np.ndarray, offs: np.ndarray,
     tid_to_gid: np.ndarray,
     pug_exact_umi: bool, large_graph_thresh: int, gene_level: bool,
-) -> Tuple[Dict[bytes, Tuple[np.ndarray, int]], bool]:
-    """Returns ({sorted-gene-label-bytes: (label, count)}, used_alt)."""
-    eq_labels, eq_sorted, eq_umis = _build_cell_eqclasses(
-        umis, refs, offs, tid_to_gid, gene_level
+    aln_probs: np.ndarray | None = None,
+) -> Tuple[Dict[bytes, list], bool]:
+    """Returns ({sorted-gene-label-bytes: [label, count, prob_rows]},
+    used_alt); prob_rows is a list of per-molecule probability rows
+    (long-read payloads) or empty."""
+    with_probs = aln_probs is not None
+    eq_labels, eq_sorted, eq_umis, eq_probs = _build_cell_eqclasses(
+        umis, refs, offs, tid_to_gid, gene_level, aln_probs
     )
     nec = len(eq_labels)
     node_base = np.zeros(nec + 1, np.int64)
@@ -194,7 +225,7 @@ def _resolve_one_cell(
     for e in range(nec):
         node_eq[node_base[e] : node_base[e + 1]] = e
 
-    gene_eqc: Dict[bytes, Tuple[np.ndarray, int]] = {}
+    gene_eqc: Dict[bytes, list] = {}
     used_alt = False
 
     def _project(label_sorted: np.ndarray) -> np.ndarray:
@@ -202,17 +233,38 @@ def _resolve_one_cell(
             return label_sorted
         return np.unique(tid_to_gid[label_sorted])
 
-    def bump(genes: np.ndarray):
+    def bump(genes: np.ndarray, prob_row=None):
         kb = genes.tobytes()
         cur = gene_eqc.get(kb)
-        gene_eqc[kb] = (genes, (cur[1] if cur else 0) + 1)
+        if cur is None:
+            cur = [genes, 0, []]
+            gene_eqc[kb] = cur
+        cur[1] += 1
+        if prob_row is not None:
+            cur[2].append(np.asarray(prob_row, np.float64))
+
+    def _node_umi_rank(vtx: int) -> Tuple[int, int]:
+        e = int(node_eq[vtx])
+        return e, vtx - int(node_base[e])
 
     for comp in comps.values():
         if len(comp) == 1:
             tv = comp[0]
-            genes = _project(eq_sorted[node_eq[tv]])
+            e = int(node_eq[tv])
+            tl = eq_sorted[e]
+            genes = _project(tl)
             assert len(genes) > 0, "can't find representative gene(s) for a molecule"
-            bump(genes)
+            prob_row = None
+            if with_probs:
+                if len(tl) == 1:
+                    prob_row = [1.0]
+                else:
+                    _, rank = _node_umi_rank(tv)
+                    prob_row = []
+                    for i in range(len(tl)):
+                        col = _probs_for_eq_umi_tx(eq_probs, e, rank, i, len(tl))
+                        prob_row.append(float(col.mean()) if len(col) else 0.0)
+            bump(genes, prob_row)
             continue
         if len(comp) > large_graph_thresh:
             _large_component_crlike(
@@ -226,13 +278,28 @@ def _resolve_one_cell(
             num_remaining = len(uncovered)
             best_mcc: List[int] = []
             best_txp = -1
+            best_prob = 0.0
+            best_txp_probs: List[Tuple[int, float]] = []
             for v in sorted(uncovered):
-                cand_mcc, cand_txp = _collapse_vertices(
-                    v, uncovered, adj, node_eq, eq_sorted
-                )
-                if len(best_mcc) < len(cand_mcc):
-                    best_mcc = cand_mcc
-                    best_txp = cand_txp
+                if with_probs:
+                    cand_mcc, cand_txp, cand_prob, eq_txs_prob = (
+                        _collapse_vertices_weighted(
+                            v, uncovered, adj, node_eq, eq_sorted, eq_probs,
+                            node_base,
+                        )
+                    )
+                    if best_prob < cand_prob:
+                        best_mcc = cand_mcc
+                        best_prob = cand_prob
+                        best_txp = cand_txp
+                        best_txp_probs = eq_txs_prob
+                else:
+                    cand_mcc, cand_txp = _collapse_vertices(
+                        v, uncovered, adj, node_eq, eq_sorted
+                    )
+                    if len(best_mcc) < len(cand_mcc):
+                        best_mcc = cand_mcc
+                        best_txp = cand_txp
                 if len(cand_mcc) == num_remaining:
                     break
             assert best_txp != -1, "Could not find a covering transcript"
@@ -244,10 +311,66 @@ def _resolve_one_cell(
             gt = np.asarray(sorted(global_txps), np.uint32)
             genes = _project(gt)
             assert len(genes) > 0, "can't find representative gene(s) for a molecule"
-            bump(genes)
+            prob_row = None
+            if with_probs:
+                # pugutils.rs:1191-1204: probs of intersection txps
+                # sorted by txp id; a single txp collapses to [1.0]
+                sel = sorted(
+                    (t, p) for t, p in best_txp_probs if t in global_txps
+                )
+                prob_row = [1.0] if len(sel) == 1 else [p for _, p in sel]
+            bump(genes, prob_row)
             for vtx in best_mcc:
                 uncovered.discard(vtx)
     return gene_eqc, used_alt
+
+
+def _collapse_vertices_weighted(v, uncovered, adj, node_eq, eq_sorted,
+                                eq_probs, node_base):
+    """Probability-weighted arborescence search
+    (collapse_vertices_weighted, pugutils.rs:398-502): per candidate
+    transcript, BFS as in the unweighted case while averaging the
+    per-vertex alignment probabilities at the *starting vertex's*
+    transcript index; the highest average probability wins."""
+    e0 = int(node_eq[v])
+    vlab = eq_sorted[e0]
+    rank0 = v - int(node_base[e0])
+    best: List[int] = []
+    best_txp = -1
+    best_prob = 0.0
+    eq_txps_prob: List[Tuple[int, float]] = []
+    for tx_index, txp in enumerate(vlab):
+        t = int(txp)
+        visited = {v}
+        mcc = []
+        probs = []
+        col = _probs_for_eq_umi_tx(eq_probs, e0, rank0, tx_index, len(vlab))
+        probs.append(float(col.mean()) if len(col) else 0.0)
+        q = deque([v])
+        while q:
+            cv = q.popleft()
+            mcc.append(cv)
+            for nxt in adj[cv]:
+                if nxt not in uncovered or nxt in visited:
+                    continue
+                visited.add(nxt)
+                en = int(node_eq[nxt])
+                lab = eq_sorted[en]
+                j = np.searchsorted(lab, t)
+                if j < len(lab) and lab[j] == t:
+                    q.append(nxt)
+                    rn = nxt - int(node_base[en])
+                    col = _probs_for_eq_umi_tx(
+                        eq_probs, en, rn, tx_index, len(lab)
+                    )
+                    probs.append(float(col.mean()) if len(col) else 0.0)
+        avg = sum(probs) / len(probs)
+        if best_prob < avg:
+            best = mcc
+            best_txp = t
+            best_prob = avg
+        eq_txps_prob.append((t, avg))
+    return best, best_txp, best_prob, eq_txps_prob
 
 
 def _collapse_vertices(v, uncovered, adj, node_eq, eq_sorted):
@@ -312,7 +435,10 @@ def _large_component_crlike(
         arr = np.asarray(genes, np.uint32)
         kb = arr.tobytes()
         cur = gene_eqc.get(kb)
-        gene_eqc[kb] = (arr, (cur[1] if cur else 0) + 1)
+        if cur is None:
+            cur = [arr, 0, []]
+            gene_eqc[kb] = cur
+        cur[1] += 1
 
     for idx, (u, g, c) in enumerate(trips):
         if first:
@@ -348,11 +474,13 @@ def resolve_parsimony_cells(
     pug_exact_umi: bool,
     large_graph_thresh: int,
     gene_level: bool,
-) -> Tuple[CellEqClasses, List[int]]:
+    aln_probs: np.ndarray | None = None,
+) -> Tuple[CellEqClasses, List[int], List[List[np.ndarray]] | None]:
     """Resolve every cell in ``sub`` (cell/umi/refs/offs arrays as built
     by quant's _subset_reads) via the PUG algorithm; returns per-cell
-    gene eqclasses and the list of cells that used the large-component
-    fallback."""
+    gene eqclasses, the list of cells that used the large-component
+    fallback, and (for long-read payloads) per-eqclass probability
+    rows."""
     cell = sub["cell"]
     umi = sub["umi"]
     refs = sub["refs"]
@@ -360,12 +488,14 @@ def resolve_parsimony_cells(
     cells = np.unique(cell)
     # reads are contiguous per cell (collated order)
     alt_cells: List[int] = []
+    with_probs = aln_probs is not None
 
     cell_ids = []
     cell_eq_counts = []
     labels_flat: List[np.ndarray] = []
     counts_flat: List[int] = []
     label_lens: List[int] = []
+    probs_flat: List[List[np.ndarray]] = []
 
     # per-cell read ranges
     boundaries = np.searchsorted(cell, cells, side="left")
@@ -375,12 +505,12 @@ def resolve_parsimony_cells(
         o = offs[rs : re + 1] - offs[rs]
         r = refs[offs[rs] : offs[re]]
         u = umi[rs:re]
-        # large-graph threshold of 0 means "always fall back"?  The
-        # reference treats 0 as the default for non-parsimony modes; for
-        # parsimony the CLI default is 1000.  A component is "large" when
-        # strictly greater than the threshold (pugutils.rs:1055).
+        ap = aln_probs[offs[rs] : offs[re]] if with_probs else None
+        # A component is "large" when strictly greater than the
+        # threshold (pugutils.rs:1055); the parsimony CLI default is 1000.
         gene_eqc, used_alt = _resolve_one_cell(
-            u, r, o, tid_to_gid, pug_exact_umi, large_graph_thresh, gene_level
+            u, r, o, tid_to_gid, pug_exact_umi, large_graph_thresh,
+            gene_level, ap,
         )
         if used_alt:
             alt_cells.append(int(ci))
@@ -388,10 +518,12 @@ def resolve_parsimony_cells(
         items = sorted(gene_eqc.items(), key=lambda kv: (len(kv[1][0]), kv[0]))
         cell_ids.append(int(ci))
         cell_eq_counts.append(len(items))
-        for _, (lab, ct) in items:
+        for _, (lab, ct, pr) in items:
             labels_flat.append(lab)
             counts_flat.append(ct)
             label_lens.append(len(lab))
+            if with_probs:
+                probs_flat.append(pr)
 
     E = len(counts_flat)
     label_offsets = np.zeros(E + 1, np.int64)
@@ -408,4 +540,4 @@ def resolve_parsimony_cells(
         ),
         counts=np.asarray(counts_flat, np.uint32),
     )
-    return eqc, alt_cells
+    return eqc, alt_cells, (probs_flat if with_probs else None)

@@ -302,16 +302,20 @@ def _resolve_cells(
             from ..ops import pug
 
             gene_level = res in ("parsimony-gene", "parsimony-gene-em")
-            groups_eqc, alt_cells = pug.resolve_parsimony_cells(
+            aln_probs = (
+                _longread_aln_probs(sub) if _is_long_read(batch.schema) else None
+            )
+            groups_eqc, alt_cells, eq_probs = pug.resolve_parsimony_cells(
                 sub, tid_to_gid, num_genes,
                 pug_exact_umi=opts.pug_exact_umi,
                 large_graph_thresh=opts.large_graph_thresh,
                 gene_level=gene_level,
+                aln_probs=aln_probs,
             )
             alt_res_cells.extend(int(c) for c in alt_cells)
             dump_eq_data, bm, bv = _counts_from_eqclasses(
                 groups_eqc, res, usa_mode, usa_offsets, num_genes, num_rows,
-                n_cells_all, opts, add_coo,
+                n_cells_all, opts, add_coo, eq_probs=eq_probs,
             )
             boot_mean, boot_var = bm, bv
         else:
@@ -353,7 +357,50 @@ def _subset_reads(batch: ReadBatch, read_mask: np.ndarray) -> dict:
         "umi": batch.umi[idx],
         "refs": batch.refs[gather],
         "offs": offs,
+        "aln_cols": {k: v[gather] for k, v in batch.aln_cols.items()},
     }
+
+
+def _is_long_read(schema) -> bool:
+    names = {n for n, _ in schema.aln_fields}
+    return {"as", "start", "end"} <= names
+
+
+def _longread_aln_probs(sub: dict) -> np.ndarray:
+    """Per-alignment probabilities for long-read records: the product of
+    the alignment-score model exp((AS - max_AS)/5) (eq_class.rs:20-38)
+    and the 3'-end distance model (eq_class.rs:40-85), normalized to sum
+    1 within each read."""
+    offs = sub["offs"]
+    n = len(offs) - 1
+    nal = np.diff(offs)
+    read_of_aln = np.repeat(np.arange(n), nal)
+    as_raw = np.ascontiguousarray(
+        sub["aln_cols"]["as"].astype(np.uint32)
+    ).view(np.int32).astype(np.float64)
+    max_as = np.full(n, -np.inf)
+    np.maximum.at(max_as, read_of_aln, as_raw)
+    score_p = np.exp((as_raw - max_as[read_of_aln]) / 5.0)
+
+    ends = sub["aln_cols"]["end"].astype(np.float64)
+    tlens = sub["aln_cols"].get("tlen")
+    if tlens is None:
+        # without a tlen tag the 3' model degenerates to distance 0
+        tlens = ends
+    else:
+        tlens = tlens.astype(np.float64)
+    dist = tlens - ends
+    extra = np.maximum(dist - 100.0, 0.0)
+    ln_w = -(extra * extra) * (0.5 / (100.0 * 100.0))
+    ln_floor = -3.0 * np.log(10.0)
+    end_p = np.exp(np.maximum(ln_w, ln_floor))
+
+    final = score_p * end_p
+    sums = np.zeros(n)
+    np.add.at(sums, read_of_aln, final)
+    ok = sums[read_of_aln] > 0
+    final[ok] = final[ok] / sums[read_of_aln][ok]
+    return final
 
 
 def _counts_from_groups(
@@ -370,7 +417,7 @@ def _counts_from_groups(
 
 def _counts_from_eqclasses(
     eqc: crlike.CellEqClasses, res, usa_mode, usa_offsets, num_genes,
-    num_rows, n_cells_all, opts, add_coo,
+    num_rows, n_cells_all, opts, add_coo, eq_probs=None,
 ):
     only_unique = res in ("cr-like", "parsimony", "parsimony-gene")
     dump_eq_data = (eqc, usa_mode) if opts.dump_eq else None
@@ -421,12 +468,27 @@ def _counts_from_eqclasses(
         em_rows = num_genes
         em_usa = None
         with_last_round = False
-    results = em_cells_batched(
-        eqc.cell_eq_offsets, lab_offs, labels, eqc.counts,
-        em_rows, em_usa, opts.init_uniform, with_last_round,
-    )
-    for ci, (nz, vv) in zip(eqc.cell_ids, results):
-        add_coo(np.full(len(nz), ci), nz, vv)
+    if eq_probs is not None and not usa_mode:
+        # long-read probability-weighted EM (em.rs:716-844), per cell
+        from ..ops.em import em_optimize_long_read_cell_np
+
+        for k, ci in enumerate(eqc.cell_ids):
+            s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
+            lo = lab_offs[s : e + 1] - lab_offs[s]
+            lab = labels[lab_offs[s] : lab_offs[e]]
+            alphas = em_optimize_long_read_cell_np(
+                lo, lab, eqc.counts[s:e], eq_probs[s:e], em_rows,
+                opts.init_uniform,
+            )
+            nz = np.flatnonzero(alphas)
+            add_coo(np.full(len(nz), ci), nz, alphas[nz])
+    else:
+        results = em_cells_batched(
+            eqc.cell_eq_offsets, lab_offs, labels, eqc.counts,
+            em_rows, em_usa, opts.init_uniform, with_last_round,
+        )
+        for ci, (nz, vv) in zip(eqc.cell_ids, results):
+            add_coo(np.full(len(nz), ci), nz, vv)
 
     if opts.num_bootstraps > 0:
         from ..ops.bootstrap import run_bootstraps

@@ -157,6 +157,71 @@ def write_multi_bc_rad(
         w.finalize()
 
 
+def make_longread_prelude(
+    ref_names: List[str], bc_len: int = 16, umi_len: int = 12
+) -> Tuple[RadPrelude, dict]:
+    """Long-read scRNA prelude: aln tags as/start/end (+ tlen) trigger
+    the RnaLong record type (src/utils.rs:324-331)."""
+    hdr = RadHeader(is_paired=0, ref_names=list(ref_names), num_chunks=0)
+    ft = TagSection(SECTION_FILE)
+    ft.add("cblen", RadType(rt.U16))
+    ft.add("ulen", RadType(rt.U16))
+    rtg = TagSection(SECTION_READ)
+    rtg.add("b", RadType(rt.int_type_for_seq_len(bc_len)))
+    rtg.add("u", RadType(rt.int_type_for_seq_len(umi_len)))
+    at = TagSection(SECTION_ALN)
+    at.add("compressed_ori_refid", RadType(rt.U32))
+    at.add("as", RadType(rt.U32))
+    at.add("start", RadType(rt.U32))
+    at.add("end", RadType(rt.U32))
+    at.add("tlen", RadType(rt.U32))
+    prelude = RadPrelude(hdr, ft, rtg, at)
+    return prelude, {"cblen": bc_len, "ulen": umi_len}
+
+
+def write_longread_rad(
+    path: Path,
+    ref_names: List[str],
+    reads_per_chunk: Sequence[Sequence[tuple]],
+    bc_len: int = 16,
+    umi_len: int = 12,
+) -> None:
+    """Each read: (bc, umi, [(ref, fw, as, start, end, tlen), ...])."""
+    prelude, ftv = make_longread_prelude(ref_names, bc_len, umi_len)
+    with open(path, "wb") as fh:
+        w = RadWriter(fh, prelude, ftv)
+        for chunk in reads_per_chunk:
+            bcs, umis, refs, dirs, offs = [], [], [], [], [0]
+            a_s, st, en, tl = [], [], [], []
+            for bc, umi, alns in chunk:
+                bcs.append(bc)
+                umis.append(umi)
+                for r, d, asv, s0, e0, t0 in alns:
+                    refs.append(r)
+                    dirs.append(d)
+                    a_s.append(asv & 0xFFFFFFFF)
+                    st.append(s0)
+                    en.append(e0)
+                    tl.append(t0)
+                offs.append(len(refs))
+            w.write_chunk(
+                read_cols={
+                    "b": np.asarray(bcs, np.uint64),
+                    "u": np.asarray(umis, np.uint64),
+                },
+                aln_offsets=np.asarray(offs, np.int64),
+                refs=np.asarray(refs, np.uint32),
+                dirs=np.asarray(dirs, bool),
+                aln_cols={
+                    "as": np.asarray(a_s, np.uint64),
+                    "start": np.asarray(st, np.uint64),
+                    "end": np.asarray(en, np.uint64),
+                    "tlen": np.asarray(tl, np.uint64),
+                },
+            )
+        w.finalize()
+
+
 def make_atac_prelude(
     ref_names: List[str], ref_lens: List[int], bc_len: int = 16
 ) -> Tuple[RadPrelude, dict]:
