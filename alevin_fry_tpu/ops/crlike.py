@@ -48,17 +48,34 @@ class UmiGroups:
     labels: np.ndarray      # flat uint32 gene ids
 
 
+def _bits_for(n: int) -> int:
+    return max(int(n) - 1, 1).bit_length()
+
+
 def _dedup_read_genes(
     refs: np.ndarray,
     aln_offsets: np.ndarray,
     tid_to_gid: np.ndarray,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Project per-alignment refs to genes and dedup within each read.
-    Returns (pair_read, pair_gene)."""
+    Returns (pair_read, pair_gene).  Uses a packed single-key sort when
+    (read, gene) fits in 64 bits — one radix-style sort instead of a
+    two-key lexsort."""
     n = len(aln_offsets) - 1
     num_aln = np.diff(aln_offsets)
     read_of_aln = np.repeat(np.arange(n, dtype=np.int64), num_aln)
     genes = tid_to_gid[refs]
+    gbits = _bits_for(int(genes.max()) + 1 if len(genes) else 1)
+    rbits = _bits_for(n if n else 1)
+    if gbits + rbits <= 63:
+        key = (read_of_aln << np.int64(gbits)) | genes.astype(np.int64)
+        key = np.sort(key)
+        first = np.ones(len(key), bool)
+        first[1:] = key[1:] != key[:-1]
+        key = key[first]
+        return key >> np.int64(gbits), (
+            key & np.int64((1 << gbits) - 1)
+        ).astype(tid_to_gid.dtype)
     order = np.lexsort((genes, read_of_aln))
     r_s = read_of_aln[order]
     g_s = genes[order]
@@ -81,9 +98,24 @@ def resolve_crlike(
     u = umi[pair_read]
     g = pair_gene
 
-    # sort triplets by (cell, umi, gene)
-    order = np.lexsort((g, u, c))
-    c, u, g = c[order], u[order], g[order]
+    # sort triplets by (cell, umi, gene); pack into one u64 key when the
+    # bit budget allows (cells + umi + gene bits <= 64)
+    cbits = _bits_for(int(c.max()) + 1 if len(c) else 1)
+    ubits = _bits_for(int(u.max()) + 1 if len(u) else 1)
+    gbits = _bits_for(int(g.max()) + 1 if len(g) else 1)
+    if cbits + ubits + gbits <= 64:
+        key = (
+            (c.astype(np.uint64) << np.uint64(ubits + gbits))
+            | (u.astype(np.uint64) << np.uint64(gbits))
+            | g.astype(np.uint64)
+        )
+        key = np.sort(key)
+        g = (key & np.uint64((1 << gbits) - 1)).astype(pair_gene.dtype)
+        u = (key >> np.uint64(gbits)) & np.uint64((1 << ubits) - 1)
+        c = (key >> np.uint64(ubits + gbits)).astype(np.int64)
+    else:
+        order = np.lexsort((g, u, c))
+        c, u, g = c[order], u[order], g[order]
 
     # aggregate counts per (cell, umi, gene)
     new_t = np.ones(len(c), bool)

@@ -52,6 +52,17 @@ def _load():
             ctypes.c_void_p,  # out rec_starts (int64*)
             ctypes.c_void_p,  # out num_aln   (int64*)
         ]
+        for name in ("radc_extract_fields", "radc_encode_records"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # buf, len
+                ctypes.c_void_p, ctypes.c_int64,   # rec_starts, n_recs
+                ctypes.c_void_p,                   # num_aln
+                ctypes.c_void_p, ctypes.c_int64,   # read_widths, n
+                ctypes.c_void_p, ctypes.c_int64,   # aln_widths, n
+                ctypes.c_void_p, ctypes.c_void_p,  # read_cols**, aln_cols**
+            ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -85,3 +96,66 @@ def walk_records(
     if rc < 0:
         raise ValueError("record walk overran the buffer (corrupt RAD chunk?)")
     return rec_starts, num_aln
+
+
+def _col_ptrs(cols):
+    arr = (ctypes.c_void_p * len(cols))()
+    for i, c in enumerate(cols):
+        arr[i] = c.ctypes.data
+    return arr
+
+
+def extract_fields(
+    buf: np.ndarray,
+    rec_starts: np.ndarray,
+    num_aln: np.ndarray,
+    read_widths,
+    aln_widths,
+):
+    """One-pass extraction of all record fields into u64 columns.
+    Returns (read_cols list, aln_cols list)."""
+    lib = _load()
+    n = len(rec_starts)
+    total_aln = int(num_aln.sum())
+    read_cols = [np.empty(n, np.uint64) for _ in read_widths]
+    aln_cols = [np.empty(total_aln, np.uint64) for _ in aln_widths]
+    rw = np.asarray(read_widths, np.int64)
+    aw = np.asarray(aln_widths, np.int64)
+    buf = np.ascontiguousarray(buf)
+    rec_starts = np.ascontiguousarray(rec_starts, np.int64)
+    num_aln = np.ascontiguousarray(num_aln, np.int64)
+    rc = lib.radc_extract_fields(
+        buf.ctypes.data, buf.nbytes,
+        rec_starts.ctypes.data, n, num_aln.ctypes.data,
+        rw.ctypes.data, len(rw), aw.ctypes.data, len(aw),
+        _col_ptrs(read_cols), _col_ptrs(aln_cols),
+    )
+    if rc < 0:
+        raise ValueError("field extraction overran the buffer")
+    return read_cols, aln_cols
+
+
+def encode_records_native(
+    out_buf: np.ndarray,
+    rec_starts: np.ndarray,
+    num_aln: np.ndarray,
+    read_widths,
+    aln_widths,
+    read_cols,
+    aln_cols,
+) -> None:
+    lib = _load()
+    rw = np.asarray(read_widths, np.int64)
+    aw = np.asarray(aln_widths, np.int64)
+    rec_starts = np.ascontiguousarray(rec_starts, np.int64)
+    num_aln = np.ascontiguousarray(num_aln, np.int64)
+    read_cols = [np.ascontiguousarray(c, np.uint64) for c in read_cols]
+    aln_cols = [np.ascontiguousarray(c, np.uint64) for c in aln_cols]
+    rc = lib.radc_encode_records(
+        out_buf.ctypes.data, out_buf.nbytes,
+        rec_starts.ctypes.data, len(rec_starts), num_aln.ctypes.data,
+        rw.ctypes.data, len(rw), aw.ctypes.data, len(aw),
+        _col_ptrs(read_cols), _col_ptrs(aln_cols),
+    )
+    if rc < 0:
+        raise ValueError("record encoding overran the buffer")

@@ -176,30 +176,44 @@ def decode_chunk_bodies(
         rec_starts, num_aln = _walk_records_py(buf, region_starts, chunk_recs, rb, ab)
 
     batch = ReadBatch(schema=schema)
-    # read-level fields
-    off = 4
-    for name, w in schema.read_fields:
-        batch.read_cols[name] = _gather_uint(buf, rec_starts + off, w)
-        off += w
-
-    # alignment-level fields
     aln_offsets = np.zeros(len(rec_starts) + 1, np.int64)
     np.cumsum(num_aln, out=aln_offsets[1:])
     total_aln = int(aln_offsets[-1])
-    # flat start offset of each alignment entry
-    aln_base = np.repeat(rec_starts + 4 + rb, num_aln) + (
-        np.arange(total_aln, dtype=np.int64)
-        - np.repeat(aln_offsets[:-1], num_aln)
-    ) * ab
-    foff = 0
-    for name, w in schema.aln_fields:
-        col = _gather_uint(buf, aln_base + foff, w)
-        foff += w
-        if name == schema.ref_field:
-            batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
-            batch.refs = (col & np.uint64(MASK_TOP_BIT_U32)).astype(np.uint32)
-        else:
-            batch.aln_cols[name] = col
+
+    if _native.available():
+        read_cols, aln_cols = _native.extract_fields(
+            buf, rec_starts, num_aln,
+            [w for _, w in schema.read_fields],
+            [w for _, w in schema.aln_fields],
+        )
+        for (name, _w), col in zip(schema.read_fields, read_cols):
+            batch.read_cols[name] = col
+        for (name, _w), col in zip(schema.aln_fields, aln_cols):
+            if name == schema.ref_field:
+                batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
+                batch.refs = (col & np.uint64(MASK_TOP_BIT_U32)).astype(np.uint32)
+            else:
+                batch.aln_cols[name] = col
+    else:
+        # read-level fields
+        off = 4
+        for name, w in schema.read_fields:
+            batch.read_cols[name] = _gather_uint(buf, rec_starts + off, w)
+            off += w
+        # flat start offset of each alignment entry
+        aln_base = np.repeat(rec_starts + 4 + rb, num_aln) + (
+            np.arange(total_aln, dtype=np.int64)
+            - np.repeat(aln_offsets[:-1], num_aln)
+        ) * ab
+        foff = 0
+        for name, w in schema.aln_fields:
+            col = _gather_uint(buf, aln_base + foff, w)
+            foff += w
+            if name == schema.ref_field:
+                batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
+                batch.refs = (col & np.uint64(MASK_TOP_BIT_U32)).astype(np.uint32)
+            else:
+                batch.aln_cols[name] = col
     batch.aln_offsets = aln_offsets
 
     chunk_offsets = np.zeros(len(chunk_recs) + 1, np.int64)
@@ -229,6 +243,25 @@ def encode_records(
     total = int(rec_starts[-1])
     buf = np.zeros(total, np.uint8)
     rec_starts = rec_starts[:-1]
+
+    if _native.available():
+        rcols = [read_cols[name] for name, _ in schema.read_fields]
+        acols = []
+        for name, _w in schema.aln_fields:
+            if name == schema.ref_field:
+                acols.append(
+                    refs.astype(np.uint64)
+                    | (dirs.astype(np.uint64) << np.uint64(31))
+                )
+            else:
+                acols.append(aln_cols[name])
+        _native.encode_records_native(
+            buf, rec_starts, num_aln,
+            [w for _, w in schema.read_fields],
+            [w for _, w in schema.aln_fields],
+            rcols, acols,
+        )
+        return buf
 
     _scatter_uint(buf, rec_starts, 4, num_aln.astype(np.uint64))
     off = 4
