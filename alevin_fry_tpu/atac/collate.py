@@ -117,22 +117,11 @@ def collate(
         prelude.hdr.num_chunks = n_cells_written
         prelude.write(sink)
         prelude.write_file_tag_values(sink, ftm)
-        cell_starts = np.zeros(len(cell_bcs) + 1, np.int64)
-        np.cumsum(per_cell, out=cell_starts[1:])
-        for ci in range(len(cell_bcs)):
-            s, e = int(cell_starts[ci]), int(cell_starts[ci + 1])
-            if s == e:
-                continue
-            body = encode_records(
-                schema,
-                {k: v[s:e] for k, v in read_cols.items()},
-                out_offs[s : e + 1] - out_offs[s],
-                refs[out_offs[s] : out_offs[e]],
-                dirs[out_offs[s] : out_offs[e]],
-                {k: v[out_offs[s] : out_offs[e]] for k, v in aln_cols.items()},
-            )
-            sink.write(struct.pack("<II", body.nbytes + 8, e - s))
-            sink.write(body.tobytes())
+        from ..radz.chunkio import write_cell_chunks
+
+        write_cell_chunks(
+            sink, schema, read_cols, out_offs, refs, dirs, aln_cols, per_cell
+        )
         if compress_out:
             from ..radz import snappyz
 

@@ -131,21 +131,23 @@ def resolve_crlike(
 
 
 def _winners_wta(tc, tu, tg, t_counts) -> UmiGroups:
-    # group boundaries per (cell, umi)
+    # group boundaries per (cell, umi); data is sorted, so segment
+    # reductions use reduceat (much faster than ufunc.at scatter)
+    if len(tc) == 0:
+        return UmiGroups(
+            cell=tc, umi=tu,
+            label_offsets=np.zeros(1, np.int64), labels=tg.astype(np.uint32),
+        )
     new_g = np.ones(len(tc), bool)
-    if len(tc):
-        new_g[1:] = (tc[1:] != tc[:-1]) | (tu[1:] != tu[:-1])
+    new_g[1:] = (tc[1:] != tc[:-1]) | (tu[1:] != tu[:-1])
+    g_start = np.flatnonzero(new_g)
     gid = np.cumsum(new_g) - 1
-    n_groups = int(gid[-1]) + 1 if len(tc) else 0
-    gmax = np.zeros(n_groups, np.uint32)
-    np.maximum.at(gmax, gid, t_counts)
+    gmax = np.maximum.reduceat(t_counts, g_start)
     win = t_counts == gmax[gid]
 
-    label_counts = np.zeros(n_groups, np.int64)
-    np.add.at(label_counts, gid[win], 1)
-    offsets = np.zeros(n_groups + 1, np.int64)
+    label_counts = np.add.reduceat(win.astype(np.int64), g_start)
+    offsets = np.zeros(len(g_start) + 1, np.int64)
     np.cumsum(label_counts, out=offsets[1:])
-    g_start = np.flatnonzero(new_g)
     return UmiGroups(
         cell=tc[g_start], umi=tu[g_start],
         label_offsets=offsets, labels=tg[win].astype(np.uint32),

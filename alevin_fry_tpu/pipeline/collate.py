@@ -223,25 +223,11 @@ def collate(
         prelude.hdr.num_chunks = len(cell_bcs)
         prelude.write(sink)
         prelude.write_file_tag_values(sink, ftm)
-        cell_starts = np.zeros(len(cell_bcs) + 1, np.int64)
-        np.cumsum(per_cell, out=cell_starts[1:])
-        for ci in range(len(cell_bcs)):
-            s, e = int(cell_starts[ci]), int(cell_starts[ci + 1])
-            if s == e:
-                # reference never emits empty cells (every permit entry has
-                # reads); mirror by emitting nothing and flagging below
-                continue
-            body = encode_records(
-                schema,
-                {k: v[s:e] for k, v in read_cols.items()},
-                out_offsets[s : e + 1] - out_offsets[s],
-                refs[out_offsets[s] : out_offsets[e]],
-                dirs[out_offsets[s] : out_offsets[e]],
-                {k: v[out_offsets[s] : out_offsets[e]] for k, v in aln_cols.items()},
-            )
-            sink.write(struct.pack("<II", body.nbytes + 8, e - s))
-            sink.write(body.tobytes())
-        n_written = int((per_cell > 0).sum())
+        from ..radz.chunkio import write_cell_chunks
+
+        n_written = write_cell_chunks(
+            sink, schema, read_cols, out_offsets, refs, dirs, aln_cols, per_cell
+        )
         if n_written != len(cell_bcs):
             # patch the header with the actual chunk count
             pos = sink.tell()

@@ -286,6 +286,41 @@ def encode_records(
     return buf
 
 
+def write_cell_chunks(
+    sink,
+    schema: RecordSchema,
+    read_cols: Dict[str, np.ndarray],
+    aln_offsets: np.ndarray,
+    refs: np.ndarray,
+    dirs: np.ndarray,
+    aln_cols: Dict[str, np.ndarray],
+    cell_sizes: np.ndarray,
+) -> int:
+    """Encode all records once and emit one chunk per cell (records must
+    already be grouped by cell in order).  Returns the number of
+    non-empty chunks written."""
+    body = encode_records(schema, read_cols, aln_offsets, refs, dirs, aln_cols)
+    num_aln = np.diff(aln_offsets)
+    rec_sizes = 4 + schema.read_bytes + num_aln * schema.aln_bytes
+    rec_byte_off = np.zeros(len(rec_sizes) + 1, np.int64)
+    np.cumsum(rec_sizes, out=rec_byte_off[1:])
+    cell_starts = np.zeros(len(cell_sizes) + 1, np.int64)
+    np.cumsum(cell_sizes, out=cell_starts[1:])
+    mv = memoryview(body.data)
+    parts = []
+    n_written = 0
+    for ci in range(len(cell_sizes)):
+        s, e = int(cell_starts[ci]), int(cell_starts[ci + 1])
+        if s == e:
+            continue
+        bs, be = int(rec_byte_off[s]), int(rec_byte_off[e])
+        parts.append(struct.pack("<II", be - bs + 8, e - s))
+        parts.append(mv[bs:be])
+        n_written += 1
+    sink.write(b"".join(parts))
+    return n_written
+
+
 class ChunkWriter:
     """Writes chunks (with nbytes/nrec headers) to a binary stream."""
 

@@ -42,16 +42,24 @@ def write_matrix_market(
         # matrices) go through a fast vectorized integer path
         ivals = vals.astype(np.int64)
         is_int = (vals == ivals) & np.isfinite(vals)
-        vstr = np.char.mod("%d", ivals)
-        if not is_int.all():
-            vstr = vstr.astype(object)
+        if is_int.all():
+            # pure-integer matrix: C-speed CSV emit via pandas
+            import pandas as pd
+
+            pd.DataFrame(
+                {"r": rows + 1, "c": cols + 1, "v": ivals}
+            ).to_csv(fh, sep=" ", header=False, index=False, lineterminator="\n")
+        else:
+            vstr = np.char.mod("%d", ivals).astype(object)
             ni = np.flatnonzero(~is_int)
             vstr[ni] = [rust_f32_str(v) for v in vals[ni]]
-        body = np.char.add(
-            np.char.add(np.char.mod("%d ", rows + 1), np.char.mod("%d ", cols + 1)),
-            np.char.add(np.asarray(vstr, dtype=np.str_), "\n"),
-        )
-        fh.write("".join(body.tolist()))
+            body = np.char.add(
+                np.char.add(
+                    np.char.mod("%d ", rows + 1), np.char.mod("%d ", cols + 1)
+                ),
+                np.char.add(np.asarray(vstr, dtype=np.str_), "\n"),
+            )
+            fh.write("".join(body.tolist()))
 
 
 def read_matrix_market(path: Path):
