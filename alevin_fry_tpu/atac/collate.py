@@ -9,14 +9,13 @@ num_chunks = 0, atac/collate.rs:212)."""
 from __future__ import annotations
 
 import json
-import struct
 from pathlib import Path
 
 import numpy as np
 
 from .. import __version__
 from ..radz import bincodeio, read_prelude
-from ..radz.chunkio import decode_all_chunks, encode_records
+from ..radz.chunkio import decode_all_chunks
 from ..radz.records import RecordSchema
 from ..radz import unmapped as unmappedio
 from ..utils import check_version_compat, write_json

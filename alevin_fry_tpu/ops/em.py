@@ -24,7 +24,6 @@ Two implementations with identical semantics:
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -326,7 +325,7 @@ def em_cells_batched(
     usa_offsets: Optional[Tuple[int, int]],
     init_uniform: bool,
     with_last_round: bool,
-    use_jax: bool = True,
+    use_jax: Optional[bool] = None,
     max_batch_elems: int = 1 << 27,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Run EM for every cell; returns per-cell sparse results
@@ -359,6 +358,10 @@ def em_cells_batched(
     em_cells = np.flatnonzero(needs_em)
     if len(em_cells) == 0:
         return results
+
+    if use_jax is None:
+        # below ~64 EM cells the jit compile dominates; NumPy wins
+        use_jax = len(em_cells) >= 64
 
     if not use_jax:
         for ci in em_cells:

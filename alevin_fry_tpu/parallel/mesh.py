@@ -17,8 +17,6 @@ and collation phases, with psum/all-gather merges over ICI:
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -24,7 +24,7 @@ import numpy as np
 
 from .. import __version__
 from ..radz import bincodeio, read_prelude, record_type_from_prelude, KnownRecordType
-from ..radz.chunkio import ReadBatch, decode_all_chunks, encode_records
+from ..radz.chunkio import ReadBatch, decode_all_chunks
 from ..radz.records import RecordSchema
 from ..radz import unmapped as unmappedio
 from ..utils import aln_strand_mask, check_version_compat, write_json

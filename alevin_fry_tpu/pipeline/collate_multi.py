@@ -22,7 +22,6 @@ vectorized pass:
 from __future__ import annotations
 
 import json
-import struct
 from pathlib import Path
 
 import numpy as np
@@ -30,7 +29,7 @@ import numpy as np
 from .. import __version__
 from ..ops import barcodes as bcops
 from ..radz import bincodeio, read_prelude
-from ..radz.chunkio import decode_all_chunks, encode_records
+from ..radz.chunkio import decode_all_chunks
 from ..radz.collation import CollationManifest, SampleGroup
 from ..radz.records import RecordSchema
 from ..radz import unmapped as unmappedio

@@ -26,7 +26,7 @@ import gzip
 import struct
 import zlib
 from pathlib import Path
-from typing import BinaryIO, Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ bit-parity CI path) has no such ties.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -34,7 +34,7 @@ from .. import __version__
 from ..ops import barcodes as bcops
 from ..ops.knee import get_knee
 from ..radz import bincodeio, read_prelude, record_type_from_prelude, KnownRecordType
-from ..radz.chunkio import ReadBatch, decode_all_chunks
+from ..radz.chunkio import decode_all_chunks
 from ..radz.records import RecordSchema
 from ..utils import (
     read_barcode_file,

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass, field
-from typing import BinaryIO, List, Tuple, Union
+from typing import BinaryIO, List, Union
 
 import numpy as np
 

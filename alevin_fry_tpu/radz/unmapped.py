@@ -23,7 +23,7 @@ from typing import Tuple
 
 import numpy as np
 
-from .types import _INT_SIZES, U32, U64
+from .types import _INT_SIZES, U64
 
 _MAGIC = b"AFUC"
 _VERSION = 1

@@ -10,7 +10,6 @@ from alevin_fry_tpu.pipeline.gpl import (
 )
 from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
 from alevin_fry_tpu.radz.mtx import read_matrix_market
-from synth import write_rna_rad
 from test_pipeline_rna import make_dataset
 
 

@@ -6,8 +6,6 @@ rule freq(x) > 2*freq(y)-1 holds (pugutils.rs:76-99, 308-391).
 """
 
 import numpy as np
-import pytest
-
 from alevin_fry_tpu.ops.barcodes import pack_seq
 from alevin_fry_tpu.pipeline.collate import collate
 from alevin_fry_tpu.pipeline.gpl import (

@@ -11,7 +11,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from alevin_fry_tpu.ops.barcodes import pack_seq, unpack_seq
+from alevin_fry_tpu.ops.barcodes import pack_seq
 from alevin_fry_tpu.pipeline.collate import collate
 from alevin_fry_tpu.pipeline.gpl import (
     CellFilterMethod,
