@@ -52,6 +52,11 @@ def _load():
             ctypes.c_void_p,  # out rec_starts (int64*)
             ctypes.c_void_p,  # out num_aln   (int64*)
         ]
+        lib.radc_format_triplets.restype = ctypes.c_int64
+        lib.radc_format_triplets.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
         for name in ("radc_extract_fields", "radc_encode_records"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
@@ -133,6 +138,21 @@ def extract_fields(
     if rc < 0:
         raise ValueError("field extraction overran the buffer")
     return read_cols, aln_cols
+
+
+def format_triplets(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> bytes:
+    """Format integer COO triplets as 'r c v\\n' lines natively."""
+    lib = _load()
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.int64)
+    n = len(rows)
+    out = np.empty(max(n, 1) * 62, np.uint8)
+    ln = lib.radc_format_triplets(
+        rows.ctypes.data, cols.ctypes.data, vals.ctypes.data, n,
+        out.ctypes.data,
+    )
+    return out[:ln].tobytes()
 
 
 def encode_records_native(

@@ -43,12 +43,20 @@ def write_matrix_market(
         ivals = vals.astype(np.int64)
         is_int = (vals == ivals) & np.isfinite(vals)
         if is_int.all():
-            # pure-integer matrix: C-speed CSV emit via pandas
-            import pandas as pd
+            # pure-integer matrix: native C formatting
+            from . import _native
 
-            pd.DataFrame(
-                {"r": rows + 1, "c": cols + 1, "v": ivals}
-            ).to_csv(fh, sep=" ", header=False, index=False, lineterminator="\n")
+            if _native.available():
+                fh.write(
+                    _native.format_triplets(rows + 1, cols + 1, ivals).decode()
+                )
+            else:
+                import pandas as pd
+
+                pd.DataFrame(
+                    {"r": rows + 1, "c": cols + 1, "v": ivals}
+                ).to_csv(fh, sep=" ", header=False, index=False,
+                         lineterminator="\n")
         else:
             vstr = np.char.mod("%d", ivals).astype(object)
             ni = np.flatnonzero(~is_int)

@@ -112,4 +112,33 @@ int64_t radc_encode_records(uint8_t* buf, int64_t buf_len,
   return aln_idx;
 }
 
+// Format integer COO triplets as "r c v\n" lines (MatrixMarket body).
+// out must have room for n * 62 bytes; returns bytes written.
+int64_t radc_format_triplets(const int64_t* rows, const int64_t* cols,
+                             const int64_t* vals, int64_t n, char* out) {
+  char* p = out;
+  auto emit = [&p](int64_t v) {
+    char tmp[20];
+    int k = 0;
+    if (v < 0) {
+      *p++ = '-';
+      v = -v;
+    }
+    do {
+      tmp[k++] = static_cast<char>('0' + (v % 10));
+      v /= 10;
+    } while (v);
+    while (k) *p++ = tmp[--k];
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    emit(rows[i]);
+    *p++ = ' ';
+    emit(cols[i]);
+    *p++ = ' ';
+    emit(vals[i]);
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 }  // extern "C"
