@@ -395,7 +395,7 @@ def em_cells_batched(
         per_cell = (R + 1) * 3 + Ep * Lp * 2
         B = max(1, min(len(cells), max_batch_elems // max(per_cell, 1)))
         for s0 in range(0, len(cells), B):
-            group = cells[s0 : s0 + B]
+            group = np.asarray(cells[s0 : s0 + B], np.int64)
             # pad the batch dimension to a power of two so the jit cache
             # is keyed by a small set of shapes
             b = _pad_pow2(len(group), 1)
@@ -403,25 +403,40 @@ def em_cells_batched(
             len_pad = np.zeros((b, Ep), np.int32)
             ct_pad = np.zeros((b, Ep), np.float32)
             init = np.zeros((b, R + 1), np.float32)
-            for bi, ci in enumerate(group):
-                s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
-                ne = e - s
-                ct_pad[bi, :ne] = counts[s:e]
-                for k in range(ne):
-                    ls, le = label_offsets[s + k], label_offsets[s + k + 1]
-                    ll = le - ls
-                    lab_pad[bi, k, :ll] = labels[ls:le]
-                    len_pad[bi, k] = ll
-                # informative / uniform init, seeded from unique counts
-                a0 = np.zeros(R, np.float32)
-                sng = (np.diff(label_offsets[s : e + 1]) == 1)
-                sl = labels[label_offsets[s : e][sng]]
-                np.add.at(a0, sl, counts[s:e][sng].astype(np.float32))
-                if init_uniform:
-                    a0[:] = np.float32(1.0) / np.float32(R)
-                else:
-                    a0 = (a0 + np.float32(0.5)) * np.float32(1e-3)
-                init[bi, :R] = a0
+
+            # vectorized padding fill: flat class/label scatter indices
+            cs = cell_eq_offsets[group]
+            ce = cell_eq_offsets[group + 1]
+            ne = ce - cs
+            cls_cell = np.repeat(np.arange(len(group)), ne)  # batch idx per class
+            cls_idx = np.concatenate(
+                [np.arange(s, e) for s, e in zip(cs, ce)]
+            ) if len(group) else np.zeros(0, np.int64)
+            cls_slot = np.arange(len(cls_idx)) - np.repeat(
+                np.cumsum(ne) - ne, ne
+            )
+            ct_pad[cls_cell, cls_slot] = counts[cls_idx]
+            ll = lens_all[cls_idx]
+            len_pad[cls_cell, cls_slot] = ll
+            el_class = np.repeat(np.arange(len(cls_idx)), ll)
+            el_pos = np.arange(int(ll.sum())) - np.repeat(np.cumsum(ll) - ll, ll)
+            el_gather = np.repeat(label_offsets[cls_idx], ll) + el_pos
+            lab_pad[
+                cls_cell[el_class], cls_slot[el_class], el_pos
+            ] = labels[el_gather]
+
+            # informative / uniform init, seeded from unique counts
+            if init_uniform:
+                init[:, :R] = np.float32(1.0) / np.float32(R)
+            else:
+                sc = np.flatnonzero(ll == 1)
+                sl = labels[label_offsets[cls_idx[sc]]]
+                np.add.at(
+                    init, (cls_cell[sc], sl),
+                    counts[cls_idx[sc]].astype(np.float32),
+                )
+                init[:, :R] = (init[:, :R] + np.float32(0.5)) * np.float32(1e-3)
+                init[:, R] = 0.0
             out = np.asarray(
                 kern(
                     jnp.asarray(lab_pad), jnp.asarray(len_pad),
