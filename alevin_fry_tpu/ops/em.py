@@ -194,12 +194,37 @@ def em_optimize_long_read_cell_np(
 # --- batched JAX kernel ------------------------------------------------------
 
 _jit_cache = {}
+_cache_configured = False
+
+
+def _configure_compile_cache():
+    """Enable jax's persistent compilation cache so repeated pipeline
+    runs skip XLA recompiles (significant when the device is behind a
+    slow tunnel)."""
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "aft_jax"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
 
 def _get_em_kernel(usa: bool, with_last_round: bool):
     import jax
     import jax.numpy as jnp
 
+    _configure_compile_cache()
     key = (usa, with_last_round)
     if key in _jit_cache:
         return _jit_cache[key]
@@ -380,13 +405,14 @@ def em_cells_batched(
 
     R = num_rows
     uoff, aoff = usa_offsets if usa_offsets is not None else (0, 0)
-    # bucket EM cells by (padded E, padded L)
+    # Bucket EM cells by padded class count only, with a floor of 64 and
+    # one global padded label length: shape diversity = XLA compiles, and
+    # each compile can cost tens of seconds on a tunneled device.
     nE = np.diff(cell_eq_offsets)[em_cells]
-    maxL = np.zeros(C, np.int64)
-    np.maximum.at(maxL, e_cell, lens_all)
+    Lp_global = _pad_pow2(int(lens_all.max()) if len(lens_all) else 1, 2)
     buckets = {}
     for ci, ne in zip(em_cells, nE):
-        key = (_pad_pow2(int(ne), 8), _pad_pow2(int(maxL[ci]), 2))
+        key = (_pad_pow2(int(ne), 64), Lp_global)
         buckets.setdefault(key, []).append(ci)
 
     kern = _get_em_kernel(usa_offsets is not None, with_last_round)

@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: batched Hamming<=1 barcode neighbor search.
+
+The unfiltered-permit-list rescue asks, for every unmatched barcode,
+how many *kept* barcodes lie within Hamming distance 1 (substitutions
+over the 2-bit encoding) and which one (when unique)
+(cellfilter.rs:198-233 via BarcodeLookupMap).
+
+The host path (ops/barcodes.py) expands 3L+1 substitution variants per
+query and binary-searches the sorted kept list.  This kernel is the
+device formulation: queries live in a TPU-native (8, 128) sublane x
+lane layout (1024 per grid step), the kept table streams through VMEM
+in tiles, and an inner fori_loop broadcasts one kept barcode per
+iteration against the whole query tile — XOR, 2-bit fold, popcount on
+the VPU.  Work is O(Q x K) with no gathers or scatters, and the query
+axis shards cleanly across a device mesh.
+
+Outputs per query:
+  * ``counts`` — number of kept barcodes with distance <= 1
+  * ``rep``    — the smallest such kept barcode, which equals the
+                 unique neighbor when counts == 1 (the only case the
+                 rescue logic consumes).  Min-tracking runs in
+                 bias-transformed int32 (v ^ 0x80000000 preserves
+                 unsigned order under signed compare) because Mosaic
+                 has no unsigned reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+_Q_SUB = 8
+_Q_LANE = 128
+_Q_BLOCK = _Q_SUB * _Q_LANE  # 1024 queries per grid step
+_K_TILE = 1024
+
+
+def _build_kernel():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def popcount32(v):
+        v = v - ((v >> 1) & jnp.uint32(0x55555555))
+        v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+        v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+        return ((v * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+    def kernel(q_lo_ref, q_hi_ref, k_lo_ref, k_hi_ref, kb_lo_ref, kb_hi_ref,
+               cnt_ref, rep_lo_ref, rep_hi_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
+            rep_lo_ref[:] = jnp.full_like(rep_lo_ref, jnp.iinfo(jnp.int32).max)
+            rep_hi_ref[:] = jnp.full_like(rep_hi_ref, jnp.iinfo(jnp.int32).max)
+
+        q_lo = q_lo_ref[:]  # (8, 128) uint32
+        q_hi = q_hi_ref[:]
+        m = jnp.uint32(0x55555555)
+
+        def body(t, carry):
+            cnt, rep_lo, rep_hi = carry
+            k_lo = k_lo_ref[0, t]
+            k_hi = k_hi_ref[0, t]
+            x_lo = jnp.bitwise_xor(q_lo, k_lo)
+            x_hi = jnp.bitwise_xor(q_hi, k_hi)
+            t_lo = jnp.bitwise_and(jnp.bitwise_or(x_lo, x_lo >> 1), m)
+            t_hi = jnp.bitwise_and(jnp.bitwise_or(x_hi, x_hi >> 1), m)
+            d = popcount32(t_lo) + popcount32(t_hi)
+            near = d <= 1
+            cnt = cnt + near.astype(jnp.int32)
+            # bias-transformed int32 copies of the kept barcode (host
+            # precomputed; scalar bitcast is unsupported in Mosaic)
+            kb_lo = kb_lo_ref[0, t]
+            kb_hi = kb_hi_ref[0, t]
+            better = near & (
+                (kb_hi < rep_hi) | ((kb_hi == rep_hi) & (kb_lo < rep_lo))
+            )
+            rep_hi = jnp.where(better, kb_hi, rep_hi)
+            rep_lo = jnp.where(better, kb_lo, rep_lo)
+            return cnt, rep_lo, rep_hi
+
+        cnt, rep_lo, rep_hi = jax.lax.fori_loop(
+            0, _K_TILE, body, (cnt_ref[:], rep_lo_ref[:], rep_hi_ref[:])
+        )
+        cnt_ref[:] = cnt
+        rep_lo_ref[:] = rep_lo
+        rep_hi_ref[:] = rep_hi
+
+    @partial(jax.jit, static_argnums=(6,))
+    def run(q_lo, q_hi, k_lo, k_hi, kb_lo, kb_hi, interpret):
+        nq_blocks = q_lo.shape[0] // _Q_SUB
+        nk_tiles = k_lo.shape[1] // _K_TILE
+        grid = (nq_blocks, nk_tiles)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_Q_SUB, _Q_LANE), lambda i, j: (i, 0)),
+                pl.BlockSpec((_Q_SUB, _Q_LANE), lambda i, j: (i, 0)),
+                # kept tiles live in SMEM: the inner loop reads one
+                # scalar per iteration with a dynamic index, which VMEM
+                # lanes don't allow
+                pl.BlockSpec((1, _K_TILE), lambda i, j: (0, j),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _K_TILE), lambda i, j: (0, j),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _K_TILE), lambda i, j: (0, j),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _K_TILE), lambda i, j: (0, j),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((_Q_SUB, _Q_LANE), lambda i, j: (i, 0)),
+                pl.BlockSpec((_Q_SUB, _Q_LANE), lambda i, j: (i, 0)),
+                pl.BlockSpec((_Q_SUB, _Q_LANE), lambda i, j: (i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(q_lo.shape, jnp.int32),
+                jax.ShapeDtypeStruct(q_lo.shape, jnp.int32),
+                jax.ShapeDtypeStruct(q_lo.shape, jnp.int32),
+            ],
+            interpret=interpret,
+        )(q_lo, q_hi, k_lo, k_hi, kb_lo, kb_hi)
+
+    return run
+
+
+_RUN = None
+
+
+def find_neighbors_pallas(
+    queries: np.ndarray, kept: np.ndarray, length: int, interpret: bool = False
+):
+    """Device Hamming<=1 search.  Returns (counts, rep) matching the
+    contract of ops.barcodes.find_neighbors_batch (rep is the smallest
+    neighbor; unique when counts == 1)."""
+    global _RUN
+    if _RUN is None:
+        _RUN = _build_kernel()
+    import jax.numpy as jnp
+
+    queries = np.asarray(queries, np.uint64)
+    kept = np.asarray(kept, np.uint64)
+    nq, nk = len(queries), len(kept)
+    if nq == 0 or nk == 0:
+        return np.zeros(nq, np.int64), np.zeros(nq, np.uint64)
+
+    qpad = -nq % _Q_BLOCK
+    kpad = -nk % _K_TILE
+    # pad queries with an impossible pattern and kept with a different
+    # one so padding never matches anything real
+    qp = np.concatenate([queries, np.full(qpad, 0xAAAAAAAAAAAAAAAA, np.uint64)])
+    kp = np.concatenate([kept, np.full(kpad, 0x5555555555555555, np.uint64)])
+    q_lo = (qp & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(-1, _Q_LANE)
+    q_hi = (qp >> np.uint64(32)).astype(np.uint32).reshape(-1, _Q_LANE)
+    k_lo = (kp & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(1, -1)
+    k_hi = (kp >> np.uint64(32)).astype(np.uint32).reshape(1, -1)
+    kb_lo = (k_lo ^ np.uint32(0x80000000)).view(np.int32)
+    kb_hi = (k_hi ^ np.uint32(0x80000000)).view(np.int32)
+
+    cnt, rep_lo, rep_hi = _RUN(
+        jnp.asarray(q_lo), jnp.asarray(q_hi), jnp.asarray(k_lo),
+        jnp.asarray(k_hi), jnp.asarray(kb_lo), jnp.asarray(kb_hi), interpret,
+    )
+    cnt = np.asarray(cnt).ravel()[:nq].astype(np.int64)
+    un_hi = (np.asarray(rep_hi).ravel()[:nq].view(np.uint32)
+             ^ np.uint32(0x80000000)).astype(np.uint64)
+    un_lo = (np.asarray(rep_lo).ravel()[:nq].view(np.uint32)
+             ^ np.uint32(0x80000000)).astype(np.uint64)
+    rep = (un_hi << np.uint64(32)) | un_lo
+    rep = np.where(cnt > 0, rep, np.uint64(0))
+    return cnt, rep
