@@ -79,6 +79,194 @@ def correct_and_filter(
     return corrected, keep_read, keep_aln_final, new_offsets, stats
 
 
+def _collate_out_of_core(
+    input_dir: Path,
+    rad_dir: Path,
+    cell_bcs: np.ndarray,
+    cell_cts: np.ndarray,
+    map_keys: np.ndarray,
+    map_vals: np.ndarray,
+    expected_ori: str,
+    velo_mode: bool,
+    max_records: int,
+    compress_out: bool,
+) -> None:
+    """Bounded-memory collation: scatter corrected records into
+    rank-range spill buckets (each <= max_records), then gather each
+    bucket with one in-memory sort.  Records are re-encoded once during
+    scatter and moved byte-wise during gather (no second field decode)."""
+    from ..radz.chunkio import encode_records, iter_decoded_blocks
+    from ..radz import _native
+
+    with open(rad_dir / "map.rad", "rb") as fh:
+        prelude, ftm, _ = read_prelude(fh)
+        schema = RecordSchema.from_prelude(prelude)
+
+        # bucket planning over the descending-count cell ranks
+        csum = np.zeros(len(cell_cts) + 1, np.int64)
+        np.cumsum(cell_cts.astype(np.int64), out=csum[1:])
+        # bucket b covers ranks with csum in [b*max_records, ...)
+        bucket_of_rank = (csum[:-1] // max_records).astype(np.int64)
+        n_buckets = int(bucket_of_rank[-1]) + 1 if len(cell_cts) else 1
+        log.info(
+            "out-of-core collation: %d records into %d spill buckets",
+            int(csum[-1]), n_buckets,
+        )
+
+        sort_perm = np.argsort(cell_bcs, kind="stable")
+        cell_sorted = cell_bcs[sort_perm]
+
+        spill_dir = input_dir / "_collate_tmp"
+        spill_dir.mkdir(exist_ok=True)
+        bucket_files = [
+            (open(spill_dir / f"bucket_{b}.rec", "wb"),
+             open(spill_dir / f"bucket_{b}.rank", "wb"))
+            for b in range(n_buckets)
+        ]
+        try:
+            for batch in iter_decoded_blocks(
+                fh, schema, prelude.hdr.num_chunks, max_records
+            ):
+                corrected, keep_read, keep_aln, new_offsets, _ = (
+                    correct_and_filter(batch, map_keys, map_vals, expected_ori)
+                )
+                kept = np.flatnonzero(keep_read)
+                if len(kept) == 0:
+                    continue
+                rank = sort_perm[
+                    np.searchsorted(cell_sorted, corrected[keep_read])
+                ]
+                read_cols = {k: v[kept] for k, v in batch.read_cols.items()}
+                read_cols[schema.barcode_fields[-1]] = corrected[keep_read]
+                refs = batch.refs[keep_aln]
+                dirs = batch.dirs[keep_aln]
+                aln_cols = {k: v[keep_aln] for k, v in batch.aln_cols.items()}
+                bmask = bucket_of_rank[rank]
+                nal = np.diff(new_offsets)
+                for b in np.unique(bmask):
+                    sel = np.flatnonzero(bmask == b)
+                    offs = np.zeros(len(sel) + 1, np.int64)
+                    np.cumsum(nal[sel], out=offs[1:])
+                    gather = np.repeat(new_offsets[:-1][sel], nal[sel]) + (
+                        np.arange(int(offs[-1]))
+                        - np.repeat(offs[:-1], nal[sel])
+                    )
+                    body = encode_records(
+                        schema,
+                        {k: v[sel] for k, v in read_cols.items()},
+                        offs,
+                        refs[gather], dirs[gather],
+                        {k: v[gather] for k, v in aln_cols.items()},
+                    )
+                    bucket_files[int(b)][0].write(body.tobytes())
+                    bucket_files[int(b)][1].write(
+                        rank[sel].astype(np.uint32).tobytes()
+                    )
+            for rf, kf in bucket_files:
+                rf.close()
+                kf.close()
+
+            # gather: per bucket, byte-sort records by rank and emit chunks
+            cfname = (
+                "velo.map.collated.rad" if velo_mode
+                else ("map.collated.rad.sz" if compress_out else "map.collated.rad")
+            )
+            raw_sink = open(input_dir / cfname, "wb")
+            if compress_out:
+                from ..radz.snappyz import SnappyFrameWriter
+                import io
+
+                head = io.BytesIO()
+                prelude.hdr.num_chunks = 0  # patched below via rewrite
+                sink = head
+            else:
+                sink = raw_sink
+            n_written = 0
+            # write prelude with the expected chunk count (cells with
+            # zero surviving reads are rare; recount below and patch)
+            prelude.hdr.num_chunks = len(cell_bcs)
+            nc_pos = prelude.write(sink)
+            prelude.write_file_tag_values(sink, ftm)
+            if compress_out:
+                frame = SnappyFrameWriter(raw_sink)
+                frame.write(head.getvalue())
+
+            for b in range(n_buckets):
+                rec_bytes = np.fromfile(spill_dir / f"bucket_{b}.rec", np.uint8)
+                ranks = np.fromfile(spill_dir / f"bucket_{b}.rank", np.uint32)
+                if len(ranks) == 0:
+                    continue
+                if _native.available():
+                    rec_starts, num_aln = _native.walk_records(
+                        rec_bytes, np.asarray([0], np.int64),
+                        np.asarray([len(ranks)], np.int64),
+                        schema.read_bytes, schema.aln_bytes,
+                    )
+                else:
+                    from ..radz.chunkio import _walk_records_py
+
+                    rec_starts, num_aln = _walk_records_py(
+                        rec_bytes, [0], [len(ranks)],
+                        schema.read_bytes, schema.aln_bytes,
+                    )
+                sizes = 4 + schema.read_bytes + num_aln * schema.aln_bytes
+                order = np.argsort(ranks, kind="stable")
+                # byte gather in sorted order
+                out_sizes = sizes[order]
+                out_off = np.zeros(len(order) + 1, np.int64)
+                np.cumsum(out_sizes, out=out_off[1:])
+                gidx = np.repeat(rec_starts[order], out_sizes) + (
+                    np.arange(int(out_off[-1]))
+                    - np.repeat(out_off[:-1], out_sizes)
+                )
+                sorted_bytes = rec_bytes[gidx]
+                # chunk boundaries per cell within the bucket
+                rs = ranks[order]
+                newc = np.ones(len(rs), bool)
+                newc[1:] = rs[1:] != rs[:-1]
+                starts = np.flatnonzero(newc)
+                ends = np.append(starts[1:], len(rs))
+                w = frame if compress_out else sink
+                for s, e in zip(starts, ends):
+                    bs, be = int(out_off[s]), int(out_off[e])
+                    w.write(struct.pack("<II", be - bs + 8, int(e - s)))
+                    w.write(sorted_bytes[bs:be].tobytes())
+                    n_written += 1
+                (spill_dir / f"bucket_{b}.rec").unlink()
+                (spill_dir / f"bucket_{b}.rank").unlink()
+            if compress_out:
+                frame.flush()
+                raw_sink.close()
+                if n_written != len(cell_bcs):
+                    log.warning(
+                        "compressed out-of-core output wrote %d chunks but the "
+                        "header claims %d (cells with no surviving reads)",
+                        n_written, len(cell_bcs),
+                    )
+            else:
+                if n_written != len(cell_bcs):
+                    pos = sink.tell()
+                    sink.seek(nc_pos)
+                    sink.write(struct.pack("<Q", n_written))
+                    sink.seek(pos)
+                sink.close()
+        finally:
+            for rf, kf in bucket_files:
+                if not rf.closed:
+                    rf.close()
+                if not kf.closed:
+                    kf.close()
+            for p in spill_dir.glob("bucket_*"):
+                p.unlink(missing_ok=True)
+            try:
+                spill_dir.rmdir()
+            except OSError:
+                pass
+    log.info(
+        "finished out-of-core collation; wrote %d cell chunks", n_written
+    )
+
+
 def collate(
     input_dir: Path,
     rad_dir: Path,
@@ -132,6 +320,14 @@ def collate(
         unmappedio.write_collated_single(
             input_dir / "unmapped_bc_count_collated.bin",
             np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+        )
+
+    # out-of-core path for datasets beyond the in-memory record bound
+    # (the reference's --max-records scatter/gather, collate.rs:584-905)
+    if total_to_collate > max_records:
+        return _collate_out_of_core(
+            input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
+            expected_ori, velo_mode, max_records, compress_out,
         )
 
     # ingest the input RAD

@@ -152,6 +152,46 @@ def decode_all_chunks(
     return decode_chunk_bodies(chunk_bufs, chunk_recs, schema)
 
 
+def iter_decoded_blocks(
+    fh: BinaryIO,
+    schema: RecordSchema,
+    num_chunks: int | None,
+    max_records: int,
+):
+    """Stream-decode chunks into ReadBatch blocks of roughly
+    ``max_records`` reads each (bounded-memory ingestion; the analog of
+    the reference's --max-records scatter bound)."""
+    chunk_bufs: List[bytes] = []
+    chunk_recs: List[int] = []
+    first_chunk = 0
+    n = 0
+    pending = 0
+    while num_chunks is None or n < num_chunks:
+        hdr = fh.read(8)
+        if len(hdr) < 8:
+            if num_chunks is not None:
+                raise EOFError(f"expected {num_chunks} chunks but hit EOF after {n}")
+            break
+        nbytes, nrec = struct.unpack("<II", hdr)
+        body = fh.read(nbytes - 8)
+        if len(body) != nbytes - 8:
+            raise EOFError("truncated chunk body")
+        chunk_bufs.append(body)
+        chunk_recs.append(nrec)
+        pending += nrec
+        n += 1
+        if pending >= max_records:
+            batch = decode_chunk_bodies(chunk_bufs, chunk_recs, schema)
+            batch.chunk_id += first_chunk
+            yield batch
+            first_chunk = n
+            chunk_bufs, chunk_recs, pending = [], [], 0
+    if chunk_bufs:
+        batch = decode_chunk_bodies(chunk_bufs, chunk_recs, schema)
+        batch.chunk_id += first_chunk
+        yield batch
+
+
 def decode_chunk_bodies(
     chunk_bufs: List[bytes], chunk_recs: List[int], schema: RecordSchema
 ) -> ReadBatch:

@@ -148,14 +148,39 @@ def block_compress_literal(data: bytes) -> bytes:
 
 # --- framing -----------------------------------------------------------------
 
+class SnappyFrameWriter:
+    """Incremental snappy framing writer (uncompressed chunks)."""
+
+    def __init__(self, fh: BinaryIO):
+        self.fh = fh
+        fh.write(_STREAM_ID)
+        self._pend = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self._pend += data
+        while len(self._pend) >= _MAX_CHUNK:
+            self._emit(bytes(self._pend[:_MAX_CHUNK]))
+            del self._pend[:_MAX_CHUNK]
+
+    def _emit(self, chunk: bytes) -> None:
+        body = struct.pack("<I", _masked_crc(chunk)) + chunk
+        self.fh.write(struct.pack("<I", (len(body) << 8) | 0x01))
+        self.fh.write(body)
+
+    def flush(self) -> None:
+        if self._pend:
+            self._emit(bytes(self._pend))
+            self._pend.clear()
+
+    def tell(self) -> int:  # for interface compatibility; not seekable
+        raise OSError("snappy frame writer is not seekable")
+
+
 def frame_compress_stream(data: bytes, fh: BinaryIO) -> None:
     """Write ``data`` as a snappy framing stream of uncompressed chunks."""
-    fh.write(_STREAM_ID)
-    for s in range(0, len(data), _MAX_CHUNK):
-        chunk = data[s : s + _MAX_CHUNK]
-        body = struct.pack("<I", _masked_crc(chunk)) + chunk
-        fh.write(struct.pack("<I", (len(body) << 8) | 0x01))
-        fh.write(body)
+    w = SnappyFrameWriter(fh)
+    w.write(data)
+    w.flush()
 
 
 def frame_decompress(fh: BinaryIO) -> bytes:

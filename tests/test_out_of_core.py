@@ -1,0 +1,61 @@
+"""Out-of-core collation must produce byte-identical results to the
+in-memory path (forced by a tiny --max-records)."""
+
+import numpy as np
+
+from alevin_fry_tpu.pipeline.collate import collate
+from alevin_fry_tpu.pipeline.gpl import (
+    CellFilterMethod, GenPermitListOpts, generate_permit_list,
+)
+from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+from alevin_fry_tpu.ops.barcodes import pack_seq
+from alevin_fry_tpu.radz.mtx import read_matrix_market
+from synth import write_rna_rad
+
+
+def _build(tmp_path):
+    rng = np.random.RandomState(5)
+    refs = [f"t{i}" for i in range(8)]
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT", "ACGTACGT"]
+    reads = []
+    for ci, bc in enumerate(bcs):
+        for i in range(30 + 10 * ci):
+            na = 1 + int(rng.rand() < 0.3)
+            alns = [(int(rng.randint(8)), True) for _ in range(na)]
+            reads.append((pack_seq(bc), int(rng.randint(1 << 12)) * 4, alns))
+    rng.shuffle(reads)
+    chunks = [reads[i : i + 17] for i in range(0, len(reads), 17)]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, chunks, bc_len=8, umi_len=6)
+    (tmp_path / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+    (tmp_path / "t2g.tsv").write_text(
+        "".join(f"t{i}\tg{i // 2}\n" for i in range(8))
+    )
+    gpl = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=tmp_path / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    return rad_dir, gpl
+
+
+def test_out_of_core_matches_in_memory(tmp_path):
+    rad_dir, gpl = _build(tmp_path)
+    collate(gpl, rad_dir, cmdline="t")  # in-memory (default max_records)
+    in_mem = (gpl / "map.collated.rad").read_bytes()
+
+    collate(gpl, rad_dir, max_records=40, cmdline="t")  # forced spill
+    spilled = (gpl / "map.collated.rad").read_bytes()
+    assert spilled == in_mem
+    assert not (gpl / "_collate_tmp").exists()
+
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=tmp_path / "t2g.tsv",
+        output_dir=tmp_path / "q", resolution="cr-like", cmdline="t",
+    ))
+    r, c, v, shape = read_matrix_market(tmp_path / "q" / "alevin" / "quants_mat.mtx")
+    assert shape[0] == 5
+    assert v.sum() > 0
