@@ -102,12 +102,34 @@ def _serialize_opts(opts: GenPermitListOpts) -> dict:
     return d
 
 
+GPL_BLOCK_RECORDS = int(
+    __import__("os").environ.get("AFT_GPL_BLOCK_RECORDS", 20_000_000)
+)
+
+
 def _histogram(bcs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Sorted (barcode, count) histogram."""
     if len(bcs) == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
     uniq, counts = np.unique(bcs, return_counts=True)
     return uniq, counts.astype(np.uint64)
+
+
+def _merge_histograms(a_bc, a_ct, b_bc, b_ct):
+    """Merge two sorted histograms (sorted-merge + segment sum)."""
+    if len(a_bc) == 0:
+        return b_bc, b_ct
+    if len(b_bc) == 0:
+        return a_bc, a_ct
+    bc = np.concatenate([a_bc, b_bc])
+    ct = np.concatenate([a_ct, b_ct])
+    order = np.argsort(bc, kind="stable")
+    bc, ct = bc[order], ct[order]
+    new = np.ones(len(bc), bool)
+    new[1:] = bc[1:] != bc[:-1]
+    starts = np.flatnonzero(new)
+    out_ct = np.add.reduceat(ct, starts)
+    return bc[starts], out_ct.astype(np.uint64)
 
 
 def generate_permit_list(opts: GenPermitListOpts) -> int:
@@ -138,14 +160,30 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
             "record type %s; ref_count %d; num_chunks %d",
             rec_type.value, prelude.hdr.ref_count, prelude.hdr.num_chunks,
         )
-        batch = decode_all_chunks(fh, schema, prelude.hdr.num_chunks)
 
-    strand = strand_from_ori_arg(opts.expected_ori)
-    compat = read_strand_mask(batch.dirs, batch.aln_offsets, strand)
-    num_reads = batch.n_reads
-    num_compat = int(compat.sum())
-    max_ambig = int(batch.num_aln_per_read[compat].max()) if num_compat else 0
-    bcs = batch.barcode()[compat]
+        # stream in bounded blocks and accumulate the histogram —
+        # memory is bounded by distinct barcodes, not read count
+        strand = strand_from_ori_arg(opts.expected_ori)
+        from ..radz.chunkio import iter_decoded_blocks
+
+        num_reads = 0
+        num_compat = 0
+        max_ambig = 0
+        h_bc = np.zeros(0, np.uint64)
+        h_ct = np.zeros(0, np.uint64)
+        for block in iter_decoded_blocks(
+            fh, schema, prelude.hdr.num_chunks, GPL_BLOCK_RECORDS
+        ):
+            compat = read_strand_mask(block.dirs, block.aln_offsets, strand)
+            num_reads += block.n_reads
+            nc = int(compat.sum())
+            num_compat += nc
+            if nc:
+                max_ambig = max(
+                    max_ambig, int(block.num_aln_per_read[compat].max())
+                )
+            b_bc, b_ct = _histogram(block.barcode()[compat])
+            h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
     log.info(
         "observed %d reads (%d orientation consistent); max ambiguity %d refs",
         num_reads, num_compat, max_ambig,
@@ -156,15 +194,18 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     if opts.fmeth.kind == "unfiltered":
-        return _process_unfiltered(opts, bcs, bclen, num_reads, max_ambig, out_dir)
-    return _process_filtered(opts, bcs, bclen, max_ambig, out_dir)
+        return _process_unfiltered(
+            opts, h_bc, h_ct, bclen, num_reads, max_ambig, out_dir
+        )
+    return _process_filtered(opts, h_bc, h_ct, bclen, max_ambig, out_dir)
 
 
 # --- unfiltered external list (cellfilter.rs:105-333) -----------------------
 
 def _process_unfiltered(
     opts: GenPermitListOpts,
-    bcs: np.ndarray,
+    uniq: np.ndarray,
+    counts: np.ndarray,
     bclen: int,
     num_reads: int,
     max_ambig: int,
@@ -179,7 +220,6 @@ def _process_unfiltered(
     wl_sorted = np.sort(np.unique(wl))
     log.info("number of unfiltered bcs read = %d", len(wl_sorted))
 
-    uniq, counts = _histogram(bcs)
     idx = np.searchsorted(wl_sorted, uniq)
     idx_c = np.minimum(idx, max(len(wl_sorted) - 1, 0))
     in_wl = (len(wl_sorted) > 0) & (idx < len(wl_sorted)) & (wl_sorted[idx_c] == uniq)
@@ -261,12 +301,12 @@ def _process_unfiltered(
 
 def _process_filtered(
     opts: GenPermitListOpts,
-    bcs: np.ndarray,
+    uniq: np.ndarray,
+    counts: np.ndarray,
     bclen: int,
     max_ambig: int,
     out_dir: Path,
 ) -> int:
-    uniq, counts = _histogram(bcs)
     freq = np.sort(counts)[::-1]
 
     meth = opts.fmeth
