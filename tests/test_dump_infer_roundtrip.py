@@ -1,0 +1,79 @@
+"""quant --dump-eqclasses -> infer roundtrip: re-running the EM from the
+dumped gene-level equivalence classes must reproduce quant's matrix
+(infer.rs is exactly that re-run)."""
+
+import numpy as np
+
+from alevin_fry_tpu.ops.barcodes import pack_seq
+from alevin_fry_tpu.pipeline.collate import collate
+from alevin_fry_tpu.pipeline.gpl import (
+    CellFilterMethod, GenPermitListOpts, generate_permit_list,
+)
+from alevin_fry_tpu.pipeline.infer import infer
+from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+from alevin_fry_tpu.radz.mtx import read_matrix_market
+from synth import write_rna_rad
+
+
+def _pad_umi(i):
+    i = i + 1
+    v = 0
+    for k in range(5):
+        d = (i >> (2 * k)) & 3
+        v |= d << (4 * k)
+        v |= d << (4 * k + 2)
+    return v
+
+
+def _mat(path):
+    r, c, v, shape = read_matrix_market(path)
+    m = np.zeros(shape)
+    m[r, c] = v
+    return m
+
+
+def test_dump_eq_infer_roundtrip(tmp_path):
+    refs = ["t0", "t1", "t2"]
+    bcs = ["AAAAAAAA", "CCCCCCCC"]
+    reads = []
+    rng = np.random.RandomState(2)
+    for bc in bcs:
+        # 120 reads per cell: 60 unique t0, 30 unique t1, 30 ambiguous
+        for i in range(60):
+            reads.append((pack_seq(bc), _pad_umi(i), [(0, True)]))
+        for i in range(30):
+            reads.append((pack_seq(bc), _pad_umi(200 + i), [(1, True)]))
+        for i in range(30):
+            reads.append((pack_seq(bc), _pad_umi(400 + i),
+                          [(0, True), (1, True)]))
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, [reads], bc_len=8, umi_len=10)
+    (tmp_path / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+    (tmp_path / "t2g.tsv").write_text("t0\tg0\nt1\tg1\nt2\tg2\n")
+    gpl = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=tmp_path / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(gpl, rad_dir, cmdline="t")
+    qdir = tmp_path / "q"
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=tmp_path / "t2g.tsv", output_dir=qdir,
+        resolution="cr-like-em", dump_eq=True, cmdline="t",
+    ))
+    assert (qdir / "alevin" / "geqc_counts.mtx").exists()
+    assert (qdir / "alevin" / "gene_eqclass.txt.gz").exists()
+
+    # infer needs rows/cols next to the count matrix — they are
+    infer(
+        qdir / "alevin" / "geqc_counts.mtx",
+        qdir / "alevin" / "gene_eqclass.txt.gz",
+        False, 1, None, tmp_path / "inferred",
+    )
+    m_quant = _mat(qdir / "alevin" / "quants_mat.mtx")
+    m_infer = _mat(tmp_path / "inferred" / "quants_mat.mtx")
+    assert m_quant.shape == m_infer.shape
+    np.testing.assert_allclose(m_infer, m_quant, rtol=5e-3, atol=5e-3)
