@@ -246,9 +246,13 @@ def _get_em_kernel(usa: bool, with_last_round: bool):
         extra2 = jnp.where(amb, p2, 0.0)
         return a_self + p1 + extra2
 
-    def kernel(labels, lens, counts, init_alphas, uoff, aoff, R):
+    def kernel(labels, lens, counts, uoff, aoff, R, init_uniform):
         # labels: (B,E,L) int32 (pad -> R); lens: (B,E); counts: (B,E) f32
-        # init_alphas: (B,R+1) f32
+        # The dense (B, R+1) alpha state lives entirely on device: the
+        # init is computed here and the result is returned gathered at
+        # the label positions (the support of the EM output is contained
+        # in the label set), so host<->device traffic is O(B*E*L), not
+        # O(B*R).
         B, E, L = labels.shape
         single = lens == 1
         valid = lens > 0
@@ -259,6 +263,17 @@ def _get_em_kernel(usa: bool, with_last_round: bool):
 
         s_label = labels[:, :, 0]
         s_contrib = jnp.where(single & valid, counts, 0.0)
+
+        # init: unique-count seeds -> informative / uniform transform
+        seeds = jnp.zeros((B, R + 1), jnp.float32)
+        seeds = seeds.at[jnp.arange(B)[:, None], jnp.where(single, s_label, R)].add(
+            s_contrib
+        )
+        if init_uniform:
+            init_alphas = jnp.full((B, R + 1), 1.0 / R, jnp.float32)
+        else:
+            init_alphas = (seeds + 0.5) * 1e-3
+        init_alphas = init_alphas.at[:, R].set(0.0)
 
         def base_out(alphas):
             out = jnp.zeros_like(alphas)
@@ -330,9 +345,13 @@ def _get_em_kernel(usa: bool, with_last_round: bool):
 
         alphas, _, _, _ = lax.while_loop(cond, body, init_state)
         alphas = jnp.where(alphas < MIN_OUTPUT_ALPHA, 0.0, alphas)
-        return alphas
+        # return only the values at the label positions (pad -> 0)
+        gathered = jnp.take_along_axis(
+            alphas, labels.reshape(B, -1), axis=1
+        ).reshape(labels.shape)
+        return jnp.where(lmask, gathered, 0.0)
 
-    fn = jax.jit(kernel, static_argnums=(4, 5, 6))
+    fn = jax.jit(kernel, static_argnums=(3, 4, 5, 6))
     _jit_cache[key] = fn
     return fn
 
@@ -428,7 +447,6 @@ def em_cells_batched(
             lab_pad = np.full((b, Ep, Lp), R, np.int32)
             len_pad = np.zeros((b, Ep), np.int32)
             ct_pad = np.zeros((b, Ep), np.float32)
-            init = np.zeros((b, R + 1), np.float32)
 
             # vectorized padding fill: flat class/label scatter indices
             cs = cell_eq_offsets[group]
@@ -451,27 +469,35 @@ def em_cells_batched(
                 cls_cell[el_class], cls_slot[el_class], el_pos
             ] = labels[el_gather]
 
-            # informative / uniform init, seeded from unique counts
-            if init_uniform:
-                init[:, :R] = np.float32(1.0) / np.float32(R)
-            else:
-                sc = np.flatnonzero(ll == 1)
-                sl = labels[label_offsets[cls_idx[sc]]]
-                np.add.at(
-                    init, (cls_cell[sc], sl),
-                    counts[cls_idx[sc]].astype(np.float32),
-                )
-                init[:, :R] = (init[:, :R] + np.float32(0.5)) * np.float32(1e-3)
-                init[:, R] = 0.0
             out = np.asarray(
                 kern(
                     jnp.asarray(lab_pad), jnp.asarray(len_pad),
-                    jnp.asarray(ct_pad), jnp.asarray(init),
-                    uoff, aoff, R,
+                    jnp.asarray(ct_pad),
+                    uoff, aoff, R, bool(init_uniform),
                 )
             )
+            # out holds final alphas gathered at the label positions;
+            # dedupe (cell, label) pairs in one sort and drop zeros
+            vals_flat = out[
+                cls_cell[el_class], cls_slot[el_class], el_pos
+            ]
+            lab_flat = labels[el_gather].astype(np.int64)
+            cell_of_el = cls_cell[el_class].astype(np.int64)
+            key = cell_of_el * np.int64(R + 1) + lab_flat
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            vs = vals_flat[order]
+            firstm = np.ones(len(ks), bool)
+            if len(ks):
+                firstm[1:] = ks[1:] != ks[:-1]
+            keep = firstm & (vs != 0)
+            kk, vv2 = ks[keep], vs[keep]
+            kcell = kk // (R + 1)
+            klab = kk % (R + 1)
+            bounds = np.searchsorted(kcell, np.arange(len(group) + 1))
             for bi, ci in enumerate(group):
-                alphas = out[bi, :R]
-                nz = np.flatnonzero(alphas)
-                results[ci] = (nz.astype(np.int64), alphas[nz])
+                s_, e_ = bounds[bi], bounds[bi + 1]
+                results[ci] = (
+                    klab[s_:e_], vv2[s_:e_].astype(np.float32)
+                )
     return results
