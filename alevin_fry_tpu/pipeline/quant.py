@@ -129,6 +129,13 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
         assert opts.num_bootstraps == 0, (
             "currently USA-mode analysis cannot be used with bootstrapping."
         )
+    if usa_mode and opts.resolution == "trivial":
+        # the reference documents trivial as unavailable in USA mode
+        # (docs/source/quant.rst) and would panic on out-of-bounds gene
+        # ids; fail with a clear message instead
+        raise ValueError(
+            "the trivial resolution strategy is not available in USA mode"
+        )
     sa_model = opts.sa_model
     if not usa_mode and sa_model != "winner-take-all":
         log.info(
