@@ -424,26 +424,39 @@ def em_cells_batched(
 
     R = num_rows
     uoff, aoff = usa_offsets if usa_offsets is not None else (0, 0)
-    # Bucket EM cells by padded class count only, with a floor of 64 and
-    # one global padded label length: shape diversity = XLA compiles, and
-    # each compile can cost tens of seconds on a tunneled device.
+    # Bucket EM cells by padded class count only (powers of FOUR with a
+    # floor of 64) and one global padded label length: shape diversity =
+    # XLA compiles, and each compile can cost tens of seconds on a
+    # tunneled device, so we trade padding waste for very few shapes.
+    def _pad_pow4(x: int, lo: int) -> int:
+        v = lo
+        while v < x:
+            v *= 4
+        return v
+
     nE = np.diff(cell_eq_offsets)[em_cells]
     Lp_global = _pad_pow2(int(lens_all.max()) if len(lens_all) else 1, 2)
     buckets = {}
     for ci, ne in zip(em_cells, nE):
-        key = (_pad_pow2(int(ne), 64), Lp_global)
+        key = (_pad_pow4(int(ne), 64), Lp_global)
         buckets.setdefault(key, []).append(ci)
 
     kern = _get_em_kernel(usa_offsets is not None, with_last_round)
     for (Ep, Lp), cells in buckets.items():
-        # batch size bounded by memory: B*(R+1) floats and B*Ep*Lp ints
+        # batch size bounded by memory: B*(R+1) floats and B*Ep*Lp ints;
+        # quantized to {64, 512, 4096} to bound compile count
         per_cell = (R + 1) * 3 + Ep * Lp * 2
-        B = max(1, min(len(cells), max_batch_elems // max(per_cell, 1)))
+        mem_cap = max(1, max_batch_elems // max(per_cell, 1))
+        want = min(len(cells), mem_cap)
+        for B in (64, 512, 4096):
+            if B >= want:
+                break
+        B = min(B, max(64, mem_cap))
         for s0 in range(0, len(cells), B):
             group = np.asarray(cells[s0 : s0 + B], np.int64)
-            # pad the batch dimension to a power of two so the jit cache
-            # is keyed by a small set of shapes
-            b = _pad_pow2(len(group), 1)
+            # a single batch shape per bucket: pad every (possibly
+            # partial) batch to the full B
+            b = B
             lab_pad = np.full((b, Ep, Lp), R, np.int32)
             len_pad = np.zeros((b, Ep), np.int32)
             ct_pad = np.zeros((b, Ep), np.float32)
