@@ -371,6 +371,7 @@ def em_cells_batched(
     with_last_round: bool,
     use_jax: Optional[bool] = None,
     max_batch_elems: int = 1 << 27,
+    mesh=None,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Run EM for every cell; returns per-cell sparse results
     [(gene_idx, values), ...] in cell order.
@@ -482,12 +483,25 @@ def em_cells_batched(
                 cls_cell[el_class], cls_slot[el_class], el_pos
             ] = labels[el_gather]
 
-            out = np.asarray(
-                kern(
+            if mesh is not None:
+                # shard the cell batch across the device mesh; the jitted
+                # kernel runs SPMD with no cross-cell collectives
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+                args = (
+                    jax.device_put(jnp.asarray(lab_pad), shard),
+                    jax.device_put(jnp.asarray(len_pad), shard),
+                    jax.device_put(jnp.asarray(ct_pad), shard),
+                )
+            else:
+                args = (
                     jnp.asarray(lab_pad), jnp.asarray(len_pad),
                     jnp.asarray(ct_pad),
-                    uoff, aoff, R, bool(init_uniform),
                 )
+            out = np.asarray(
+                kern(*args, uoff, aoff, R, bool(init_uniform))
             )
             # out holds final alphas gathered at the label positions;
             # dedupe (cell, label) pairs in one sort and drop zeros

@@ -39,6 +39,40 @@ def test_sharded_histogram_matches_host(mesh):
     assert int(unmatched) == int((~hit).sum())
 
 
+def test_em_cells_batched_mesh_matches_host(mesh):
+    """The full batched EM with the cell axis sharded over the mesh must
+    equal the single-device result."""
+    from alevin_fry_tpu.ops.em import em_cells_batched
+
+    rng = np.random.RandomState(9)
+    R = 24
+    C = 100
+    cell_eq_offsets = [0]
+    lab_offsets = [0]
+    labels = []
+    counts = []
+    for _ in range(C):
+        ne = rng.randint(2, 7)
+        for _ in range(ne):
+            ll = rng.randint(1, 4)
+            labels.extend(rng.choice(R, size=ll, replace=False).tolist())
+            lab_offsets.append(len(labels))
+            counts.append(rng.randint(1, 15))
+        cell_eq_offsets.append(cell_eq_offsets[-1] + ne)
+    args = (
+        np.asarray(cell_eq_offsets, np.int64),
+        np.asarray(lab_offsets, np.int64),
+        np.asarray(labels, np.uint32),
+        np.asarray(counts, np.uint32),
+        R, None, False, True,
+    )
+    base = em_cells_batched(*args, use_jax=True)
+    sharded = em_cells_batched(*args, use_jax=True, mesh=mesh)
+    for (bi, bv), (si, sv) in zip(base, sharded):
+        np.testing.assert_array_equal(bi, si)
+        np.testing.assert_allclose(bv, sv, rtol=1e-6)
+
+
 def test_sharded_em_round_matches_numpy(mesh):
     R = 32
     B = 2 * len(jax.devices())
