@@ -425,22 +425,34 @@ def em_cells_batched(
 
     R = num_rows
     uoff, aoff = usa_offsets if usa_offsets is not None else (0, 0)
-    # Bucket EM cells by padded class count only (powers of FOUR with a
-    # floor of 64) and one global padded label length: shape diversity =
-    # XLA compiles, and each compile can cost tens of seconds on a
-    # tunneled device, so we trade padding waste for very few shapes.
-    def _pad_pow4(x: int, lo: int) -> int:
-        v = lo
-        while v < x:
-            v *= 4
-        return v
-
+    # Shape economics on a (possibly tunneled) device: every distinct
+    # XLA program costs a compile and a per-process program load, while
+    # transfer cost scales with the PADDED label arrays.  We use a fixed
+    # ladder of class-count pads {64, 256, 1024} (at most 3 programs per
+    # label width) and route the rare giant cells (> 1024 classes,
+    # ~p99+) to the NumPy path where per-cell work is trivial anyway.
+    _EP_LADDER = (64, 256, 1024)
     nE = np.diff(cell_eq_offsets)[em_cells]
     Lp_global = _pad_pow2(int(lens_all.max()) if len(lens_all) else 1, 2)
     buckets = {}
+    outlier_cells = []
     for ci, ne in zip(em_cells, nE):
-        key = (_pad_pow4(int(ne), 64), Lp_global)
-        buckets.setdefault(key, []).append(ci)
+        for ep in _EP_LADDER:
+            if ne <= ep:
+                buckets.setdefault((ep, Lp_global), []).append(int(ci))
+                break
+        else:
+            outlier_cells.append(int(ci))
+    for ci in outlier_cells:
+        s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
+        lo = label_offsets[s : e + 1] - label_offsets[s]
+        lab = labels[label_offsets[s] : label_offsets[e]]
+        alphas = em_optimize_cell_np(
+            lo, lab, counts[s:e], num_rows, usa_offsets,
+            init_uniform, with_last_round,
+        )
+        nz = np.flatnonzero(alphas)
+        results[ci] = (nz, alphas[nz])
 
     kern = _get_em_kernel(usa_offsets is not None, with_last_round)
     for (Ep, Lp), cells in buckets.items():
