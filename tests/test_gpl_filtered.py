@@ -116,3 +116,61 @@ def test_filtered_one_edit_correction(tmp_path):
     mk, mv = bincodeio.read_u64_map_file(out / "permit_map.bin")
     m = dict(zip(mk.tolist(), mv.tolist()))
     assert m[pack_seq("AAAAAAAT")] == pack_seq("AAAAAAAA")
+
+
+def test_filtered_full_pipeline(tmp_path):
+    """force-cells gpl -> collate -> quant end-to-end (the filtered-path
+    counterpart of the unfiltered CI flow)."""
+    from alevin_fry_tpu.pipeline.collate import collate
+    from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+    from alevin_fry_tpu.radz.mtx import read_matrix_market
+
+    counts = [("AAAAAAAA", 20), ("AAAAAAAT", 2), ("CCCCCCCC", 15),
+              ("GGGGGGGG", 1)]
+    rad = _make_rad(tmp_path, counts)
+    (tmp_path / "t2g.tsv").write_text("t0\tg0\n")
+    out = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad, output_dir=out,
+        fmeth=CellFilterMethod("force", count=2),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(out, rad, cmdline="t")
+    qdir = tmp_path / "q"
+    quantify(QuantOpts(
+        input_dir=out, tg_map=tmp_path / "t2g.tsv", output_dir=qdir,
+        resolution="cr-like", cmdline="t",
+    ))
+    rows = (qdir / "alevin" / "quants_mat_rows.txt").read_text().splitlines()
+    assert rows == ["AAAAAAAA", "CCCCCCCC"]
+    r, c, v, shape = read_matrix_market(qdir / "alevin" / "quants_mat.mtx")
+    import numpy as np
+
+    m = np.zeros(shape)
+    m[r, c] = v
+    # the 2 corrected AAAAAAAT reads carry UMIs already present in
+    # AAAAAAAA (same generator), so they deduplicate: 20 molecules
+    np.testing.assert_array_equal(m, [[20], [15]])
+
+
+def test_version_gate(tmp_path):
+    """collate rejects artifacts from an incompatible stage version."""
+    import json
+
+    import pytest
+
+    from alevin_fry_tpu.pipeline.collate import collate
+
+    counts = [("AAAAAAAA", 5)]
+    rad = _make_rad(tmp_path, counts)
+    out = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad, output_dir=out,
+        fmeth=CellFilterMethod("force", count=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    meta = json.loads((out / "generate_permit_list.json").read_text())
+    meta["version_str"] = "0.1.0"
+    (out / "generate_permit_list.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="regenerate"):
+        collate(out, rad, cmdline="t")
