@@ -157,3 +157,31 @@ def test_collation_manifest_roundtrip(tmp_path):
     assert r.sample_groups[1].num_chunks == 80
     assert r.total_chunks() == 180
     assert r.total_records() == 90000
+
+
+def test_sample_names_file_override(tmp_path):
+    """--sample-names maps barcodes to human-readable names
+    (main.rs:136-139)."""
+    refs = [f"gene_{i}" for i in range(NUM_REFS)]
+    sample_bcs = [make_packed_bc(100, SAMPLE_BC_LEN), make_packed_bc(200, SAMPLE_BC_LEN)]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_multi_bc_rad(rad_dir / "map.rad", refs, 2, 3, 6, sample_bcs)
+    slist = tmp_path / "samples.txt"
+    with open(slist, "w") as fh:
+        for bc in sample_bcs:
+            fh.write(unpack_seq(bc, SAMPLE_BC_LEN) + "\n")
+    names = tmp_path / "names.tsv"
+    with open(names, "w") as fh:
+        fh.write(f"{unpack_seq(sample_bcs[0], SAMPLE_BC_LEN)}\twellA\n")
+        fh.write(f"{unpack_seq(sample_bcs[1], SAMPLE_BC_LEN)}\twellB\n")
+    out = tmp_path / "out"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=out,
+        fmeth=CellFilterMethod("force", count=3),
+        expected_ori="both", cmdline="t",
+        sample_bc_list=slist, sample_names=names,
+    ))
+    info = json.loads((out / "sample_info.json").read_text())
+    assert {e["name"] for e in info["samples"]} == {"wellA", "wellB"}
+    assert (out / "sample_wellA" / "permit_freq.bin").exists()

@@ -157,3 +157,21 @@ def test_large_graph_fallback(tmp_path):
 
     meta = json.loads((tmp_path / "qf" / "quant.json").read_text())
     assert meta["alt_resolved_cell_numbers"] == [0]
+
+
+def test_parsimony_usa_mode(tmp_path):
+    """USA-mode parsimony (experimental in the reference,
+    quant.rs:1404-1414): unique-gene molecules slot by splicing status."""
+    gpl, _t2g = _dataset(tmp_path)
+    t2g3 = tmp_path / "t2g3.tsv"
+    # t0 spliced of g0, t1 unspliced of g0, t2 spliced of g1
+    t2g3.write_text("t0\tg0\tS\nt1\tg0\tU\nt2\tg1\tS\n")
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=t2g3, output_dir=tmp_path / "qu",
+        resolution="parsimony", pug_exact_umi=False, cmdline="t",
+    ))
+    m = _mat(tmp_path / "qu")
+    # columns: [g0, g1, g0-U, g1-U, g0-A, g1-A]
+    assert m.shape == (1, 6)
+    # merged u_a/u_b molecule -> t0 -> g0 spliced; 97 pads -> t2 -> g1 spliced
+    np.testing.assert_array_equal(m, [[1, 97, 0, 0, 0, 0]])
