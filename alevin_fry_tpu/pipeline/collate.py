@@ -357,31 +357,33 @@ def collate(
     assert hit2.all(), "corrected barcode missing from permit list"
     rank = sort_perm[np.searchsorted(cell_sorted, corrected[keep_read])]
 
-    # gather surviving reads/alignments into new columnar arrays
+    # gather surviving reads into the final (cell-rank-sorted) order in
+    # ONE pass: compose the keep-filter and the stable rank sort into a
+    # single alignment gather index over the original columns
     kept_reads = np.flatnonzero(keep_read)
-    read_cols = {k: v[kept_reads] for k, v in batch.read_cols.items()}
-    # replace the collation barcode with the corrected value
-    read_cols[batch.schema.barcode_fields[-1]] = corrected[keep_read]
-    refs = batch.refs[keep_aln]
-    dirs = batch.dirs[keep_aln]
-    aln_cols = {k: v[keep_aln] for k, v in batch.aln_cols.items()}
-
-    # stable sort by cell rank (preserves input read order within a cell)
     sort_idx = np.argsort(rank, kind="stable")
+    final_reads = kept_reads[sort_idx]
     rank_sorted = rank[sort_idx]
-    read_cols = {k: v[sort_idx] for k, v in read_cols.items()}
-    # permuting ragged alignment lists: build gather index per alignment
+    read_cols = {k: v[final_reads] for k, v in batch.read_cols.items()}
+    read_cols[batch.schema.barcode_fields[-1]] = corrected[final_reads]
+
     nal = np.diff(new_offsets)
-    src_starts = new_offsets[:-1][sort_idx]
     out_nal = nal[sort_idx]
     out_offsets = np.zeros(len(sort_idx) + 1, np.int64)
     np.cumsum(out_nal, out=out_offsets[1:])
-    aln_gather = np.repeat(src_starts, out_nal) + (
-        np.arange(int(out_offsets[-1])) - np.repeat(out_offsets[:-1], out_nal)
-    )
-    refs = refs[aln_gather]
-    dirs = dirs[aln_gather]
-    aln_cols = {k: v[aln_gather] for k, v in aln_cols.items()}
+    # positions of surviving alignments in the ORIGINAL flat aln arrays,
+    # grouped per kept read (keep_aln order == kept_reads order)
+    surv_pos = np.flatnonzero(keep_aln)
+    src_starts = new_offsets[:-1][sort_idx]
+    aln_gather = surv_pos[
+        np.repeat(src_starts, out_nal) + (
+            np.arange(int(out_offsets[-1]))
+            - np.repeat(out_offsets[:-1], out_nal)
+        )
+    ]
+    refs = batch.refs[aln_gather]
+    dirs = batch.dirs[aln_gather]
+    aln_cols = {k: v[aln_gather] for k, v in batch.aln_cols.items()}
 
     # per-cell read counts; the reference asserts these match permit_freq
     per_cell = np.zeros(len(cell_bcs), np.int64)

@@ -359,12 +359,17 @@ def _subset_reads(batch: ReadBatch, read_mask: np.ndarray) -> dict:
     gather = np.repeat(batch.aln_offsets[:-1][idx], nal) + (
         np.arange(int(offs[-1])) - np.repeat(offs[:-1], nal)
     )
+    # extra alignment columns are only consumed by the long-read
+    # probability models; skip the gathers otherwise
+    need_cols = _is_long_read(batch.schema)
     return {
         "cell": batch.chunk_id[idx],
         "umi": batch.umi[idx],
         "refs": batch.refs[gather],
         "offs": offs,
-        "aln_cols": {k: v[gather] for k, v in batch.aln_cols.items()},
+        "aln_cols": (
+            {k: v[gather] for k, v in batch.aln_cols.items()} if need_cols else {}
+        ),
     }
 
 
