@@ -222,6 +222,10 @@ def find_neighbors_batch(
     rep = np.zeros(len(queries), np.uint64)
     if len(kept_sorted) == 0:
         return counts, rep
+    from ..radz import _native
+
+    if _native.available():
+        return _native.find_neighbors(queries, kept_sorted, length)
     for s in range(0, len(queries), block):
         q = queries[s : s + block]
         cand = snp_neighbors(q, length)  # (b, 4L) includes exact copies

@@ -267,6 +267,134 @@ def _collate_out_of_core(
     )
 
 
+def _collate_in_memory_native(
+    input_dir: Path,
+    rad_dir: Path,
+    cell_bcs: np.ndarray,
+    cell_cts: np.ndarray,
+    map_keys: np.ndarray,
+    map_vals: np.ndarray,
+    expected_ori: str,
+    velo_mode: bool,
+    compress_out: bool,
+) -> bool:
+    """Byte-level in-memory collation: walk record boundaries, correct
+    barcodes, then gather whole records in cell-rank order with the
+    barcode patched in place and alignments orientation-filtered — one
+    native pass, no column decode/re-encode.  Returns False when the
+    schema isn't eligible (caller falls back to the columnar path)."""
+    from ..radz import _native
+    from ..radz.chunkio import read_chunk_bodies, _gather_uint
+
+    if not _native.available():
+        return False
+    with open(rad_dir / "map.rad", "rb") as fh:
+        prelude, ftm, _ = read_prelude(fh)
+        rec_type, _info = record_type_from_prelude(prelude, ftm)
+        if rec_type == KnownRecordType.ATAC:
+            raise ValueError(
+                'To process atac-seq data, you should use the "atac" sub-command'
+            )
+        schema = RecordSchema.from_prelude(prelude)
+        ori_mode = {"both": 0, "fw": 1, "rc": 2}.get(expected_ori)
+        if ori_mode is None or schema.ref_field is None:
+            return False
+        ref_off = 0
+        for name, w in schema.aln_fields:
+            if name == schema.ref_field:
+                break
+            ref_off += w
+        ref_width = dict(schema.aln_fields)[schema.ref_field]
+        if ori_mode != 0 and ref_width != 4:
+            return False
+        bc_name = schema.barcode_fields[-1]
+        bc_off = 0
+        for name, w in schema.read_fields:
+            if name == bc_name:
+                bc_width = w
+                break
+            bc_off += w
+        buf, region_starts, chunk_recs = read_chunk_bodies(
+            fh, prelude.hdr.num_chunks
+        )
+    rec_starts, num_aln = _native.walk_records(
+        buf, region_starts, chunk_recs, schema.read_bytes, schema.aln_bytes
+    )
+    n = len(rec_starts)
+    log.info(
+        "collating %d reads across %d chunks into %d cells",
+        n, len(chunk_recs), len(cell_bcs),
+    )
+
+    bcs = _gather_uint(buf, rec_starts + 4 + bc_off, bc_width)
+    hit, corrected = _lookup_map(map_keys, map_vals, bcs)
+    if ori_mode == 0:
+        kept_per_read = num_aln
+    else:
+        kept_per_read = _native.ori_counts(
+            buf, rec_starts, num_aln,
+            schema.read_bytes, schema.aln_bytes, ref_off, ori_mode,
+        )
+    keep_read = hit & (kept_per_read > 0)
+    kept_idx = np.flatnonzero(keep_read)
+
+    # rank cells by the descending-count order
+    sort_perm = np.argsort(cell_bcs, kind="stable")
+    cell_sorted = cell_bcs[sort_perm]
+    corr_kept = corrected[kept_idx]
+    pos = np.searchsorted(cell_sorted, corr_kept)
+    assert (cell_sorted[np.minimum(pos, len(cell_sorted) - 1)] == corr_kept).all(), \
+        "corrected barcode missing from permit list"
+    rank = sort_perm[pos]
+    order = kept_idx[np.argsort(rank, kind="stable")]
+
+    per_cell = np.zeros(len(cell_bcs), np.int64)
+    u_rank, u_ct = np.unique(rank, return_counts=True)
+    per_cell[u_rank] = u_ct
+    if not np.array_equal(per_cell, cell_cts.astype(np.int64)):
+        log.warning(
+            "per-cell collated record counts differ from permit_freq counts "
+            "(total %d vs %d)", int(per_cell.sum()), int(cell_cts.sum()),
+        )
+
+    out_cap = int(
+        (4 + schema.read_bytes) * len(kept_idx)
+        + int(kept_per_read[kept_idx].sum()) * schema.aln_bytes
+        + 8 * int((per_cell > 0).sum())
+    )
+    body = _native.collate_emit(
+        buf, rec_starts, num_aln, corrected, order,
+        schema.read_bytes, schema.aln_bytes, bc_off, bc_width,
+        ref_off, ori_mode, per_cell, out_cap,
+    )
+    n_written = int((per_cell > 0).sum())
+
+    cfname = (
+        "velo.map.collated.rad" if velo_mode
+        else ("map.collated.rad.sz" if compress_out else "map.collated.rad")
+    )
+    out_path = input_dir / cfname
+    prelude.hdr.num_chunks = n_written
+    if compress_out:
+        import io
+
+        from ..radz import snappyz
+
+        raw = io.BytesIO()
+        prelude.write(raw)
+        prelude.write_file_tag_values(raw, ftm)
+        raw.write(memoryview(body.data))
+        with open(out_path, "wb") as out:
+            snappyz.frame_compress_stream(raw.getvalue(), out)
+    else:
+        with open(out_path, "wb") as out:
+            prelude.write(out)
+            prelude.write_file_tag_values(out, ftm)
+            out.write(memoryview(body.data))
+    log.info("finished collating input rad file; wrote %d cell chunks", n_written)
+    return True
+
+
 def collate(
     input_dir: Path,
     rad_dir: Path,
@@ -322,6 +450,12 @@ def collate(
             np.zeros(0, np.uint64), np.zeros(0, np.uint32),
         )
 
+    write_json(input_dir / "collate.json", {
+        "cmd": cmdline,
+        "version_str": version,
+        "compressed_output": compress_out,
+    })
+
     # out-of-core path for datasets beyond the in-memory record bound
     # (the reference's --max-records scatter/gather, collate.rs:584-905)
     if total_to_collate > max_records:
@@ -329,6 +463,13 @@ def collate(
             input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
             expected_ori, velo_mode, max_records, compress_out,
         )
+
+    # byte-level native path (no column decode / re-encode)
+    if _collate_in_memory_native(
+        input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
+        expected_ori, velo_mode, compress_out,
+    ):
+        return
 
     # ingest the input RAD
     with open(rad_dir / "map.rad", "rb") as fh:
@@ -400,12 +541,6 @@ def collate(
         "velo.map.collated.rad" if velo_mode
         else ("map.collated.rad.sz" if compress_out else "map.collated.rad")
     )
-    write_json(input_dir / "collate.json", {
-        "cmd": cmdline,
-        "version_str": version,
-        "compressed_output": compress_out,
-    })
-
     out_path = input_dir / cfname
     import io
 

@@ -57,6 +57,34 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.radc_ori_counts.restype = ctypes.c_int64
+        lib.radc_ori_counts.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # buf, len
+            ctypes.c_void_p, ctypes.c_int64,   # rec_starts, n_recs
+            ctypes.c_void_p,                   # num_aln
+            ctypes.c_int64, ctypes.c_int64,    # read_bytes, aln_bytes
+            ctypes.c_int64, ctypes.c_int32,    # ref_off, ori_mode
+            ctypes.c_void_p,                   # kept_out
+        ]
+        lib.radc_collate_emit.restype = ctypes.c_int64
+        lib.radc_collate_emit.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # buf, len
+            ctypes.c_void_p, ctypes.c_void_p,  # rec_starts, num_aln
+            ctypes.c_void_p,                   # corrected_bc
+            ctypes.c_void_p, ctypes.c_int64,   # order, n_out
+            ctypes.c_int64, ctypes.c_int64,    # read_bytes, aln_bytes
+            ctypes.c_int64, ctypes.c_int64,    # bc_off, bc_width
+            ctypes.c_int64, ctypes.c_int32,    # ref_off, ori_mode
+            ctypes.c_void_p, ctypes.c_int64,   # chunk_counts, n_chunks
+            ctypes.c_void_p, ctypes.c_int64,   # out, out_cap
+        ]
+        lib.radc_find_neighbors.restype = None
+        lib.radc_find_neighbors.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # queries, n_q
+            ctypes.c_void_p, ctypes.c_int64,   # kept, n_k
+            ctypes.c_int64,                    # bc_len
+            ctypes.c_void_p, ctypes.c_void_p,  # counts_out, rep_out
+        ]
         for name in ("radc_extract_fields", "radc_encode_records"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
@@ -138,6 +166,90 @@ def extract_fields(
     if rc < 0:
         raise ValueError("field extraction overran the buffer")
     return read_cols, aln_cols
+
+
+def ori_counts(
+    buf: np.ndarray,
+    rec_starts: np.ndarray,
+    num_aln: np.ndarray,
+    read_bytes: int,
+    aln_bytes: int,
+    ref_off: int,
+    ori_mode: int,
+) -> np.ndarray:
+    """Per-record surviving-alignment counts under the orientation
+    filter (ori_mode 1=fw, 2=rc)."""
+    lib = _load()
+    n = len(rec_starts)
+    kept = np.empty(n, np.int64)
+    buf = np.ascontiguousarray(buf)
+    rec_starts = np.ascontiguousarray(rec_starts, np.int64)
+    num_aln = np.ascontiguousarray(num_aln, np.int64)
+    rc = lib.radc_ori_counts(
+        buf.ctypes.data, buf.nbytes,
+        rec_starts.ctypes.data, n, num_aln.ctypes.data,
+        read_bytes, aln_bytes, ref_off, ori_mode,
+        kept.ctypes.data,
+    )
+    if rc < 0:
+        raise ValueError("orientation scan overran the buffer")
+    return kept
+
+
+def collate_emit(
+    buf: np.ndarray,
+    rec_starts: np.ndarray,
+    num_aln: np.ndarray,
+    corrected_bc: np.ndarray,
+    order: np.ndarray,
+    read_bytes: int,
+    aln_bytes: int,
+    bc_off: int,
+    bc_width: int,
+    ref_off: int,
+    ori_mode: int,
+    chunk_counts: np.ndarray,
+    out_cap: int,
+) -> np.ndarray:
+    """Byte-level collated emit (records gathered in `order`, barcode
+    patched, orientation-filtered, chunk-framed).  Returns the output
+    byte buffer."""
+    lib = _load()
+    out = np.empty(out_cap, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    rec_starts = np.ascontiguousarray(rec_starts, np.int64)
+    num_aln = np.ascontiguousarray(num_aln, np.int64)
+    corrected_bc = np.ascontiguousarray(corrected_bc, np.uint64)
+    order = np.ascontiguousarray(order, np.int64)
+    chunk_counts = np.ascontiguousarray(chunk_counts, np.int64)
+    n = lib.radc_collate_emit(
+        buf.ctypes.data, buf.nbytes,
+        rec_starts.ctypes.data, num_aln.ctypes.data,
+        corrected_bc.ctypes.data,
+        order.ctypes.data, len(order),
+        read_bytes, aln_bytes, bc_off, bc_width, ref_off, ori_mode,
+        chunk_counts.ctypes.data, len(chunk_counts),
+        out.ctypes.data, out_cap,
+    )
+    if n < 0:
+        raise ValueError("collate emit overran a buffer")
+    return out[:n]
+
+
+def find_neighbors(queries: np.ndarray, kept_sorted: np.ndarray, bc_len: int):
+    """Native Hamming<=1 neighbor search (binary search per variant).
+    Returns (counts[int64], representative[uint64])."""
+    lib = _load()
+    queries = np.ascontiguousarray(queries, np.uint64)
+    kept_sorted = np.ascontiguousarray(kept_sorted, np.uint64)
+    counts = np.empty(len(queries), np.int64)
+    rep = np.empty(len(queries), np.uint64)
+    lib.radc_find_neighbors(
+        queries.ctypes.data, len(queries),
+        kept_sorted.ctypes.data, len(kept_sorted), bc_len,
+        counts.ctypes.data, rep.ctypes.data,
+    )
+    return counts, rep
 
 
 def format_triplets(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> bytes:

@@ -124,6 +124,39 @@ def _walk_records_py(
     return rec_starts, num_aln
 
 
+def read_chunk_bodies(
+    fh: BinaryIO, num_chunks: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Read raw chunk bodies (chunk headers stripped) without decoding
+    fields.  Returns (buf[uint8], region_starts[int64], chunk_recs[int64])
+    — the inputs to the native byte-level record walk."""
+    chunk_bufs: List[bytes] = []
+    chunk_recs: List[int] = []
+    n = 0
+    while num_chunks is None or n < num_chunks:
+        hdr = fh.read(8)
+        if len(hdr) < 8:
+            if num_chunks is not None:
+                raise EOFError(f"expected {num_chunks} chunks but hit EOF after {n}")
+            break
+        nbytes, nrec = struct.unpack("<II", hdr)
+        body = fh.read(nbytes - 8)
+        if len(body) != nbytes - 8:
+            raise EOFError("truncated chunk body")
+        chunk_bufs.append(body)
+        chunk_recs.append(nrec)
+        n += 1
+    if chunk_bufs:
+        buf = np.frombuffer(b"".join(chunk_bufs), dtype=np.uint8)
+    else:
+        buf = np.zeros(0, np.uint8)
+    sizes = np.asarray([len(b) for b in chunk_bufs], np.int64)
+    region_starts = np.zeros(len(chunk_bufs), np.int64)
+    if len(sizes) > 1:
+        np.cumsum(sizes[:-1], out=region_starts[1:])
+    return buf, region_starts, np.asarray(chunk_recs, np.int64)
+
+
 def decode_all_chunks(
     fh: BinaryIO,
     schema: RecordSchema,

@@ -112,6 +112,150 @@ int64_t radc_encode_records(uint8_t* buf, int64_t buf_len,
   return aln_idx;
 }
 
+// Per-record count of alignments surviving the orientation filter.
+//
+// The ref field of each alignment entry carries the orientation in bit
+// 31 of its (little-endian) value (reference: MappedFragmentOrientation
+// packing, libradicl; used by the collate orientation filter,
+// src/collate.rs scatter path).  ori_mode: 1 = keep bit set (fw),
+// 2 = keep bit clear (rc).  Returns total kept alignments, -1 on overrun.
+int64_t radc_ori_counts(const uint8_t* buf, int64_t buf_len,
+                        const int64_t* rec_starts, int64_t n_recs,
+                        const int64_t* num_aln, int64_t read_bytes,
+                        int64_t aln_bytes, int64_t ref_off,
+                        int32_t ori_mode, int64_t* kept_out) {
+  const uint32_t want = (ori_mode == 1) ? 1u : 0u;
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_recs; ++i) {
+    const int64_t na = num_aln[i];
+    int64_t off = rec_starts[i] + 4 + read_bytes + ref_off;
+    if (off + (na > 0 ? (na - 1) * aln_bytes + 4 : 0) > buf_len) return -1;
+    int64_t kept = 0;
+    for (int64_t a = 0; a < na; ++a) {
+      uint32_t v;
+      std::memcpy(&v, buf + off, 4);
+      kept += ((v >> 31) == want);
+      off += aln_bytes;
+    }
+    kept_out[i] = kept;
+    total += kept;
+  }
+  return total;
+}
+
+// Byte-level collation emit: gather whole records in the given order,
+// patch the corrected barcode in place, drop alignments failing the
+// orientation filter, and frame the output into chunks (one per cell).
+//
+// order[n_out] indexes into rec_starts/num_aln/corrected_bc; records for
+// one output chunk are consecutive in `order`, with chunk_counts[c]
+// records in chunk c (zero-count chunks are skipped — no header).
+// ori_mode: 0 = keep all alignments, 1 = keep fw, 2 = keep rc.
+// Returns bytes written, or -1 on overrun.
+int64_t radc_collate_emit(const uint8_t* buf, int64_t buf_len,
+                          const int64_t* rec_starts, const int64_t* num_aln,
+                          const uint64_t* corrected_bc, const int64_t* order,
+                          int64_t n_out, int64_t read_bytes, int64_t aln_bytes,
+                          int64_t bc_off, int64_t bc_width, int64_t ref_off,
+                          int32_t ori_mode, const int64_t* chunk_counts,
+                          int64_t n_chunks, uint8_t* out, int64_t out_cap) {
+  const uint32_t want = (ori_mode == 1) ? 1u : 0u;
+  int64_t p = 0;
+  int64_t cursor = 0;
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    const int64_t k = chunk_counts[c];
+    if (k == 0) continue;
+    const int64_t hdr_pos = p;
+    if (p + 8 > out_cap) return -1;
+    p += 8;
+    for (int64_t r = 0; r < k; ++r) {
+      if (cursor >= n_out) return -1;
+      const int64_t i = order[cursor++];
+      const int64_t src = rec_starts[i];
+      const int64_t na = num_aln[i];
+      if (src + 4 + read_bytes + na * aln_bytes > buf_len) return -1;
+      if (ori_mode == 0) {
+        const int64_t sz = 4 + read_bytes + na * aln_bytes;
+        if (p + sz > out_cap) return -1;
+        std::memcpy(out + p, buf + src, sz);
+        std::memcpy(out + p + 4 + bc_off, &corrected_bc[i], bc_width);
+        p += sz;
+      } else {
+        const int64_t na_pos = p;
+        if (p + 4 + read_bytes > out_cap) return -1;
+        p += 4;
+        std::memcpy(out + p, buf + src + 4, read_bytes);
+        std::memcpy(out + p + bc_off, &corrected_bc[i], bc_width);
+        p += read_bytes;
+        uint32_t kept = 0;
+        int64_t aoff = src + 4 + read_bytes;
+        for (int64_t a = 0; a < na; ++a) {
+          uint32_t v;
+          std::memcpy(&v, buf + aoff + ref_off, 4);
+          if ((v >> 31) == want) {
+            if (p + aln_bytes > out_cap) return -1;
+            std::memcpy(out + p, buf + aoff, aln_bytes);
+            p += aln_bytes;
+            ++kept;
+          }
+          aoff += aln_bytes;
+        }
+        std::memcpy(out + na_pos, &kept, 4);
+      }
+    }
+    const uint32_t nbytes = static_cast<uint32_t>(p - hdr_pos);
+    const uint32_t nrec = static_cast<uint32_t>(k);
+    std::memcpy(out + hdr_pos, &nbytes, 4);
+    std::memcpy(out + hdr_pos + 4, &nrec, 4);
+  }
+  return p;
+}
+
+// Batched Hamming<=1 (substitution) neighbor search over 2-bit packed
+// barcodes: for each query, count distinct members of the sorted
+// `kept` array within Hamming distance <= 1 and report the smallest
+// hit.  Mirrors BarcodeLookupMap::find_neighbors as used by the
+// unfiltered-list rescue (src/cellfilter.rs:198-233).
+void radc_find_neighbors(const uint64_t* queries, int64_t n_q,
+                         const uint64_t* kept, int64_t n_k, int64_t bc_len,
+                         int64_t* counts_out, uint64_t* rep_out) {
+  auto lookup = [kept, n_k](uint64_t v) -> bool {
+    int64_t lo = 0, hi = n_k;
+    while (lo < hi) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (kept[mid] < v)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    return lo < n_k && kept[lo] == v;
+  };
+  for (int64_t qi = 0; qi < n_q; ++qi) {
+    const uint64_t q = queries[qi];
+    int64_t count = 0;
+    uint64_t rep = ~0ull;
+    if (lookup(q)) {
+      count = 1;
+      rep = q;
+    }
+    for (int64_t pos = 0; pos < bc_len; ++pos) {
+      const int shift = 2 * static_cast<int>(pos);
+      const uint64_t cur = (q >> shift) & 3ull;
+      const uint64_t cleared = q & ~(3ull << shift);
+      for (uint64_t b = 0; b < 4; ++b) {
+        if (b == cur) continue;
+        const uint64_t v = cleared | (b << shift);
+        if (lookup(v)) {
+          ++count;
+          if (v < rep) rep = v;
+        }
+      }
+    }
+    counts_out[qi] = count;
+    rep_out[qi] = (count > 0) ? rep : 0ull;
+  }
+}
+
 // Format integer COO triplets as "r c v\n" lines (MatrixMarket body).
 // out must have room for n * 62 bytes; returns bytes written.
 int64_t radc_format_triplets(const int64_t* rows, const int64_t* cols,

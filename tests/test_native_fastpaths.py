@@ -1,0 +1,108 @@
+"""The native byte-level fast paths must agree exactly with the
+vectorized-NumPy reference implementations they shortcut:
+
+* collate's record gather/patch/emit (``radc_collate_emit``) vs the
+  columnar decode -> correct -> sort -> re-encode path;
+* the Hamming<=1 rescue (``radc_find_neighbors``) vs the blocked
+  searchsorted implementation.
+"""
+
+import numpy as np
+import pytest
+
+from alevin_fry_tpu.ops import barcodes as bcops
+from alevin_fry_tpu.pipeline.collate import collate
+from alevin_fry_tpu.pipeline.gpl import (
+    CellFilterMethod, GenPermitListOpts, generate_permit_list,
+)
+from alevin_fry_tpu.radz import _native
+from synth import write_rna_rad
+
+pytestmark = pytest.mark.skipif(
+    not _native.available(), reason="native library not built"
+)
+
+
+def _mk_dataset(tmp_path, rng):
+    refs = [f"t{i}" for i in range(40)]
+    cells = []
+    for i in range(12):
+        bc = "".join("ACGT"[b] for b in rng.randint(0, 4, size=8))
+        if bc not in [c for c, _ in cells]:
+            cells.append((bc, int(rng.randint(2, 40))))
+    reads = []
+    for bc, n in cells:
+        for i in range(n):
+            nal = int(rng.randint(1, 4))
+            alns = [
+                (int(rng.randint(0, 40)), bool(rng.randint(0, 2)))
+                for _ in range(nal)
+            ]
+            reads.append((bcops.pack_seq(bc), int(rng.randint(0, 4**6)), alns))
+    rng.shuffle(reads)
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    # several input chunks
+    k = max(1, len(reads) // 3)
+    chunks = [reads[i : i + k] for i in range(0, len(reads), k)]
+    write_rna_rad(rad_dir / "map.rad", refs, chunks, bc_len=8, umi_len=6)
+    (tmp_path / "wl.txt").write_text("".join(bc + "\n" for bc, _ in cells))
+    return rad_dir, cells
+
+
+@pytest.mark.parametrize("ori", ["fw", "both"])
+def test_native_collate_matches_columnar(tmp_path, monkeypatch, ori):
+    rng = np.random.RandomState(3)
+    rad_dir, cells = _mk_dataset(tmp_path, rng)
+
+    outs = {}
+    for mode in ("native", "columnar"):
+        gpl = tmp_path / f"gpl_{mode}"
+        generate_permit_list(GenPermitListOpts(
+            input_dir=rad_dir, output_dir=gpl,
+            fmeth=CellFilterMethod(
+                "unfiltered", path=tmp_path / "wl.txt", min_reads=1
+            ),
+            expected_ori=ori, cmdline="t",
+        ))
+        if mode == "columnar":
+            import alevin_fry_tpu.pipeline.collate as cmod
+
+            monkeypatch.setattr(
+                cmod, "_collate_in_memory_native",
+                lambda *a, **k: False,
+            )
+        collate(gpl, rad_dir, cmdline="t")
+        monkeypatch.undo()
+        outs[mode] = (gpl / "map.collated.rad").read_bytes()
+    assert outs["native"] == outs["columnar"]
+
+
+def test_native_find_neighbors_matches_numpy():
+    rng = np.random.RandomState(11)
+    length = 16
+    kept = np.unique(
+        rng.randint(0, 1 << 31, size=500).astype(np.uint64)
+        | (rng.randint(0, 4, size=500).astype(np.uint64) << np.uint64(31))
+    )
+    # queries: exact members, 1-edit variants, far misses
+    q_exact = kept[rng.choice(len(kept), 50)]
+    var = bcops.snp_neighbors(kept[rng.choice(len(kept), 80)], length)
+    q_edit = var[np.arange(80), rng.randint(0, var.shape[1], 80)]
+    q_miss = rng.randint(0, 1 << 62, size=60).astype(np.uint64) & np.uint64(
+        (1 << (2 * length)) - 1
+    )
+    queries = np.concatenate([q_exact, q_edit, q_miss])
+
+    n_cnt, n_rep = _native.find_neighbors(queries, kept, length)
+    # force the numpy path
+    import alevin_fry_tpu.radz._native as nat
+
+    orig = nat.available
+    nat.available = lambda: False
+    try:
+        p_cnt, p_rep = bcops.find_neighbors_batch(queries, kept, length)
+    finally:
+        nat.available = orig
+    np.testing.assert_array_equal(n_cnt, p_cnt)
+    np.testing.assert_array_equal(n_rep[n_cnt > 0], p_rep[p_cnt > 0])
