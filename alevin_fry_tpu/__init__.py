@@ -13,6 +13,10 @@ fallback.  See SURVEY.md at the repository root for the structural
 analysis of the reference that this package is built against.
 """
 
+from . import _host_tuning
+
+_host_tuning.apply()
+
 # We re-implement the on-disk behavior of alevin-fry v0.16.2; stage
 # metadata version-compatibility checks (utils.rs:1096-1142 in the
 # reference) compare major.minor, so we advertise the same version to

@@ -296,7 +296,9 @@ def _collate_in_memory_native(
                 'To process atac-seq data, you should use the "atac" sub-command'
             )
         schema = RecordSchema.from_prelude(prelude)
-        ori_mode = {"both": 0, "fw": 1, "rc": 2}.get(expected_ori)
+        ori_mode = {
+            "both": 0, ".": 0, "fw": 1, "+": 1, "rc": 2, "-": 2,
+        }.get(expected_ori)
         if ori_mode is None or schema.ref_field is None:
             return False
         ref_off = 0

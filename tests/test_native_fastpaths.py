@@ -65,14 +65,26 @@ def test_native_collate_matches_columnar(tmp_path, monkeypatch, ori):
             ),
             expected_ori=ori, cmdline="t",
         ))
-        if mode == "columnar":
-            import alevin_fry_tpu.pipeline.collate as cmod
+        import alevin_fry_tpu.pipeline.collate as cmod
 
+        if mode == "columnar":
             monkeypatch.setattr(
                 cmod, "_collate_in_memory_native",
                 lambda *a, **k: False,
             )
+        else:
+            # the native path must actually engage (it silently falls back
+            # on ineligible schemas — a fallback here would make this test
+            # vacuous)
+            taken = []
+            orig = cmod._collate_in_memory_native
+            monkeypatch.setattr(
+                cmod, "_collate_in_memory_native",
+                lambda *a, **k: taken.append(orig(*a, **k)) or taken[-1],
+            )
         collate(gpl, rad_dir, cmdline="t")
+        if mode == "native":
+            assert taken == [True], "native collate path did not engage"
         monkeypatch.undo()
         outs[mode] = (gpl / "map.collated.rad").read_bytes()
     assert outs["native"] == outs["columnar"]
