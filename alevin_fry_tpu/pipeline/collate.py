@@ -329,7 +329,17 @@ def _collate_in_memory_native(
     )
 
     bcs = _gather_uint(buf, rec_starts + 4 + bc_off, bc_width)
-    hit, corrected = _lookup_map(map_keys, map_vals, bcs)
+    # fold the two lookups (raw bc -> corrected bc -> cell rank) into one:
+    # remap the correction map's values to cell ranks up front (small),
+    # then a single binary search per read yields its rank directly
+    sort_perm = np.argsort(cell_bcs, kind="stable")
+    cell_sorted = cell_bcs[sort_perm]
+    mpos = np.searchsorted(cell_sorted, map_vals)
+    assert (
+        cell_sorted[np.minimum(mpos, len(cell_sorted) - 1)] == map_vals
+    ).all(), "corrected barcode missing from permit list"
+    map_rank = sort_perm[mpos].astype(np.uint64)
+    hit, rank = _lookup_map(map_keys, map_rank, bcs)
     if ori_mode == 0:
         kept_per_read = num_aln
     else:
@@ -339,20 +349,17 @@ def _collate_in_memory_native(
         )
     keep_read = hit & (kept_per_read > 0)
     kept_idx = np.flatnonzero(keep_read)
+    corrected = (
+        cell_bcs[np.where(hit, rank, 0).astype(np.int64)]
+        if len(cell_bcs)
+        else np.zeros(n, np.uint64)
+    )
 
-    # rank cells by the descending-count order
-    sort_perm = np.argsort(cell_bcs, kind="stable")
-    cell_sorted = cell_bcs[sort_perm]
-    corr_kept = corrected[kept_idx]
-    pos = np.searchsorted(cell_sorted, corr_kept)
-    assert (cell_sorted[np.minimum(pos, len(cell_sorted) - 1)] == corr_kept).all(), \
-        "corrected barcode missing from permit list"
-    rank = sort_perm[pos]
-    order = kept_idx[np.argsort(rank, kind="stable")]
-
-    per_cell = np.zeros(len(cell_bcs), np.int64)
-    u_rank, u_ct = np.unique(rank, return_counts=True)
-    per_cell[u_rank] = u_ct
+    # group kept reads by cell rank (stable, O(n) counting sort)
+    order_rel, per_cell = _native.counting_sort(
+        rank[kept_idx].astype(np.int64), len(cell_bcs)
+    )
+    order = kept_idx[order_rel]
     if not np.array_equal(per_cell, cell_cts.astype(np.int64)):
         log.warning(
             "per-cell collated record counts differ from permit_freq counts "

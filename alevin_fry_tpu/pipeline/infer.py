@@ -113,8 +113,7 @@ def infer(
     out_path.mkdir(parents=True, exist_ok=True)
     shutil.copy(parent / "quants_mat_cols.txt", out_path / "quants_mat_cols.txt")
     with open(out_path / "quants_mat_rows.txt", "w") as fh:
-        for ci in kept_cells:
-            fh.write(bc_lines[ci] + "\n")
+        fh.write("".join(bc_lines[ci] + "\n" for ci in kept_cells))
 
     o_rows, o_cols, o_vals = [], [], []
     for ri, (nz, vv) in enumerate(results):

@@ -35,7 +35,7 @@ from ..ops import crlike
 from ..ops.em import em_cells_batched
 from ..radz import read_prelude, record_type_from_prelude, KnownRecordType
 from ..radz.chunkio import ReadBatch, decode_all_chunks
-from ..radz.mtx import rust_f32_str, write_matrix_market
+from ..radz.mtx import format_f32_list, rust_f32_str, write_matrix_market
 from ..radz.records import RecordSchema
 from ..radz.unmapped import UnmappedLookup
 from ..ops.barcodes import unpack_seqs_to_strings
@@ -534,13 +534,10 @@ def _write_outputs(
 
     # quants_mat_cols.txt (quant.rs:1745-1768)
     with open(mat_path / "quants_mat_cols.txt", "w") as fh:
-        for g in gene_names:
-            fh.write(f"{g}\n")
+        fh.write("".join(f"{g}\n" for g in gene_names))
         if usa_mode:
-            for g in gene_names:
-                fh.write(f"{g}-U\n")
-            for g in gene_names:
-                fh.write(f"{g}-A\n")
+            fh.write("".join(f"{g}-U\n" for g in gene_names))
+            fh.write("".join(f"{g}-A\n" for g in gene_names))
 
     # quants_mat_rows.txt + featureDump.txt
     bc_strs = unpack_seqs_to_strings(result.cell_bcs, barcode_len)
@@ -565,9 +562,44 @@ def _write_outputs(
 
     empty_cells = [int(c) for c in result.cells[num_expr == 0]]
 
-    with open(mat_path / "quants_mat_rows.txt", "w") as fbc, open(
-        out_path / "featureDump.txt", "w"
-    ) as ffd:
+    # vectorized row assembly: per-cell stats formatted natively in bulk,
+    # both files written in one call each
+    nm_v = result.nrec.astype(np.int64)
+    nu_v = unmapped_cts.astype(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mapping_rate_v = nm_v.astype(np.float32) / (nm_v + nu_v).astype(np.float32)
+        dedup_rate_v = sum_umi / nm_v.astype(np.float32)
+    s_sum = format_f32_list(sum_umi)
+    s_map = format_f32_list(mapping_rate_v)
+    s_dedup = format_f32_list(dedup_rate_v)
+    s_mbm = format_f32_list(mean_by_max)
+
+    fd_lines = []
+    bc_lines = []
+    for i in range(n_rows_out):
+        bc_str = bc_strs[i]
+        sn = None
+        if sample_names is not None and result.sample_idx is not None:
+            si = int(result.sample_idx[i])
+            sn = sample_names[si] if si < len(sample_names) else None
+        if sn is not None:
+            bc_lines.append(f"{sn}_{bc_str}\n")
+            head = f"{bc_str}\t{sn}\t"
+        elif sample_names is not None:
+            # should not happen post simpleaf#195 fix; keep 10 fields
+            bc_lines.append(f"{bc_str}\n")
+            head = f"{bc_str}\tNA\t"
+        else:
+            bc_lines.append(f"{bc_str}\n")
+            head = f"{bc_str}\t"
+        fd_lines.append(
+            f"{head}{nm_v[i] + nu_v[i]}\t{nm_v[i]}\t{s_sum[i]}\t"
+            f"{s_map[i]}\t{s_dedup[i]}\t"
+            f"{s_mbm[i]}\t{num_expr[i]}\t{over_mean[i]}\n"
+        )
+    with open(mat_path / "quants_mat_rows.txt", "w") as fbc:
+        fbc.write("".join(bc_lines))
+    with open(out_path / "featureDump.txt", "w") as ffd:
         if sample_names is not None:
             ffd.write(
                 "CB\tsample_name\tCorrectedReads\tMappedReads\tDeduplicatedReads\t"
@@ -579,31 +611,7 @@ def _write_outputs(
                 "CB\tCorrectedReads\tMappedReads\tDeduplicatedReads\tMappingRate\t"
                 "DedupRate\tMeanByMax\tNumGenesExpressed\tNumGenesOverMean\n"
             )
-        for i in range(n_rows_out):
-            bc_str = bc_strs[i]
-            nm = int(result.nrec[i])
-            nu = int(unmapped_cts[i])
-            mapping_rate = np.float32(nm) / np.float32(nm + nu)
-            dedup_rate = sum_umi[i] / np.float32(nm)
-            sn = None
-            if sample_names is not None and result.sample_idx is not None:
-                si = int(result.sample_idx[i])
-                sn = sample_names[si] if si < len(sample_names) else None
-            if sn is not None:
-                fbc.write(f"{sn}_{bc_str}\n")
-                ffd.write(f"{bc_str}\t{sn}\t")
-            elif sample_names is not None:
-                # should not happen post simpleaf#195 fix; keep 10 fields
-                fbc.write(f"{bc_str}\n")
-                ffd.write(f"{bc_str}\tNA\t")
-            else:
-                fbc.write(f"{bc_str}\n")
-                ffd.write(f"{bc_str}\t")
-            ffd.write(
-                f"{nm + nu}\t{nm}\t{rust_f32_str(sum_umi[i])}\t"
-                f"{rust_f32_str(mapping_rate)}\t{rust_f32_str(dedup_rate)}\t"
-                f"{rust_f32_str(mean_by_max[i])}\t{num_expr[i]}\t{over_mean[i]}\n"
-            )
+        ffd.write("".join(fd_lines))
 
     write_matrix_market(
         mat_path / "quants_mat.mtx",

@@ -78,6 +78,16 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,   # chunk_counts, n_chunks
             ctypes.c_void_p, ctypes.c_int64,   # out, out_cap
         ]
+        lib.radc_format_f32.restype = ctypes.c_int64
+        lib.radc_format_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.radc_counting_sort.restype = None
+        lib.radc_counting_sort.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # keys, n
+            ctypes.c_int64,                    # n_keys
+            ctypes.c_void_p, ctypes.c_void_p,  # order_out, counts_out
+        ]
         lib.radc_find_neighbors.restype = None
         lib.radc_find_neighbors.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,   # queries, n_q
@@ -250,6 +260,33 @@ def find_neighbors(queries: np.ndarray, kept_sorted: np.ndarray, bc_len: int):
         counts.ctypes.data, rep.ctypes.data,
     )
     return counts, rep
+
+
+def format_f32(vals: np.ndarray) -> list:
+    """Format f32 values Rust-Display-style (shortest round-trip,
+    positional). Returns a list of str, one per value."""
+    lib = _load()
+    vals = np.ascontiguousarray(vals, np.float32)
+    n = len(vals)
+    if n == 0:
+        return []
+    out = np.empty(n * 64, np.uint8)
+    ln = lib.radc_format_f32(vals.ctypes.data, n, out.ctypes.data)
+    return out[: ln - 1].tobytes().decode().split("\n")
+
+
+def counting_sort(keys: np.ndarray, n_keys: int):
+    """Stable counting sort for small-domain int keys.
+    Returns (order[int64], counts[int64])."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, np.int64)
+    order = np.empty(len(keys), np.int64)
+    counts = np.empty(n_keys, np.int64)
+    lib.radc_counting_sort(
+        keys.ctypes.data, len(keys), n_keys,
+        order.ctypes.data, counts.ctypes.data,
+    )
+    return order, counts
 
 
 def format_triplets(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> bytes:

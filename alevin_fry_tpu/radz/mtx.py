@@ -26,6 +26,15 @@ def rust_f32_str(x: float) -> str:
     return np.format_float_positional(v, unique=True, trim="-")
 
 
+def format_f32_list(vals: np.ndarray) -> list:
+    """Bulk Rust-Display f32 formatting (native when available)."""
+    from . import _native
+
+    if _native.available():
+        return _native.format_f32(np.asarray(vals, np.float32))
+    return [rust_f32_str(v) for v in np.asarray(vals, np.float32)]
+
+
 def write_matrix_market(
     path: Path, rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     shape: Tuple[int, int],
@@ -60,7 +69,7 @@ def write_matrix_market(
         else:
             vstr = np.char.mod("%d", ivals).astype(object)
             ni = np.flatnonzero(~is_int)
-            vstr[ni] = [rust_f32_str(v) for v in vals[ni]]
+            vstr[ni] = format_f32_list(vals[ni])
             body = np.char.add(
                 np.char.add(
                     np.char.mod("%d ", rows + 1), np.char.mod("%d ", cols + 1)

@@ -101,7 +101,12 @@ def make_dataset(d: Path, rng: np.random.RandomState):
 
 def main():
     rng = np.random.RandomState(7)
-    d = Path(tempfile.mkdtemp(prefix="aft_bench_"))
+    # benchmark working set lives in tmpfs when available: this host's
+    # block device writes at ~30 MB/s with multi-x run-to-run variance
+    # (lazily-provisioned page cache), which would swamp the compute
+    # being measured
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = Path(tempfile.mkdtemp(prefix="aft_bench_", dir=tmp_root))
     try:
         make_dataset(d, rng)
 
@@ -111,10 +116,10 @@ def main():
         )
         from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
 
-        # the host shows multi-x run-to-run variance (co-tenancy); take
-        # the best of two full pipeline runs
+        # the host shows multi-x run-to-run variance (co-tenancy, lazily
+        # provisioned pages); take the best of three full pipeline runs
         best = None
-        for rep in range(2):
+        for rep in range(3):
             t0 = time.perf_counter()
             generate_permit_list(GenPermitListOpts(
                 input_dir=d / "rad", output_dir=d / f"gpl{rep}",

@@ -7,8 +7,11 @@
 //
 // Build: make -C csrc   (produces libradc.so, loaded via ctypes)
 
+#include <charconv>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -283,6 +286,93 @@ int64_t radc_format_triplets(const int64_t* rows, const int64_t* cols,
     *p++ = '\n';
   }
   return p - out;
+}
+
+// Format f32 values the way Rust's `Display` does — shortest round-trip
+// decimal digits (std::to_chars shortest == Ryu, the algorithm Rust
+// uses), rendered positionally (never scientific), NaN/inf spelled
+// Rust-style.  Output is '\n'-separated; returns bytes written.
+// `out` must have room for 64 bytes per value.
+int64_t radc_format_f32(const float* vals, int64_t n, char* out) {
+  char* p = out;
+  char tmp[48];
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = vals[i];
+    if (std::isnan(v)) {
+      std::memcpy(p, "NaN", 3);
+      p += 3;
+    } else if (std::isinf(v)) {
+      if (v < 0) *p++ = '-';
+      std::memcpy(p, "inf", 3);
+      p += 3;
+    } else {
+      float a = v;
+      if (std::signbit(v)) {
+        *p++ = '-';
+        a = -v;
+      }
+      auto res = std::to_chars(tmp, tmp + sizeof(tmp), a,
+                               std::chars_format::scientific);
+      // parse "d[.ddd]e±xx" -> digits + decimal exponent of d0
+      const char* q = tmp;
+      char digits[24];
+      int nd = 0;
+      digits[nd++] = *q++;
+      if (*q == '.') {
+        ++q;
+        while (q < res.ptr && *q != 'e') digits[nd++] = *q++;
+      }
+      int exp = 0, esign = 1;
+      if (q < res.ptr && *q == 'e') {
+        ++q;
+        if (*q == '-') {
+          esign = -1;
+          ++q;
+        } else if (*q == '+') {
+          ++q;
+        }
+        while (q < res.ptr) exp = exp * 10 + (*q++ - '0');
+        exp *= esign;
+      }
+      if (exp >= nd - 1) {
+        // integral: all digits then zero padding
+        std::memcpy(p, digits, nd);
+        p += nd;
+        for (int z = nd - 1; z < exp; ++z) *p++ = '0';
+      } else if (exp >= 0) {
+        std::memcpy(p, digits, exp + 1);
+        p += exp + 1;
+        *p++ = '.';
+        std::memcpy(p, digits + exp + 1, nd - exp - 1);
+        p += nd - exp - 1;
+      } else {
+        *p++ = '0';
+        *p++ = '.';
+        for (int z = 0; z < -exp - 1; ++z) *p++ = '0';
+        std::memcpy(p, digits, nd);
+        p += nd;
+      }
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// Stable counting sort of small-domain keys: fills order[] with indices
+// of keys grouped by key value (ascending), preserving input order
+// within a key, and counts[] with per-key occupancy.  O(n + n_keys) —
+// replaces the O(n log n) argsort on collate's cell-rank column.
+void radc_counting_sort(const int64_t* keys, int64_t n, int64_t n_keys,
+                        int64_t* order, int64_t* counts) {
+  for (int64_t k = 0; k < n_keys; ++k) counts[k] = 0;
+  for (int64_t i = 0; i < n; ++i) ++counts[keys[i]];
+  std::vector<int64_t> pos(static_cast<size_t>(n_keys));
+  int64_t acc = 0;
+  for (int64_t k = 0; k < n_keys; ++k) {
+    pos[static_cast<size_t>(k)] = acc;
+    acc += counts[k];
+  }
+  for (int64_t i = 0; i < n; ++i) order[pos[static_cast<size_t>(keys[i])]++] = i;
 }
 
 }  // extern "C"
