@@ -34,10 +34,14 @@ log = get_logger("collate")
 
 
 def _lookup_map(keys_sorted: np.ndarray, vals: np.ndarray, query: np.ndarray):
-    """Vectorized hash-map lookup via binary search.
-    Returns (hit_mask, mapped_values)."""
+    """Vectorized hash-map lookup (native hash table when available,
+    binary search otherwise).  Returns (hit_mask, mapped_values)."""
     if len(keys_sorted) == 0:
         return np.zeros(len(query), bool), np.zeros(len(query), np.uint64)
+    from ..radz import _native
+
+    if _native.available() and len(query) > 4096:
+        return _native.lookup_u64(keys_sorted, vals, query)
     idx = np.searchsorted(keys_sorted, query)
     idx_c = np.minimum(idx, len(keys_sorted) - 1)
     hit = (idx < len(keys_sorted)) & (keys_sorted[idx_c] == query)

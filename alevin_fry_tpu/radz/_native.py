@@ -88,6 +88,12 @@ def _load():
             ctypes.c_int64,                    # n_keys
             ctypes.c_void_p, ctypes.c_void_p,  # order_out, counts_out
         ]
+        lib.radc_lookup_u64.restype = ctypes.c_int64
+        lib.radc_lookup_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # keys, vals, n
+            ctypes.c_void_p, ctypes.c_int64,   # queries, n_q
+            ctypes.c_void_p, ctypes.c_void_p,  # hit_out, val_out
+        ]
         lib.radc_find_neighbors.restype = None
         lib.radc_find_neighbors.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,   # queries, n_q
@@ -260,6 +266,22 @@ def find_neighbors(queries: np.ndarray, kept_sorted: np.ndarray, bc_len: int):
         counts.ctypes.data, rep.ctypes.data,
     )
     return counts, rep
+
+
+def lookup_u64(keys: np.ndarray, vals: np.ndarray, queries: np.ndarray):
+    """Batched u64 hash-map lookup.  Returns (hit[bool], mapped[u64])."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, np.uint64)
+    vals = np.ascontiguousarray(vals, np.uint64)
+    queries = np.ascontiguousarray(queries, np.uint64)
+    hit = np.empty(len(queries), np.uint8)
+    out = np.empty(len(queries), np.uint64)
+    lib.radc_lookup_u64(
+        keys.ctypes.data, vals.ctypes.data, len(keys),
+        queries.ctypes.data, len(queries),
+        hit.ctypes.data, out.ctypes.data,
+    )
+    return hit.view(bool), out
 
 
 def format_f32(vals: np.ndarray) -> list:

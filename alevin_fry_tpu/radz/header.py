@@ -34,6 +34,9 @@ class RadHeader:
     is_paired: int = 0
     ref_names: List[str] = field(default_factory=list)
     num_chunks: int = 0
+    # raw [len:u16|utf8] name blob, cached on parse so a read->write
+    # round trip (collate) skips re-encoding tens of thousands of names
+    _names_blob: bytes = field(default=None, repr=False, compare=False)
 
     @property
     def ref_count(self) -> int:
@@ -43,26 +46,50 @@ class RadHeader:
     def from_bytes(cls, fh: BinaryIO) -> "RadHeader":
         (is_paired,) = struct.unpack("<B", fh.read(1))
         (ref_count,) = struct.unpack("<Q", fh.read(8))
+        # slurp the name region through an in-memory buffer (bulk reads,
+        # seek back past any over-read) instead of 2 tiny reads per name
+        buf = b""
+        pos = 0
         names = []
         for _ in range(ref_count):
-            (nlen,) = struct.unpack("<H", fh.read(2))
-            names.append(fh.read(nlen).decode("utf-8"))
+            while len(buf) - pos < 2:
+                chunk = fh.read(1 << 18)
+                if not chunk:
+                    raise EOFError("truncated RAD header")
+                buf = buf[pos:] + chunk
+                pos = 0
+            nlen = buf[pos] | (buf[pos + 1] << 8)
+            need = 2 + nlen
+            while len(buf) - pos < need:
+                chunk = fh.read(1 << 18)
+                if not chunk:
+                    raise EOFError("truncated RAD header")
+                buf = buf[pos:] + chunk
+                pos = 0
+            names.append(buf[pos + 2 : pos + need].decode("utf-8"))
+            pos += need
+        if len(buf) - pos:
+            fh.seek(-(len(buf) - pos), 1)
         (num_chunks,) = struct.unpack("<Q", fh.read(8))
         return cls(is_paired, names, num_chunks)
 
     def write(self, fh: BinaryIO) -> int:
         """Write the header; returns the byte offset of the num_chunks
         field (for backpatching, cf. src/convert.rs:254)."""
-        start = fh.tell()
         fh.write(struct.pack("<B", self.is_paired))
         fh.write(struct.pack("<Q", self.ref_count))
-        for n in self.ref_names:
-            nb = n.encode("utf-8")
-            fh.write(struct.pack("<H", len(nb)))
-            fh.write(nb)
+        blob = self._names_blob
+        if blob is None:
+            parts = []
+            for n in self.ref_names:
+                nb = n.encode("utf-8")
+                parts.append(struct.pack("<H", len(nb)))
+                parts.append(nb)
+            blob = b"".join(parts)
+            self._names_blob = blob
+        fh.write(blob)
         pos = fh.tell()
         fh.write(struct.pack("<Q", self.num_chunks))
-        del start
         return pos
 
 

@@ -43,10 +43,12 @@ def write_matrix_market(
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals, np.float32)
-    with open(path, "w") as fh:
-        fh.write("%%MatrixMarket matrix coordinate real general\n")
-        fh.write("% written by alevin-fry-tpu\n")
-        fh.write(f"{shape[0]} {shape[1]} {len(vals)}\n")
+    # binary sink: the body is pure ASCII and the native formatter
+    # already produces bytes — avoid a decode + re-encode round trip
+    with open(path, "wb") as fh:
+        fh.write(b"%%MatrixMarket matrix coordinate real general\n")
+        fh.write(b"% written by alevin-fry-tpu\n")
+        fh.write(f"{shape[0]} {shape[1]} {len(vals)}\n".encode())
         # bulk formatting: integral values (the common case for count
         # matrices) go through a fast vectorized integer path
         ivals = vals.astype(np.int64)
@@ -56,16 +58,15 @@ def write_matrix_market(
             from . import _native
 
             if _native.available():
-                fh.write(
-                    _native.format_triplets(rows + 1, cols + 1, ivals).decode()
-                )
+                fh.write(_native.format_triplets(rows + 1, cols + 1, ivals))
             else:
                 import pandas as pd
 
-                pd.DataFrame(
+                buf = pd.DataFrame(
                     {"r": rows + 1, "c": cols + 1, "v": ivals}
-                ).to_csv(fh, sep=" ", header=False, index=False,
+                ).to_csv(sep=" ", header=False, index=False,
                          lineterminator="\n")
+                fh.write(buf.encode())
         else:
             vstr = np.char.mod("%d", ivals).astype(object)
             ni = np.flatnonzero(~is_int)
@@ -76,7 +77,7 @@ def write_matrix_market(
                 ),
                 np.char.add(np.asarray(vstr, dtype=np.str_), "\n"),
             )
-            fh.write("".join(body.tolist()))
+            fh.write("".join(body.tolist()).encode())
 
 
 def read_matrix_market(path: Path):

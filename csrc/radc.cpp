@@ -259,6 +259,54 @@ void radc_find_neighbors(const uint64_t* queries, int64_t n_q,
   }
 }
 
+// Batched u64 map lookup via a transient open-addressing hash table
+// (splitmix64 mixer, linear probing, load factor <= 0.5).  Replaces a
+// per-query binary search: the collate hot path does one lookup per
+// read against the barcode-correction map (reference: the DashMap /
+// HashMap probes in src/collate.rs:700-710).
+// hit_out[i] = 1 and val_out[i] = mapped value on hit, else 0/0.
+// Returns the number of hits.
+static inline uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+int64_t radc_lookup_u64(const uint64_t* keys, const uint64_t* vals,
+                        int64_t n_map, const uint64_t* queries, int64_t n_q,
+                        uint8_t* hit_out, uint64_t* val_out) {
+  uint64_t cap = 16;
+  while (cap < static_cast<uint64_t>(n_map) * 2) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  // slot = index+1 into keys/vals; 0 = empty
+  std::vector<uint32_t> slots(cap, 0u);
+  for (int64_t i = 0; i < n_map; ++i) {
+    uint64_t h = mix64(keys[i]) & mask;
+    while (slots[h]) {
+      if (keys[slots[h] - 1] == keys[i]) break;  // duplicate key: first wins
+      h = (h + 1) & mask;
+    }
+    if (!slots[h]) slots[h] = static_cast<uint32_t>(i + 1);
+  }
+  int64_t hits = 0;
+  for (int64_t i = 0; i < n_q; ++i) {
+    const uint64_t q = queries[i];
+    uint64_t h = mix64(q) & mask;
+    uint32_t s;
+    while ((s = slots[h]) != 0 && keys[s - 1] != q) h = (h + 1) & mask;
+    if (s) {
+      hit_out[i] = 1;
+      val_out[i] = vals[s - 1];
+      ++hits;
+    } else {
+      hit_out[i] = 0;
+      val_out[i] = 0;
+    }
+  }
+  return hits;
+}
+
 // Format integer COO triplets as "r c v\n" lines (MatrixMarket body).
 // out must have room for n * 62 bytes; returns bytes written.
 int64_t radc_format_triplets(const int64_t* rows, const int64_t* cols,
