@@ -370,15 +370,24 @@ def _collate_in_memory_native(
             "(total %d vs %d)", int(per_cell.sum()), int(cell_cts.sum()),
         )
 
-    out_cap = int(
-        (4 + schema.read_bytes) * len(kept_idx)
-        + int(kept_per_read[kept_idx].sum()) * schema.aln_bytes
-        + 8 * int((per_cell > 0).sum())
+    # exact per-chunk output offsets (record sizes are known up front
+    # from the kept-alignment counts) make every chunk independent, so
+    # the byte-gather emit runs threaded
+    order_offsets = np.zeros(len(per_cell) + 1, np.int64)
+    np.cumsum(per_cell, out=order_offsets[1:])
+    sizes = 4 + schema.read_bytes + kept_per_read[order] * schema.aln_bytes
+    szsum = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(sizes, out=szsum[1:])
+    chunk_bytes = (
+        szsum[order_offsets[1:]] - szsum[order_offsets[:-1]]
+        + 8 * (per_cell > 0)
     )
-    body = _native.collate_emit(
-        buf, rec_starts, num_aln, corrected, order,
-        schema.read_bytes, schema.aln_bytes, bc_off, bc_width,
-        ref_off, ori_mode, per_cell, out_cap,
+    out_offsets = np.zeros(len(per_cell) + 1, np.int64)
+    np.cumsum(chunk_bytes, out=out_offsets[1:])
+    body = _native.collate_emit2(
+        buf, rec_starts, num_aln, corrected, order, order_offsets,
+        out_offsets, schema.read_bytes, schema.aln_bytes, bc_off, bc_width,
+        ref_off, ori_mode,
     )
     n_written = int((per_cell > 0).sum())
 

@@ -108,9 +108,14 @@ GPL_BLOCK_RECORDS = int(
 
 
 def _histogram(bcs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Sorted (barcode, count) histogram."""
+    """Sorted (barcode, count) histogram (native hash counting when
+    available: O(n) instead of a full sort)."""
     if len(bcs) == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    from ..radz import _native
+
+    if _native.available() and len(bcs) > 16384:
+        return _native.count_u64(bcs)
     uniq, counts = np.unique(bcs, return_counts=True)
     return uniq, counts.astype(np.uint64)
 

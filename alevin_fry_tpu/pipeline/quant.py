@@ -336,7 +336,26 @@ def _resolve_cells(
     rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
     cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
     vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
-    order = np.lexsort((cols, rows))
+    # each contributing block arrives sorted by (row, col) (resolvers
+    # emit cell-ascending, slot-sorted triplets); merging two sorted
+    # blocks via searchsorted avoids a full lexsort of the whole matrix
+    keys_l = [r * np.int64(num_rows) + cv for r, cv in zip(rows_l, cols_l)]
+    blocks_sorted = all(
+        len(k) < 2 or bool((k[1:] >= k[:-1]).all()) for k in keys_l
+    )
+    if blocks_sorted and len(keys_l) == 2:
+        k1, k2 = keys_l
+        pos1 = np.arange(len(k1), dtype=np.int64) + np.searchsorted(k2, k1)
+        pos2 = np.arange(len(k2), dtype=np.int64) + np.searchsorted(
+            k1, k2, side="right"
+        )
+        order = np.empty(len(k1) + len(k2), np.int64)
+        order[pos1] = np.arange(len(k1), dtype=np.int64)
+        order[pos2] = len(k1) + np.arange(len(k2), dtype=np.int64)
+    elif blocks_sorted and len(keys_l) <= 1:
+        order = slice(None)
+    else:
+        order = np.lexsort((cols, rows))
     return CellResult(
         cells=processed,
         cell_bcs=cell_bcs,
@@ -549,13 +568,31 @@ def _write_outputs(
     num_expr = np.zeros(n_rows_out, np.int64)
     over_mean = np.zeros(n_rows_out, np.int64)
     if len(result.rows):
-        np.add.at(sum_umi, result.rows, result.vals)
-        np.maximum.at(max_umi, result.rows, result.vals)
-        np.add.at(num_expr, result.rows, (result.vals > 0).astype(np.int64))
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean_expr_arr = sum_umi / num_expr.astype(np.float32)
-        gt = result.vals > mean_expr_arr[result.rows]
-        np.add.at(over_mean, result.rows, gt.astype(np.int64))
+        rr = result.rows
+        if len(rr) < 2 or bool((rr[1:] >= rr[:-1]).all()):
+            # rows arrive sorted: segmented reductions (reduceat) are an
+            # order of magnitude faster than ufunc.at scatter
+            starts = np.flatnonzero(
+                np.concatenate(([True], rr[1:] != rr[:-1]))
+            )
+            ridx = rr[starts]
+            sum_umi[ridx] = np.add.reduceat(result.vals, starts)
+            max_umi[ridx] = np.maximum.reduceat(result.vals, starts)
+            num_expr[ridx] = np.add.reduceat(
+                (result.vals > 0).astype(np.int64), starts
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_expr_arr = sum_umi / num_expr.astype(np.float32)
+            gt = result.vals > mean_expr_arr[rr]
+            over_mean[ridx] = np.add.reduceat(gt.astype(np.int64), starts)
+        else:
+            np.add.at(sum_umi, rr, result.vals)
+            np.maximum.at(max_umi, rr, result.vals)
+            np.add.at(num_expr, rr, (result.vals > 0).astype(np.int64))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_expr_arr = sum_umi / num_expr.astype(np.float32)
+            gt = result.vals > mean_expr_arr[rr]
+            np.add.at(over_mean, rr, gt.astype(np.int64))
     with np.errstate(invalid="ignore", divide="ignore"):
         mean_expr = (sum_umi / num_expr.astype(np.float32)).astype(np.float32)
         mean_by_max = (mean_expr / max_umi).astype(np.float32)

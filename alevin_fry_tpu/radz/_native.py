@@ -88,6 +88,39 @@ def _load():
             ctypes.c_int64,                    # n_keys
             ctypes.c_void_p, ctypes.c_void_p,  # order_out, counts_out
         ]
+        lib.radc_sort_u64_segments.restype = None
+        lib.radc_sort_u64_segments.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,  # keys, seg_offsets
+            ctypes.c_int64, ctypes.c_int32,    # n_segs, n_threads
+        ]
+        lib.radc_count_u64.restype = ctypes.c_int64
+        lib.radc_count_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # keys, n, cap
+            ctypes.c_void_p, ctypes.c_void_p,  # uniq_out, cnt_out
+        ]
+        lib.radc_collate_emit2.restype = ctypes.c_int64
+        lib.radc_collate_emit2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # buf, len
+            ctypes.c_void_p, ctypes.c_void_p,  # rec_starts, num_aln
+            ctypes.c_void_p,                   # corrected_bc
+            ctypes.c_void_p, ctypes.c_void_p,  # order, order_offsets
+            ctypes.c_void_p, ctypes.c_int64,   # out_offsets, n_chunks
+            ctypes.c_int64, ctypes.c_int64,    # read_bytes, aln_bytes
+            ctypes.c_int64, ctypes.c_int64,    # bc_off, bc_width
+            ctypes.c_int64, ctypes.c_int32,    # ref_off, ori_mode
+            ctypes.c_void_p, ctypes.c_int64,   # out, out_cap
+            ctypes.c_int32,                    # n_threads
+        ]
+        lib.radc_extract_fields2.restype = ctypes.c_int64
+        lib.radc_extract_fields2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # buf, len
+            ctypes.c_void_p, ctypes.c_int64,   # rec_starts, n_recs
+            ctypes.c_void_p, ctypes.c_void_p,  # num_aln, aln_offs
+            ctypes.c_void_p, ctypes.c_int64,   # read_widths, n
+            ctypes.c_void_p, ctypes.c_int64,   # aln_widths, n
+            ctypes.c_void_p, ctypes.c_void_p,  # read_cols**, aln_cols**
+            ctypes.c_int32,                    # n_threads
+        ]
         lib.radc_lookup_u64.restype = ctypes.c_int64
         lib.radc_lookup_u64.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # keys, vals, n
@@ -266,6 +299,111 @@ def find_neighbors(queries: np.ndarray, kept_sorted: np.ndarray, bc_len: int):
         counts.ctypes.data, rep.ctypes.data,
     )
     return counts, rep
+
+
+_NTHREADS = max(1, min(8, os.cpu_count() or 1))
+
+
+def sort_u64_segments(keys: np.ndarray, seg_offsets: np.ndarray) -> np.ndarray:
+    """Sort u64 `keys` in place within each [seg_offsets[i], seg_offsets[i+1])
+    segment (threaded).  Returns `keys`."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, np.uint64)
+    seg_offsets = np.ascontiguousarray(seg_offsets, np.int64)
+    lib.radc_sort_u64_segments(
+        keys.ctypes.data, seg_offsets.ctypes.data,
+        len(seg_offsets) - 1, _NTHREADS,
+    )
+    return keys
+
+
+def count_u64(keys: np.ndarray, cap_hint: int = 0):
+    """Hash-based distinct counting.  Returns (uniq sorted, counts)."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, np.uint64)
+    n = len(keys)
+    cap = int(cap_hint) if cap_hint else n
+    cap = max(cap, 1)
+    uniq = np.empty(cap, np.uint64)
+    cnt = np.empty(cap, np.uint64)
+    k = lib.radc_count_u64(keys.ctypes.data, n, cap, uniq.ctypes.data,
+                           cnt.ctypes.data)
+    uniq, cnt = uniq[:k], cnt[:k]
+    order = np.argsort(uniq)
+    return uniq[order], cnt[order]
+
+
+def collate_emit2(
+    buf: np.ndarray,
+    rec_starts: np.ndarray,
+    num_aln: np.ndarray,
+    corrected_bc: np.ndarray,
+    order: np.ndarray,
+    order_offsets: np.ndarray,
+    out_offsets: np.ndarray,
+    read_bytes: int,
+    aln_bytes: int,
+    bc_off: int,
+    bc_width: int,
+    ref_off: int,
+    ori_mode: int,
+) -> np.ndarray:
+    """Threaded byte-level collated emit over precomputed per-chunk
+    record ranges and output offsets.  Returns the output byte buffer."""
+    lib = _load()
+    out_cap = int(out_offsets[-1])
+    out = np.empty(out_cap, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    rec_starts = np.ascontiguousarray(rec_starts, np.int64)
+    num_aln = np.ascontiguousarray(num_aln, np.int64)
+    corrected_bc = np.ascontiguousarray(corrected_bc, np.uint64)
+    order = np.ascontiguousarray(order, np.int64)
+    order_offsets = np.ascontiguousarray(order_offsets, np.int64)
+    out_offsets = np.ascontiguousarray(out_offsets, np.int64)
+    rc = lib.radc_collate_emit2(
+        buf.ctypes.data, buf.nbytes,
+        rec_starts.ctypes.data, num_aln.ctypes.data,
+        corrected_bc.ctypes.data,
+        order.ctypes.data, order_offsets.ctypes.data,
+        out_offsets.ctypes.data, len(order_offsets) - 1,
+        read_bytes, aln_bytes, bc_off, bc_width, ref_off, ori_mode,
+        out.ctypes.data, out_cap, _NTHREADS,
+    )
+    if rc < 0:
+        raise ValueError("collate emit overran a buffer or sizes mismatched")
+    return out
+
+
+def extract_fields2(
+    buf: np.ndarray,
+    rec_starts: np.ndarray,
+    num_aln: np.ndarray,
+    read_widths,
+    aln_widths,
+):
+    """Threaded one-pass extraction of all record fields into u64
+    columns.  Returns (read_cols list, aln_cols list)."""
+    lib = _load()
+    n = len(rec_starts)
+    num_aln = np.ascontiguousarray(num_aln, np.int64)
+    aln_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(num_aln, out=aln_offs[1:])
+    total_aln = int(aln_offs[-1])
+    read_cols = [np.empty(n, np.uint64) for _ in read_widths]
+    aln_cols = [np.empty(total_aln, np.uint64) for _ in aln_widths]
+    rw = np.asarray(read_widths, np.int64)
+    aw = np.asarray(aln_widths, np.int64)
+    buf = np.ascontiguousarray(buf)
+    rec_starts = np.ascontiguousarray(rec_starts, np.int64)
+    rc = lib.radc_extract_fields2(
+        buf.ctypes.data, buf.nbytes,
+        rec_starts.ctypes.data, n, num_aln.ctypes.data, aln_offs.ctypes.data,
+        rw.ctypes.data, len(rw), aw.ctypes.data, len(aw),
+        _col_ptrs(read_cols), _col_ptrs(aln_cols), _NTHREADS,
+    )
+    if rc < 0:
+        raise ValueError("field extraction overran the buffer")
+    return read_cols, aln_cols
 
 
 def lookup_u64(keys: np.ndarray, vals: np.ndarray, queries: np.ndarray):

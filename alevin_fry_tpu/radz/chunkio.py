@@ -254,7 +254,7 @@ def decode_chunk_bodies(
     total_aln = int(aln_offsets[-1])
 
     if _native.available():
-        read_cols, aln_cols = _native.extract_fields(
+        read_cols, aln_cols = _native.extract_fields2(
             buf, rec_starts, num_aln,
             [w for _, w in schema.read_fields],
             [w for _, w in schema.aln_fields],

@@ -7,10 +7,12 @@
 //
 // Build: make -C csrc   (produces libradc.so, loaded via ctypes)
 
+#include <algorithm>
 #include <charconv>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -214,6 +216,171 @@ int64_t radc_collate_emit(const uint8_t* buf, int64_t buf_len,
   return p;
 }
 
+// Parallel byte-level collation emit.  Like radc_collate_emit, but the
+// caller precomputes per-chunk record ranges (order_offsets) and output
+// byte offsets (out_offsets, both n_chunks+1), making every chunk
+// independent — threads split the chunk list by output bytes.
+// Returns 0 on success, -1 on overrun/size mismatch.
+int64_t radc_collate_emit2(const uint8_t* buf, int64_t buf_len,
+                           const int64_t* rec_starts, const int64_t* num_aln,
+                           const uint64_t* corrected_bc, const int64_t* order,
+                           const int64_t* order_offsets,
+                           const int64_t* out_offsets, int64_t n_chunks,
+                           int64_t read_bytes, int64_t aln_bytes,
+                           int64_t bc_off, int64_t bc_width, int64_t ref_off,
+                           int32_t ori_mode, uint8_t* out, int64_t out_cap,
+                           int32_t n_threads) {
+  const uint32_t want = (ori_mode == 1) ? 1u : 0u;
+  if (n_chunks > 0 && out_offsets[n_chunks] > out_cap) return -1;
+  auto work = [&](int64_t c0, int64_t c1, int64_t* err) {
+    for (int64_t c = c0; c < c1; ++c) {
+      const int64_t k = order_offsets[c + 1] - order_offsets[c];
+      if (k == 0) continue;
+      int64_t p = out_offsets[c];
+      const int64_t p_end = out_offsets[c + 1];
+      const int64_t hdr_pos = p;
+      p += 8;
+      for (int64_t r = order_offsets[c]; r < order_offsets[c + 1]; ++r) {
+        const int64_t i = order[r];
+        const int64_t src = rec_starts[i];
+        const int64_t na = num_aln[i];
+        if (src + 4 + read_bytes + na * aln_bytes > buf_len || p > p_end) {
+          *err = -1;
+          return;
+        }
+        if (ori_mode == 0) {
+          const int64_t sz = 4 + read_bytes + na * aln_bytes;
+          if (p + sz > p_end) {
+            *err = -1;
+            return;
+          }
+          std::memcpy(out + p, buf + src, sz);
+          std::memcpy(out + p + 4 + bc_off, &corrected_bc[i], bc_width);
+          p += sz;
+        } else {
+          const int64_t na_pos = p;
+          if (p + 4 + read_bytes > p_end) {
+            *err = -1;
+            return;
+          }
+          p += 4;
+          std::memcpy(out + p, buf + src + 4, read_bytes);
+          std::memcpy(out + p + bc_off, &corrected_bc[i], bc_width);
+          p += read_bytes;
+          uint32_t kept = 0;
+          int64_t aoff = src + 4 + read_bytes;
+          for (int64_t a = 0; a < na; ++a) {
+            uint32_t v;
+            std::memcpy(&v, buf + aoff + ref_off, 4);
+            if ((v >> 31) == want) {
+              if (p + aln_bytes > p_end) {
+                *err = -1;
+                return;
+              }
+              std::memcpy(out + p, buf + aoff, aln_bytes);
+              p += aln_bytes;
+              ++kept;
+            }
+            aoff += aln_bytes;
+          }
+          std::memcpy(out + na_pos, &kept, 4);
+        }
+      }
+      if (p != p_end) {
+        *err = -1;
+        return;
+      }
+      const uint32_t nbytes = static_cast<uint32_t>(p - hdr_pos);
+      const uint32_t nrec = static_cast<uint32_t>(k);
+      std::memcpy(out + hdr_pos, &nbytes, 4);
+      std::memcpy(out + hdr_pos + 4, &nrec, 4);
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  std::vector<int64_t> errs(static_cast<size_t>(n_threads), 0);
+  if (n_threads == 1 || n_chunks < 2) {
+    work(0, n_chunks, &errs[0]);
+  } else {
+    const int64_t total = out_offsets[n_chunks] - out_offsets[0];
+    std::vector<std::thread> ts;
+    int64_t c_prev = 0;
+    for (int t = 1; t < n_threads; ++t) {
+      const int64_t target = out_offsets[0] + total * t / n_threads;
+      int64_t c = c_prev;
+      while (c < n_chunks && out_offsets[c] < target) ++c;
+      ts.emplace_back(work, c_prev, c, &errs[t]);
+      c_prev = c;
+    }
+    work(c_prev, n_chunks, &errs[0]);
+    for (auto& th : ts) th.join();
+  }
+  for (int t = 0; t < n_threads; ++t)
+    if (errs[static_cast<size_t>(t)] < 0) return -1;
+  return 0;
+}
+
+// Parallel field extraction: like radc_extract_fields but with the
+// per-record flat alignment offsets precomputed so record ranges are
+// independent across threads.
+int64_t radc_extract_fields2(const uint8_t* buf, int64_t buf_len,
+                             const int64_t* rec_starts, int64_t n_recs,
+                             const int64_t* num_aln, const int64_t* aln_offs,
+                             const int64_t* read_widths, int64_t n_read_fields,
+                             const int64_t* aln_widths, int64_t n_aln_fields,
+                             uint64_t** read_cols, uint64_t** aln_cols,
+                             int32_t n_threads) {
+  auto work = [&](int64_t i0, int64_t i1, int64_t* err) {
+    for (int64_t i = i0; i < i1; ++i) {
+      int64_t off = rec_starts[i] + 4;
+      for (int64_t f = 0; f < n_read_fields; ++f) {
+        uint64_t v = 0;
+        const int64_t w = read_widths[f];
+        if (off + w > buf_len) {
+          *err = -1;
+          return;
+        }
+        std::memcpy(&v, buf + off, w);
+        read_cols[f][i] = v;
+        off += w;
+      }
+      const int64_t na = num_aln[i];
+      int64_t aln_idx = aln_offs[i];
+      for (int64_t a = 0; a < na; ++a) {
+        for (int64_t f = 0; f < n_aln_fields; ++f) {
+          uint64_t v = 0;
+          const int64_t w = aln_widths[f];
+          if (off + w > buf_len) {
+            *err = -1;
+            return;
+          }
+          std::memcpy(&v, buf + off, w);
+          aln_cols[f][aln_idx] = v;
+          off += w;
+        }
+        ++aln_idx;
+      }
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  std::vector<int64_t> errs(static_cast<size_t>(n_threads), 0);
+  if (n_threads == 1 || n_recs < 2) {
+    work(0, n_recs, &errs[0]);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t i_prev = 0;
+    for (int t = 1; t < n_threads; ++t) {
+      const int64_t i = n_recs * t / n_threads;
+      ts.emplace_back(work, i_prev, i, &errs[t]);
+      i_prev = i;
+    }
+    work(i_prev, n_recs, &errs[0]);
+    for (auto& th : ts) th.join();
+  }
+  for (int t = 0; t < n_threads; ++t)
+    if (errs[static_cast<size_t>(t)] < 0) return -1;
+  return 0;
+}
+
 // Batched Hamming<=1 (substitution) neighbor search over 2-bit packed
 // barcodes: for each query, count distinct members of the sorted
 // `kept` array within Hamming distance <= 1 and report the smallest
@@ -305,6 +472,97 @@ int64_t radc_lookup_u64(const uint64_t* keys, const uint64_t* vals,
     }
   }
   return hits;
+}
+
+// Sort u64 keys independently within each segment, threaded across
+// segments.  The quant hot path produces keys whose high bits (the
+// cell index) are already nondecreasing in collated-file order, so the
+// global lexicographic sort the reference does per cell
+// (pugutils.rs:663-671 sort of (umi, gene) triplets) degenerates into
+// many small per-segment sorts — O(sum n_i log n_i) with tiny n_i.
+void radc_sort_u64_segments(uint64_t* keys, const int64_t* seg_offsets,
+                            int64_t n_segs, int32_t n_threads) {
+  if (n_segs <= 0) return;
+  if (n_threads < 1) n_threads = 1;
+  auto work = [keys, seg_offsets](int64_t s0, int64_t s1) {
+    for (int64_t s = s0; s < s1; ++s) {
+      uint64_t* a = keys + seg_offsets[s];
+      const int64_t n = seg_offsets[s + 1] - seg_offsets[s];
+      // tiny segments dominate (1-2 alignments per read): branch fast
+      if (n <= 1) continue;
+      if (n == 2) {
+        if (a[0] > a[1]) std::swap(a[0], a[1]);
+        continue;
+      }
+      if (n <= 24) {  // insertion sort beats introsort at this size
+        for (int64_t i = 1; i < n; ++i) {
+          const uint64_t v = a[i];
+          int64_t j = i - 1;
+          while (j >= 0 && a[j] > v) {
+            a[j + 1] = a[j];
+            --j;
+          }
+          a[j + 1] = v;
+        }
+        continue;
+      }
+      std::sort(a, a + n);
+    }
+  };
+  if (n_threads == 1 || n_segs < 2) {
+    work(0, n_segs);
+    return;
+  }
+  // split segments so each thread gets about equal total elements
+  const int64_t total = seg_offsets[n_segs] - seg_offsets[0];
+  std::vector<std::thread> ts;
+  int64_t s_prev = 0;
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t target = seg_offsets[0] + total * t / n_threads;
+    int64_t s = s_prev;
+    while (s < n_segs && seg_offsets[s] < target) ++s;
+    ts.emplace_back(work, s_prev, s);
+    s_prev = s;
+  }
+  work(s_prev, n_segs);
+  for (auto& th : ts) th.join();
+}
+
+// Hash-based distinct counting of u64 keys (open addressing, linear
+// probing).  Returns the number of distinct keys; uniq_out/cnt_out
+// receive them in table order (caller sorts the small result).
+// cap_hint sizes the table (pass an upper bound on distinct keys, e.g.
+// n).  Replaces sort-based np.unique on the barcode histogram path
+// (reference: DashMap barcode histogramming, cellfilter.rs:1283-1420).
+int64_t radc_count_u64(const uint64_t* keys, int64_t n, int64_t cap_hint,
+                       uint64_t* uniq_out, uint64_t* cnt_out) {
+  uint64_t cap = 16;
+  while (cap < static_cast<uint64_t>(cap_hint) * 2) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  std::vector<uint64_t> tkey(cap);
+  std::vector<uint64_t> tcnt(cap, 0);
+  std::vector<uint8_t> used(cap, 0);
+  int64_t n_distinct = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t k = keys[i];
+    uint64_t h = mix64(k) & mask;
+    while (used[h] && tkey[h] != k) h = (h + 1) & mask;
+    if (!used[h]) {
+      used[h] = 1;
+      tkey[h] = k;
+      ++n_distinct;
+    }
+    ++tcnt[h];
+  }
+  int64_t j = 0;
+  for (uint64_t h = 0; h < cap; ++h) {
+    if (used[h]) {
+      uniq_out[j] = tkey[h];
+      cnt_out[j] = tcnt[h];
+      ++j;
+    }
+  }
+  return j;
 }
 
 // Format integer COO triplets as "r c v\n" lines (MatrixMarket body).
