@@ -37,6 +37,9 @@ from ..radz import bincodeio, read_prelude, record_type_from_prelude, KnownRecor
 from ..radz.chunkio import decode_all_chunks
 from ..radz.records import RecordSchema
 from ..utils import (
+    STRAND_BOTH,
+    STRAND_FW,
+    STRAND_RC,
     read_barcode_file,
     read_strand_mask,
     strand_from_ori_arg,
@@ -137,6 +140,66 @@ def _merge_histograms(a_bc, a_ct, b_bc, b_ct):
     return bc[starts], out_ct.astype(np.uint64)
 
 
+def _iter_block_barcodes(fh, schema, num_chunks, strand):
+    """Yield (barcodes[u64], strand_compat[bool], num_aln[int64]) per
+    streamed block.  Native byte-level path extracts only the barcode
+    column and the per-read orientation counts (no full field decode);
+    falls back to the columnar decoder otherwise."""
+    from ..radz import _native
+    from ..radz.chunkio import (
+        _gather_uint, iter_decoded_blocks, iter_raw_blocks,
+    )
+
+    if strand == STRAND_BOTH:
+        ori_mode = 0
+    elif strand == STRAND_FW:
+        ori_mode = 1
+    else:
+        assert strand == STRAND_RC
+        ori_mode = 2
+    ref_width = (
+        dict(schema.aln_fields).get(schema.ref_field)
+        if schema.ref_field is not None
+        else None
+    )
+    native_ok = _native.available() and (ori_mode == 0 or ref_width == 4)
+    if native_ok:
+        bc_name = schema.barcode_fields[-1]
+        bc_off = 0
+        bc_width = 0
+        for name, w in schema.read_fields:
+            if name == bc_name:
+                bc_width = w
+                break
+            bc_off += w
+        ref_off = 0
+        for name, w in schema.aln_fields:
+            if name == schema.ref_field:
+                break
+            ref_off += w
+        for buf, region_starts, chunk_recs in iter_raw_blocks(
+            fh, num_chunks, GPL_BLOCK_RECORDS
+        ):
+            rec_starts, num_aln = _native.walk_records(
+                buf, region_starts, chunk_recs,
+                schema.read_bytes, schema.aln_bytes,
+            )
+            bcs = _gather_uint(buf, rec_starts + 4 + bc_off, bc_width)
+            if ori_mode == 0:
+                compat = num_aln > 0
+            else:
+                kept = _native.ori_counts(
+                    buf, rec_starts, num_aln,
+                    schema.read_bytes, schema.aln_bytes, ref_off, ori_mode,
+                )
+                compat = kept > 0
+            yield bcs, compat, num_aln
+        return
+    for block in iter_decoded_blocks(fh, schema, num_chunks, GPL_BLOCK_RECORDS):
+        compat = read_strand_mask(block.dirs, block.aln_offsets, strand)
+        yield block.barcode(), compat, block.num_aln_per_read
+
+
 def generate_permit_list(opts: GenPermitListOpts) -> int:
     """Run the stage; returns the number of distinct corrected barcodes
     (the reference's return contract, cellfilter.rs:487)."""
@@ -169,25 +232,21 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
         # stream in bounded blocks and accumulate the histogram —
         # memory is bounded by distinct barcodes, not read count
         strand = strand_from_ori_arg(opts.expected_ori)
-        from ..radz.chunkio import iter_decoded_blocks
 
         num_reads = 0
         num_compat = 0
         max_ambig = 0
         h_bc = np.zeros(0, np.uint64)
         h_ct = np.zeros(0, np.uint64)
-        for block in iter_decoded_blocks(
-            fh, schema, prelude.hdr.num_chunks, GPL_BLOCK_RECORDS
+        for bcs, compat, nal in _iter_block_barcodes(
+            fh, schema, prelude.hdr.num_chunks, strand
         ):
-            compat = read_strand_mask(block.dirs, block.aln_offsets, strand)
-            num_reads += block.n_reads
+            num_reads += len(bcs)
             nc = int(compat.sum())
             num_compat += nc
             if nc:
-                max_ambig = max(
-                    max_ambig, int(block.num_aln_per_read[compat].max())
-                )
-            b_bc, b_ct = _histogram(block.barcode()[compat])
+                max_ambig = max(max_ambig, int(nal[compat].max()))
+            b_bc, b_ct = _histogram(bcs[compat] if nc < len(bcs) else bcs)
             h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
     log.info(
         "observed %d reads (%d orientation consistent); max ambiguity %d refs",

@@ -225,6 +225,48 @@ def iter_decoded_blocks(
         yield batch
 
 
+def iter_raw_blocks(
+    fh: BinaryIO,
+    num_chunks: int | None,
+    max_records: int,
+):
+    """Stream chunks into raw byte blocks of roughly ``max_records``
+    reads each WITHOUT field decode.  Yields (buf[uint8],
+    region_starts[int64], chunk_recs[int64]) — the native walk inputs."""
+    chunk_bufs: List[bytes] = []
+    chunk_recs: List[int] = []
+    n = 0
+    pending = 0
+
+    def _emit():
+        buf = np.frombuffer(b"".join(chunk_bufs), dtype=np.uint8)
+        sizes = np.asarray([len(b) for b in chunk_bufs], np.int64)
+        region_starts = np.zeros(len(chunk_bufs), np.int64)
+        if len(sizes) > 1:
+            np.cumsum(sizes[:-1], out=region_starts[1:])
+        return buf, region_starts, np.asarray(chunk_recs, np.int64)
+
+    while num_chunks is None or n < num_chunks:
+        hdr = fh.read(8)
+        if len(hdr) < 8:
+            if num_chunks is not None:
+                raise EOFError(f"expected {num_chunks} chunks but hit EOF after {n}")
+            break
+        nbytes, nrec = struct.unpack("<II", hdr)
+        body = fh.read(nbytes - 8)
+        if len(body) != nbytes - 8:
+            raise EOFError("truncated chunk body")
+        chunk_bufs.append(body)
+        chunk_recs.append(nrec)
+        pending += nrec
+        n += 1
+        if pending >= max_records:
+            yield _emit()
+            chunk_bufs, chunk_recs, pending = [], [], 0
+    if chunk_bufs:
+        yield _emit()
+
+
 def decode_chunk_bodies(
     chunk_bufs: List[bytes], chunk_recs: List[int], schema: RecordSchema
 ) -> ReadBatch:

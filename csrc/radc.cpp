@@ -15,6 +15,14 @@
 #include <thread>
 #include <vector>
 
+// splitmix64 mixer used by the open-addressing hash tables below.
+static inline uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
 extern "C" {
 
 // Walk records across multiple chunk regions of `buf`.
@@ -389,41 +397,66 @@ int64_t radc_extract_fields2(const uint8_t* buf, int64_t buf_len,
 void radc_find_neighbors(const uint64_t* queries, int64_t n_q,
                          const uint64_t* kept, int64_t n_k, int64_t bc_len,
                          int64_t* counts_out, uint64_t* rep_out) {
-  auto lookup = [kept, n_k](uint64_t v) -> bool {
-    int64_t lo = 0, hi = n_k;
-    while (lo < hi) {
-      const int64_t mid = (lo + hi) >> 1;
-      if (kept[mid] < v)
-        lo = mid + 1;
-      else
-        hi = mid;
-    }
-    return lo < n_k && kept[lo] == v;
+  // membership hash set over the kept barcodes (sentinel = all-ones,
+  // which cannot be a 2-bit packed barcode of <= 31 bases)
+  uint64_t cap = 16;
+  while (cap < static_cast<uint64_t>(n_k) * 2) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  const uint64_t kEmpty = ~0ull;
+  std::vector<uint64_t> table(cap, kEmpty);
+  for (int64_t i = 0; i < n_k; ++i) {
+    uint64_t h = mix64(kept[i]) & mask;
+    while (table[h] != kEmpty && table[h] != kept[i]) h = (h + 1) & mask;
+    table[h] = kept[i];
+  }
+  auto lookup = [&table, mask, kEmpty](uint64_t v) -> bool {
+    uint64_t h = mix64(v) & mask;
+    uint64_t t;
+    while ((t = table[h]) != kEmpty && t != v) h = (h + 1) & mask;
+    return t == v;
   };
-  for (int64_t qi = 0; qi < n_q; ++qi) {
-    const uint64_t q = queries[qi];
-    int64_t count = 0;
-    uint64_t rep = ~0ull;
-    if (lookup(q)) {
-      count = 1;
-      rep = q;
-    }
-    for (int64_t pos = 0; pos < bc_len; ++pos) {
-      const int shift = 2 * static_cast<int>(pos);
-      const uint64_t cur = (q >> shift) & 3ull;
-      const uint64_t cleared = q & ~(3ull << shift);
-      for (uint64_t b = 0; b < 4; ++b) {
-        if (b == cur) continue;
-        const uint64_t v = cleared | (b << shift);
-        if (lookup(v)) {
-          ++count;
-          if (v < rep) rep = v;
+  auto work = [&](int64_t q0, int64_t q1) {
+    for (int64_t qi = q0; qi < q1; ++qi) {
+      const uint64_t q = queries[qi];
+      int64_t count = 0;
+      uint64_t rep = ~0ull;
+      if (lookup(q)) {
+        count = 1;
+        rep = q;
+      }
+      for (int64_t pos = 0; pos < bc_len; ++pos) {
+        const int shift = 2 * static_cast<int>(pos);
+        const uint64_t cur = (q >> shift) & 3ull;
+        const uint64_t cleared = q & ~(3ull << shift);
+        for (uint64_t b = 0; b < 4; ++b) {
+          if (b == cur) continue;
+          const uint64_t v = cleared | (b << shift);
+          if (lookup(v)) {
+            ++count;
+            if (v < rep) rep = v;
+          }
         }
       }
+      counts_out[qi] = count;
+      rep_out[qi] = (count > 0) ? rep : 0ull;
     }
-    counts_out[qi] = count;
-    rep_out[qi] = (count > 0) ? rep : 0ull;
+  };
+  const unsigned hw = std::thread::hardware_concurrency();
+  const int n_threads =
+      (n_q > 8192 && hw > 1) ? static_cast<int>(hw > 8 ? 8 : hw) : 1;
+  if (n_threads == 1) {
+    work(0, n_q);
+    return;
   }
+  std::vector<std::thread> ts;
+  int64_t prev = 0;
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t q = n_q * t / n_threads;
+    ts.emplace_back(work, prev, q);
+    prev = q;
+  }
+  work(prev, n_q);
+  for (auto& th : ts) th.join();
 }
 
 // Batched u64 map lookup via a transient open-addressing hash table
@@ -433,13 +466,6 @@ void radc_find_neighbors(const uint64_t* queries, int64_t n_q,
 // HashMap probes in src/collate.rs:700-710).
 // hit_out[i] = 1 and val_out[i] = mapped value on hit, else 0/0.
 // Returns the number of hits.
-static inline uint64_t mix64(uint64_t x) {
-  x += 0x9e3779b97f4a7c15ull;
-  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
-  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
-  return x ^ (x >> 31);
-}
-
 int64_t radc_lookup_u64(const uint64_t* keys, const uint64_t* vals,
                         int64_t n_map, const uint64_t* queries, int64_t n_q,
                         uint8_t* hit_out, uint64_t* val_out) {
