@@ -67,6 +67,25 @@ def _sort_packed(key: np.ndarray, seg_offsets=None) -> np.ndarray:
     return np.sort(key)
 
 
+def _sort_unique_counts(key: np.ndarray, seg_offsets=None):
+    """Sort + run-length encode a packed u64 key array: returns
+    (unique keys in sorted order, run counts).  Uses the fused native
+    segmented kernel when segment offsets are available."""
+    from ..radz import _native
+
+    if seg_offsets is not None and _native.available() and len(key) > 4096:
+        return _native.sort_rle_u64_segments(
+            np.ascontiguousarray(key, np.uint64), seg_offsets
+        )
+    key = np.sort(key)
+    if not len(key):
+        return key, np.zeros(0, np.int64)
+    new = np.ones(len(key), bool)
+    new[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new)
+    return key[starts], np.diff(np.append(starts, len(key)))
+
+
 def _segments_of_sorted(col: np.ndarray) -> np.ndarray:
     """Offsets of the runs of a nondecreasing column, or None if the
     column isn't nondecreasing."""
@@ -103,11 +122,10 @@ def _dedup_read_genes(
             np.uint64
         )
         # alignments are already contiguous per read, so only the gene
-        # suffix needs sorting — segment per read
-        key = _sort_packed(key, np.ascontiguousarray(aln_offsets, np.int64))
-        first = np.ones(len(key), bool)
-        first[1:] = key[1:] != key[:-1]
-        key = key[first]
+        # suffix needs sorting — segment per read, fused sort + dedup
+        key, _ = _sort_unique_counts(
+            key, np.ascontiguousarray(aln_offsets, np.int64)
+        )
         return (key >> np.uint64(gbits)).astype(np.int64), (
             key & np.uint64((1 << gbits) - 1)
         ).astype(tid_to_gid.dtype)
@@ -144,22 +162,26 @@ def resolve_crlike(
             | (u.astype(np.uint64) << np.uint64(gbits))
             | g.astype(np.uint64)
         )
-        # collated input arrives grouped by cell: sort within cell runs
-        key = _sort_packed(key, _segments_of_sorted(c))
-        g = (key & np.uint64((1 << gbits) - 1)).astype(pair_gene.dtype)
-        u = (key >> np.uint64(gbits)) & np.uint64((1 << ubits) - 1)
-        c = (key >> np.uint64(ubits + gbits)).astype(np.int64)
+        # collated input arrives grouped by cell: sort within cell runs,
+        # fused with the per-(cell, umi, gene) run-length aggregation
+        uniq, counts = _sort_unique_counts(key, _segments_of_sorted(c))
+        tg = (uniq & np.uint64((1 << gbits) - 1)).astype(pair_gene.dtype)
+        tu = (uniq >> np.uint64(gbits)) & np.uint64((1 << ubits) - 1)
+        tc = (uniq >> np.uint64(ubits + gbits)).astype(np.int64)
+        t_counts = counts.astype(np.uint32)
     else:
         order = np.lexsort((g, u, c))
         c, u, g = c[order], u[order], g[order]
 
-    # aggregate counts per (cell, umi, gene)
-    new_t = np.ones(len(c), bool)
-    if len(c):
-        new_t[1:] = (c[1:] != c[:-1]) | (u[1:] != u[:-1]) | (g[1:] != g[:-1])
-    t_start = np.flatnonzero(new_t)
-    tc, tu, tg = c[t_start], u[t_start], g[t_start]
-    t_counts = np.diff(np.append(t_start, len(c))).astype(np.uint32)
+        # aggregate counts per (cell, umi, gene)
+        new_t = np.ones(len(c), bool)
+        if len(c):
+            new_t[1:] = (
+                (c[1:] != c[:-1]) | (u[1:] != u[:-1]) | (g[1:] != g[:-1])
+            )
+        t_start = np.flatnonzero(new_t)
+        tc, tu, tg = c[t_start], u[t_start], g[t_start]
+        t_counts = np.diff(np.append(t_start, len(c))).astype(np.uint32)
 
     if prefer_ambig:
         return _winners_prefer_ambig(tc, tu, tg, t_counts)
@@ -319,13 +341,8 @@ def counts_from_slots(
     c = cell[valid]
     s = slot[valid]
     key = c.astype(np.uint64) * np.uint64(n_rows) + s.astype(np.uint64)
-    key = _sort_packed(key, _segments_of_sorted(c))
-    new = np.ones(len(key), bool)
-    if len(key):
-        new[1:] = key[1:] != key[:-1]
-    starts = np.flatnonzero(new)
-    uniq = key[starts].astype(np.int64)
-    cts = np.diff(np.append(starts, len(key)))
+    uniq, cts = _sort_unique_counts(key, _segments_of_sorted(c))
+    uniq = uniq.astype(np.int64)
     return (
         (uniq // n_rows).astype(np.int64),
         (uniq % n_rows).astype(np.int64),

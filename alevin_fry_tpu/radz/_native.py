@@ -93,6 +93,14 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,  # keys, seg_offsets
             ctypes.c_int64, ctypes.c_int32,    # n_segs, n_threads
         ]
+        lib.radc_sort_rle_u64_segments.restype = None
+        lib.radc_sort_rle_u64_segments.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,  # keys, seg_offsets
+            ctypes.c_int64,                    # n_segs
+            ctypes.c_void_p, ctypes.c_void_p,  # uniq_out, cnt_out
+            ctypes.c_void_p, ctypes.c_void_p,  # range_starts, range_counts
+            ctypes.c_int32,                    # n_threads
+        ]
         lib.radc_count_u64.restype = ctypes.c_int64
         lib.radc_count_u64.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # keys, n, cap
@@ -315,6 +323,36 @@ def sort_u64_segments(keys: np.ndarray, seg_offsets: np.ndarray) -> np.ndarray:
         len(seg_offsets) - 1, _NTHREADS,
     )
     return keys
+
+
+def sort_rle_u64_segments(keys: np.ndarray, seg_offsets: np.ndarray):
+    """Fused per-segment sort + run-length encode (threaded).
+    Returns (uniq[u64], counts[int64]) over all segments in order.
+    ``keys`` is sorted in place as a side effect."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, np.uint64)
+    seg_offsets = np.ascontiguousarray(seg_offsets, np.int64)
+    n = len(keys)
+    uniq = np.empty(n, np.uint64)
+    cnt = np.empty(n, np.int64)
+    rstarts = np.zeros(_NTHREADS, np.int64)
+    rcounts = np.zeros(_NTHREADS, np.int64)
+    lib.radc_sort_rle_u64_segments(
+        keys.ctypes.data, seg_offsets.ctypes.data, len(seg_offsets) - 1,
+        uniq.ctypes.data, cnt.ctypes.data,
+        rstarts.ctypes.data, rcounts.ctypes.data, _NTHREADS,
+    )
+    if _NTHREADS == 1 or rcounts[1:].sum() == 0:
+        k = int(rcounts[0])
+        return uniq[:k], cnt[:k]
+    pieces_u = []
+    pieces_c = []
+    for t in range(_NTHREADS):
+        s, c = int(rstarts[t]), int(rcounts[t])
+        if c:
+            pieces_u.append(uniq[s : s + c])
+            pieces_c.append(cnt[s : s + c])
+    return np.concatenate(pieces_u), np.concatenate(pieces_c)
 
 
 def count_u64(keys: np.ndarray, cap_hint: int = 0):

@@ -554,6 +554,87 @@ void radc_sort_u64_segments(uint64_t* keys, const int64_t* seg_offsets,
   for (auto& th : ts) th.join();
 }
 
+// Fused segmented sort + run-length encode.  Threads take contiguous
+// segment ranges; each sorts its segments in place and writes the
+// (unique key, run length) pairs compacted to the start of its range's
+// region of uniq_out/cnt_out.  range_starts_out[t] / range_counts_out[t]
+// tell the caller where each thread's compacted output lives (it glues
+// <= n_threads slices).  Replaces sort -> compare -> flatnonzero ->
+// diff chains over multi-million-row arrays.
+void radc_sort_rle_u64_segments(uint64_t* keys, const int64_t* seg_offsets,
+                                int64_t n_segs, uint64_t* uniq_out,
+                                int64_t* cnt_out, int64_t* range_starts_out,
+                                int64_t* range_counts_out, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t s0, int64_t s1, int t) {
+    const int64_t base = (s0 < n_segs) ? seg_offsets[s0] : 0;
+    int64_t w = base;
+    for (int64_t s = s0; s < s1; ++s) {
+      uint64_t* a = keys + seg_offsets[s];
+      const int64_t n = seg_offsets[s + 1] - seg_offsets[s];
+      if (n <= 0) continue;
+      if (n == 2) {
+        if (a[0] > a[1]) std::swap(a[0], a[1]);
+      } else if (n <= 24) {
+        for (int64_t i = 1; i < n; ++i) {
+          const uint64_t v = a[i];
+          int64_t j = i - 1;
+          while (j >= 0 && a[j] > v) {
+            a[j + 1] = a[j];
+            --j;
+          }
+          a[j + 1] = v;
+        }
+      } else if (n > 2) {
+        std::sort(a, a + n);
+      }
+      uint64_t cur = a[0];
+      int64_t run = 1;
+      for (int64_t i = 1; i < n; ++i) {
+        if (a[i] == cur) {
+          ++run;
+        } else {
+          uniq_out[w] = cur;
+          cnt_out[w] = run;
+          ++w;
+          cur = a[i];
+          run = 1;
+        }
+      }
+      uniq_out[w] = cur;
+      cnt_out[w] = run;
+      ++w;
+    }
+    range_starts_out[t] = base;
+    range_counts_out[t] = w - base;
+  };
+  if (n_threads == 1 || n_segs < 2) {
+    work(0, n_segs, 0);
+    for (int t = 1; t < n_threads; ++t) {
+      range_starts_out[t] = 0;
+      range_counts_out[t] = 0;
+    }
+    return;
+  }
+  const int64_t total = seg_offsets[n_segs] - seg_offsets[0];
+  std::vector<std::thread> ts;
+  std::vector<std::pair<int64_t, int64_t>> ranges;
+  int64_t s_prev = 0;
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t target = seg_offsets[0] + total * t / n_threads;
+    int64_t s = s_prev;
+    while (s < n_segs && seg_offsets[s] < target) ++s;
+    ranges.emplace_back(s_prev, s);
+    s_prev = s;
+  }
+  ranges.emplace_back(s_prev, n_segs);
+  for (size_t t = 1; t < ranges.size(); ++t)
+    ts.emplace_back(work, ranges[t].first, ranges[t].second,
+                    static_cast<int>(t));
+  work(ranges[0].first, ranges[0].second, 0);
+  for (auto& th : ts) th.join();
+}
+
 // Hash-based distinct counting of u64 keys (open addressing, linear
 // probing).  Returns the number of distinct keys; uniq_out/cnt_out
 // receive them in table order (caller sorts the small result).
