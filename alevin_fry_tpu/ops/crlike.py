@@ -248,6 +248,60 @@ def _winners_prefer_ambig(tc, tu, tg, t_counts) -> UmiGroups:
     )
 
 
+def device_backend_enabled(n_pairs: int) -> bool:
+    """Whether the jitted device WTA kernel should handle this batch.
+
+    ``AFT_CRLIKE_BACKEND`` = ``jax`` forces it, ``host`` disables it;
+    ``auto`` (default) uses the device only when jax's default backend
+    is a real accelerator and the batch is large enough to amortize
+    dispatch."""
+    import os
+
+    mode = os.environ.get("AFT_CRLIKE_BACKEND", "auto")
+    if mode == "host":
+        return False
+    if mode == "jax":
+        return True
+    if n_pairs < (1 << 18):
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def wta_counts_device(
+    cell_of_read: np.ndarray,
+    umi: np.ndarray,
+    refs: np.ndarray,
+    aln_offsets: np.ndarray,
+    tid_to_gid: np.ndarray,
+    n_rows: int,
+):
+    """Non-USA cr-like WTA resolution + gene-unique counting on device.
+    Returns COO triplets (rows, cols, counts[f32]) or None when the key
+    doesn't fit the packed-u64 bit budget (caller falls back to host)."""
+    from .crlike_device import resolve_crlike_wta_device
+
+    pair_read, pair_gene = _dedup_read_genes(refs, aln_offsets, tid_to_gid)
+    c = cell_of_read[pair_read]
+    u = umi[pair_read]
+    g = pair_gene
+    cbits = _bits_for(int(c.max()) + 1 if len(c) else 1)
+    ubits = _bits_for(int(u.max()) + 1 if len(u) else 1)
+    gbits = _bits_for(int(g.max()) + 1 if len(g) else 1)
+    if cbits + ubits + gbits > 64 or len(c) == 0:
+        return None
+    key = (
+        (c.astype(np.uint64) << np.uint64(ubits + gbits))
+        | (u.astype(np.uint64) << np.uint64(gbits))
+        | g.astype(np.uint64)
+    )
+    return resolve_crlike_wta_device(key, ubits, gbits, n_rows)
+
+
 # --- USA slotting (utils.rs:656-739 / quant.rs:516-589) ----------------------
 
 def usa_slots_for_groups(groups: UmiGroups, num_rows: int) -> Tuple[np.ndarray, np.ndarray]:

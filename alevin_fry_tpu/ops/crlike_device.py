@@ -1,0 +1,150 @@
+"""Device (JAX/XLA) cr-like winner-take-all resolution.
+
+The host path (ops/crlike.py) resolves UMIs with native segmented
+sorts; this module is the TPU-native equivalent: ONE jitted program
+over a padded, packed u64 key array — sort, run-length aggregate,
+segmented argmax with tie sets, and (non-USA) gene-unique counting —
+all with fixed shapes so XLA can tile the sort and the segmented
+reductions onto the vector units.
+
+Semantics mirror resolve_num_molecules_crlike_from_vec
+(reference src/pugutils.rs:644-749): per (cell, umi) the genes attaining
+the maximal aggregated count form the tie set; a UMI contributes one
+count to its gene iff the tie set is a singleton (non-USA "unique"
+rule, reference src/quant.rs:541-589 fast path).
+
+Key packing matches ops/crlike.py::resolve_crlike: the (cell, umi,
+gene) triplet packs into one u64 as cell << (ubits+gbits) | umi <<
+gbits | gene; PAD entries are all-ones (sorts to the end and is never a
+valid key because gene ids never reach the all-ones pattern).
+
+Sharding: resolution is embarrassingly parallel over cells, so the key
+array shards over a 1-D device mesh at cell boundaries (pad each shard
+to the common length); every program instance runs this same kernel —
+no collectives are needed until the final count-matrix assembly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _kernel(key, ubits, gbits, n_rows):
+    import jax.numpy as jnp
+
+    N = key.shape[0]
+    key = jnp.sort(key)
+    valid = key != PAD
+
+    prev = jnp.concatenate([key[:1] ^ jnp.uint64(1), key[:-1]])
+    trip_start = (key != prev) & valid
+    # triplet segment ids (0-based over the sorted array; PAD tail
+    # collapses into the last segment but is masked everywhere)
+    trip_id = jnp.cumsum(trip_start.astype(jnp.int32)) - 1
+    trip_id = jnp.maximum(trip_id, 0)
+    # per-triplet multiplicity
+    t_count = jnp.zeros(N, jnp.int32).at[trip_id].add(valid.astype(jnp.int32))
+
+    gkey = key >> jnp.uint64(gbits)  # (cell, umi)
+    gprev = jnp.concatenate([gkey[:1] ^ jnp.uint64(1), gkey[:-1]])
+    grp_start = (gkey != gprev) & valid
+    grp_id = jnp.cumsum(grp_start.astype(jnp.int32)) - 1
+    grp_id = jnp.maximum(grp_id, 0)
+
+    # per-group max triplet count: scatter-max of each triplet's count
+    # at its group id (only triplet-start rows carry the count)
+    t_count_at_start = jnp.where(trip_start, t_count[trip_id], 0)
+    gmax = jnp.zeros(N, jnp.int32).at[grp_id].max(t_count_at_start)
+    winner = trip_start & (t_count_at_start == gmax[grp_id])
+
+    # tie-set size per group; non-USA unique rule keeps singletons
+    tie_sz = jnp.zeros(N, jnp.int32).at[grp_id].add(winner.astype(jnp.int32))
+    unique_win = winner & (tie_sz[grp_id] == 1)
+
+    # count matrix contribution: +1 at (cell, gene) per unique winner.
+    # re-pack to (cell, gene), sort, and run-length aggregate.
+    cell = key >> jnp.uint64(ubits + gbits)
+    gene = key & jnp.uint64((1 << gbits) - 1)
+    cg = jnp.where(
+        unique_win, cell * jnp.uint64(n_rows) + gene, PAD
+    )
+    cg = jnp.sort(cg)
+    cg_valid = cg != PAD
+    cg_prev = jnp.concatenate([cg[:1] ^ jnp.uint64(1), cg[:-1]])
+    cg_start = (cg != cg_prev) & cg_valid
+    cg_id = jnp.maximum(jnp.cumsum(cg_start.astype(jnp.int32)) - 1, 0)
+    cg_count = jnp.zeros(N, jnp.int32).at[cg_id].add(cg_valid.astype(jnp.int32))
+    # emit (key, count) at the segment-start positions; PAD elsewhere
+    out_key = jnp.where(cg_start, cg, PAD)
+    out_cnt = jnp.where(cg_start, cg_count[cg_id], 0)
+    return out_key, out_cnt
+
+
+def resolve_crlike_wta_device(
+    key: np.ndarray, ubits: int, gbits: int, n_rows: int, pad_to: int | None = None
+):
+    """Resolve packed (cell, umi, gene) keys on device; returns COO
+    triplets (rows, cols, counts[f32]) sorted by (cell, gene) —
+    identical to ops/crlike.py resolve_crlike + nonusa_unique_slots +
+    counts_from_slots for deduplicated input pairs.
+
+    ``key`` must already be deduplicated per (read, gene) — i.e. the
+    output of _dedup_read_genes repacked — duplicates from one read
+    would inflate multiplicities.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = len(key)
+    if pad_to is None:
+        # pad to the next power-of-two bucket to bound program count
+        pad_to = 1 << max(int(n - 1).bit_length(), 10)
+    buf = np.full(pad_to, PAD, np.uint64)
+    buf[:n] = key
+    with jax.enable_x64(True):
+        fn = jax.jit(_kernel, static_argnums=(1, 2, 3))
+        out_key, out_cnt = fn(jnp.asarray(buf), ubits, gbits, n_rows)
+        out_key = np.asarray(out_key)
+        out_cnt = np.asarray(out_cnt)
+    keep = out_key != PAD
+    uniq = out_key[keep].astype(np.int64)  # segment starts are already sorted
+    cnt = out_cnt[keep]
+    return (
+        (uniq // n_rows).astype(np.int64),
+        (uniq % n_rows).astype(np.int64),
+        cnt.astype(np.float32),
+    )
+
+
+def sharded_crlike_wta(mesh, keys_per_shard, ubits: int, gbits: int, n_rows: int):
+    """Run the WTA kernel data-parallel over a device mesh.
+
+    ``keys_per_shard`` is a (n_shards, L) u64 array, each row one
+    shard's padded key block split at CELL boundaries (a cell's triplets
+    must live in exactly one shard).  Returns per-shard (out_key,
+    out_cnt) blocks gathered to the host; no cross-shard collective is
+    needed because cells are independent (SURVEY.md §2.3).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis))
+
+    @partial(jax.jit, static_argnums=(1, 2, 3))
+    def run(blocks, ubits, gbits, n_rows):
+        blocks = jax.lax.with_sharding_constraint(blocks, sharding)
+        ok, oc = jax.vmap(lambda k: _kernel(k, ubits, gbits, n_rows))(blocks)
+        return (
+            jax.lax.with_sharding_constraint(ok, sharding),
+            jax.lax.with_sharding_constraint(oc, sharding),
+        )
+
+    with jax.enable_x64(True):
+        ok, oc = run(jnp.asarray(keys_per_shard), ubits, gbits, n_rows)
+        return np.asarray(ok), np.asarray(oc)

@@ -35,9 +35,10 @@ def sharded_histogram(mesh: Mesh, bcs: jnp.ndarray, wl_sorted: jnp.ndarray):
 
     ``bcs`` is sharded over the cells axis; the whitelist is replicated;
     per-shard partial counts are merged with a psum over ICI.
-    Returns (counts_per_wl_entry, num_unmatched)."""
-    from jax.experimental.shard_map import shard_map
+    Returns (counts_per_wl_entry, num_unmatched).
 
+    Runs under x64 so packed barcodes keep their full u64 width
+    (bc_len > 16 bases needs more than 32 bits)."""
     axis = mesh.axis_names[0]
 
     def local_hist(b, wl):
@@ -53,13 +54,20 @@ def sharded_histogram(mesh: Mesh, bcs: jnp.ndarray, wl_sorted: jnp.ndarray):
             jax.lax.psum(unmatched, axis),
         )
 
-    fn = shard_map(
+    fn = jax.shard_map(
         local_hist,
         mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=(P(), P()),
     )
-    return fn(bcs, wl_sorted)
+    with jax.enable_x64(True):
+        b = jax.device_put(
+            np.asarray(bcs, np.uint64), NamedSharding(mesh, P(axis))
+        )
+        wl = jax.device_put(
+            np.asarray(wl_sorted, np.uint64), NamedSharding(mesh, P())
+        )
+        return fn(b, wl)
 
 
 def sharded_em_step(mesh: Mesh):

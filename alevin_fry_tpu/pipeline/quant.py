@@ -257,18 +257,25 @@ def _resolve_cells(
     sel_small = read_keep & small_cell[cell_of_read]
     if sel_small.any():
         sub = _subset_reads(batch, sel_small)
-        groups = crlike.resolve_crlike(
-            sub["cell"], sub["umi"], sub["refs"], sub["offs"], tid_to_gid,
-            prefer_ambig=False,
-        )
-        if usa_mode:
-            slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
-        else:
-            slot, valid = crlike.nonusa_unique_slots(groups)
-        r, c, v = crlike.counts_from_slots(
-            groups.cell, slot, valid, n_cells_all, num_rows
-        )
-        add_coo(r, c, v)
+        rcv = None
+        if not usa_mode and crlike.device_backend_enabled(len(sub["umi"])):
+            rcv = crlike.wta_counts_device(
+                sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                tid_to_gid, num_rows,
+            )
+        if rcv is None:
+            groups = crlike.resolve_crlike(
+                sub["cell"], sub["umi"], sub["refs"], sub["offs"], tid_to_gid,
+                prefer_ambig=False,
+            )
+            if usa_mode:
+                slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
+            else:
+                slot, valid = crlike.nonusa_unique_slots(groups)
+            rcv = crlike.counts_from_slots(
+                groups.cell, slot, valid, n_cells_all, num_rows
+            )
+        add_coo(*rcv)
 
     # --- large cells ------------------------------------------------------
     sel_large = read_keep & ~small_cell[cell_of_read]
@@ -276,22 +283,39 @@ def _resolve_cells(
         sub = _subset_reads(batch, sel_large)
         res = opts.resolution
         if res in ("cr-like", "cr-like-em"):
-            groups = crlike.resolve_crlike(
-                sub["cell"], sub["umi"], sub["refs"], sub["offs"], tid_to_gid,
-                prefer_ambig=(usa_mode and sa_model == "prefer-ambig"),
-            )
             if res == "cr-like" and not opts.dump_eq:
                 # pure gene-unique counting: no eqclass grouping needed
-                if usa_mode:
-                    slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
-                else:
-                    slot, valid = crlike.nonusa_unique_slots(groups)
-                r, c, v = crlike.counts_from_slots(
-                    groups.cell, slot, valid, n_cells_all, num_rows
-                )
-                add_coo(r, c, v)
+                rcv = None
+                if not usa_mode and crlike.device_backend_enabled(
+                    len(sub["umi"])
+                ):
+                    rcv = crlike.wta_counts_device(
+                        sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                        tid_to_gid, num_rows,
+                    )
+                if rcv is None:
+                    groups = crlike.resolve_crlike(
+                        sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                        tid_to_gid,
+                        prefer_ambig=(usa_mode and sa_model == "prefer-ambig"),
+                    )
+                    if usa_mode:
+                        slot, valid = crlike.usa_slots_for_groups(
+                            groups, num_rows
+                        )
+                    else:
+                        slot, valid = crlike.nonusa_unique_slots(groups)
+                    rcv = crlike.counts_from_slots(
+                        groups.cell, slot, valid, n_cells_all, num_rows
+                    )
+                add_coo(*rcv)
                 bm = bv = None
             else:
+                groups = crlike.resolve_crlike(
+                    sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                    tid_to_gid,
+                    prefer_ambig=(usa_mode and sa_model == "prefer-ambig"),
+                )
                 dump_eq_data, bm, bv = _counts_from_groups(
                     groups, res, usa_mode, usa_offsets, num_genes, num_rows,
                     n_cells_all, opts, add_coo,

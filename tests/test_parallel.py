@@ -21,13 +21,15 @@ def mesh():
 
 def test_sharded_histogram_matches_host(mesh):
     rng = np.random.RandomState(1)
-    wl = np.sort(rng.choice(1 << 20, size=128, replace=False).astype(np.uint64))
-    n = 16 * len(jax.devices())
-    bcs = rng.choice(1 << 20, size=n).astype(np.uint64)
-    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-    cnt, unmatched = sharded_histogram(
-        mesh, jax.device_put(bcs, shard), wl
+    # barcodes wider than 32 bits exercise the x64 path (bc_len > 16)
+    wl = np.sort(
+        rng.choice(1 << 20, size=128, replace=False).astype(np.uint64)
+        << np.uint64(20)
     )
+    n = 16 * len(jax.devices())
+    bcs = wl[rng.choice(len(wl), size=n)]
+    bcs[: n // 4] = rng.choice(1 << 20, size=n // 4).astype(np.uint64)
+    cnt, unmatched = sharded_histogram(mesh, bcs, wl)
     cnt = np.asarray(cnt)
     # host reference
     idx = np.searchsorted(wl, bcs)
@@ -105,3 +107,78 @@ def test_sharded_em_round_matches_numpy(mesh):
                 ref[b, idx] += ab * (ct[b, e] / denom)
     np.testing.assert_allclose(out[:, :R], ref[:, :R], rtol=2e-5, atol=2e-5)
     assert np.all(out[:, R] == 0)
+
+
+def _random_crlike_case(rng, n_cells=40, n_genes=50, n_pairs=3000):
+    """Random deduplicated (cell, umi, gene) pairs, cell-sorted."""
+    c = np.sort(rng.randint(0, n_cells, size=n_pairs)).astype(np.int64)
+    u = rng.randint(0, 1 << 10, size=n_pairs).astype(np.uint64)
+    g = rng.randint(0, n_genes, size=n_pairs).astype(np.uint64)
+    # dedup (cell, umi, gene) triplet duplicates are ALLOWED (they model
+    # multiple reads); no per-read dedup needed here
+    return c, u, g
+
+
+def test_crlike_device_matches_host():
+    """The jitted device WTA kernel must reproduce the host resolver's
+    COO counts exactly (integer counts, same ordering)."""
+    from alevin_fry_tpu.ops import crlike
+    from alevin_fry_tpu.ops.crlike_device import resolve_crlike_wta_device
+
+    rng = np.random.RandomState(5)
+    n_cells, n_genes = 40, 50
+    c, u, g = _random_crlike_case(rng, n_cells, n_genes)
+    ubits, gbits = 10, 6
+    key = (
+        (c.astype(np.uint64) << np.uint64(ubits + gbits))
+        | (u << np.uint64(gbits))
+        | g
+    )
+
+    r_dev, c_dev, v_dev = resolve_crlike_wta_device(key, ubits, gbits, n_genes)
+
+    # host reference: resolve + unique slots + counts
+    aln_offsets = np.arange(len(c) + 1, dtype=np.int64)  # 1 'aln' per pair
+    tid_to_gid = np.arange(n_genes, dtype=np.uint32)
+    groups = crlike.resolve_crlike(c, u, g.astype(np.uint32), aln_offsets, tid_to_gid)
+    slot, valid = crlike.nonusa_unique_slots(groups)
+    r_h, c_h, v_h = crlike.counts_from_slots(
+        groups.cell, slot, valid, n_cells, n_genes
+    )
+    np.testing.assert_array_equal(r_dev, r_h)
+    np.testing.assert_array_equal(c_dev, c_h)
+    np.testing.assert_array_equal(v_dev, v_h)
+
+
+def test_crlike_sharded_matches_single(mesh):
+    """Cell-boundary-sharded WTA over the mesh == single-device result."""
+    from alevin_fry_tpu.ops.crlike_device import (
+        PAD, resolve_crlike_wta_device, sharded_crlike_wta,
+    )
+
+    rng = np.random.RandomState(11)
+    n_shards = len(jax.devices())
+    n_cells, n_genes = 8 * n_shards, 30
+    ubits, gbits = 10, 5
+    c, u, g = _random_crlike_case(rng, n_cells, n_genes, n_pairs=2000)
+    key = (
+        (c.astype(np.uint64) << np.uint64(ubits + gbits))
+        | (u << np.uint64(gbits))
+        | g
+    )
+    r1, c1, v1 = resolve_crlike_wta_device(key, ubits, gbits, n_genes)
+
+    # split at cell boundaries into n_shards blocks, pad to equal length
+    bounds = np.searchsorted(c, np.arange(1, n_shards) * 8)
+    blocks = np.split(key, bounds)
+    L = 1 << int(max(len(b) for b in blocks) - 1).bit_length()
+    padded = np.full((n_shards, L), PAD, np.uint64)
+    for i, b in enumerate(blocks):
+        padded[i, : len(b)] = b
+    ok, oc = sharded_crlike_wta(mesh, padded, ubits, gbits, n_genes)
+    keep = ok != PAD
+    uniq = ok[keep].astype(np.int64)  # blocks are cell-ordered
+    cnt = oc[keep]
+    np.testing.assert_array_equal(uniq // n_genes, r1)
+    np.testing.assert_array_equal(uniq % n_genes, c1)
+    np.testing.assert_array_equal(cnt.astype(np.float32), v1)
