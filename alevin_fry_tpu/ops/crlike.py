@@ -262,7 +262,11 @@ def device_backend_enabled(n_pairs: int) -> bool:
         return False
     if mode == "jax":
         return True
-    if n_pairs < (1 << 18):
+    # the threaded native host path already resolves ~10M pairs/s; the
+    # device only wins when the batch is large enough to amortize the
+    # transfer + dispatch (and far more when the chip sits behind a
+    # network tunnel), so auto engages only for very large batches
+    if n_pairs < (1 << 23):
         return False
     try:
         import jax
