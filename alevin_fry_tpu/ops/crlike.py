@@ -276,6 +276,40 @@ def device_backend_enabled(n_pairs: int) -> bool:
         return False
 
 
+def wta_counts_nonusa_native(
+    cell_of_read: np.ndarray,
+    umi: np.ndarray,
+    refs: np.ndarray,
+    aln_offsets: np.ndarray,
+    tid_to_gid: np.ndarray,
+    n_rows: int,
+):
+    """Single-pass threaded native cr-like WTA + gene-unique counting.
+    Returns COO triplets (rows, cols, counts[f32]) or None when
+    ineligible (native lib missing, cells not grouped, bit overflow)."""
+    from ..radz import _native
+
+    if not _native.available() or len(cell_of_read) == 0:
+        return None
+    segs = _segments_of_sorted(cell_of_read)
+    if segs is None:
+        return None
+    gbits = _bits_for(n_rows)
+    ubits = _bits_for(int(umi.max()) + 1 if len(umi) else 1)
+    if ubits + gbits > 64:
+        return None
+    cell_ids = cell_of_read[segs[:-1]].astype(np.int64)
+    key, cnt = _native.crlike_wta_unique(
+        cell_ids, segs, aln_offsets, refs, umi, tid_to_gid, n_rows, gbits
+    )
+    key = key.astype(np.int64)
+    return (
+        (key // n_rows).astype(np.int64),
+        (key % n_rows).astype(np.int64),
+        cnt.astype(np.float32),
+    )
+
+
 def wta_counts_device(
     cell_of_read: np.ndarray,
     umi: np.ndarray,

@@ -253,6 +253,49 @@ def _resolve_cells(
         cols_l.append(np.asarray(cols, np.int64))
         vals_l.append(np.asarray(vals, np.float32))
 
+    # --- combined fast path: pure non-USA cr-like counting ---------------
+    # small cells always resolve WTA and large cells resolve WTA too when
+    # -r cr-like, so with no eqclass dump the whole batch goes through ONE
+    # fused resolve+count pass (native threaded kernel; quant.rs small
+    # cells at :453 and large cr-like at :822 compute the same counts)
+    if (
+        opts.resolution == "cr-like"
+        and not usa_mode
+        and not opts.dump_eq
+        and read_keep.any()
+    ):
+        if bool(read_keep.all()):
+            sub = {
+                "cell": cell_of_read,
+                "umi": batch.umi,
+                "refs": batch.refs,
+                "offs": batch.aln_offsets,
+            }
+        else:
+            sub = _subset_reads(batch, read_keep)
+        rcv = None
+        if crlike.device_backend_enabled(len(sub["umi"])):
+            rcv = crlike.wta_counts_device(
+                sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                tid_to_gid, num_rows,
+            )
+        if rcv is None:
+            rcv = crlike.wta_counts_nonusa_native(
+                sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                tid_to_gid, num_rows,
+            )
+        if rcv is None:
+            groups = crlike.resolve_crlike(
+                sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                tid_to_gid, prefer_ambig=False,
+            )
+            slot, valid = crlike.nonusa_unique_slots(groups)
+            rcv = crlike.counts_from_slots(
+                groups.cell, slot, valid, n_cells_all, num_rows
+            )
+        add_coo(*rcv)
+        read_keep = np.zeros_like(read_keep)  # handled; skip both branches
+
     # --- small cells: always the sparse cr-like WTA fast path ------------
     sel_small = read_keep & small_cell[cell_of_read]
     if sel_small.any():

@@ -101,6 +101,17 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,  # range_starts, range_counts
             ctypes.c_int32,                    # n_threads
         ]
+        lib.radc_crlike_wta_unique.restype = None
+        lib.radc_crlike_wta_unique.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,  # cell_ids, cell_read_offsets
+            ctypes.c_int64,                    # n_cells
+            ctypes.c_void_p, ctypes.c_void_p,  # aln_offsets, refs(u32)
+            ctypes.c_void_p, ctypes.c_void_p,  # umi(u64), tid_to_gid(u32)
+            ctypes.c_int64, ctypes.c_int64,    # n_rows, gbits
+            ctypes.c_void_p, ctypes.c_void_p,  # out_key, out_cnt
+            ctypes.c_void_p, ctypes.c_void_p,  # range_starts, range_counts
+            ctypes.c_int32,                    # n_threads
+        ]
         lib.radc_count_u64.restype = ctypes.c_int64
         lib.radc_count_u64.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # keys, n, cap
@@ -353,6 +364,51 @@ def sort_rle_u64_segments(keys: np.ndarray, seg_offsets: np.ndarray):
             pieces_u.append(uniq[s : s + c])
             pieces_c.append(cnt[s : s + c])
     return np.concatenate(pieces_u), np.concatenate(pieces_c)
+
+
+def crlike_wta_unique(
+    cell_ids: np.ndarray,
+    cell_read_offsets: np.ndarray,
+    aln_offsets: np.ndarray,
+    refs: np.ndarray,
+    umi: np.ndarray,
+    tid_to_gid: np.ndarray,
+    n_rows: int,
+    gbits: int,
+):
+    """Threaded native cr-like WTA resolution (non-USA unique rule).
+    Returns (key[u64] = cell*n_rows+gene ascending, counts[int64])."""
+    lib = _load()
+    cell_ids = np.ascontiguousarray(cell_ids, np.int64)
+    cell_read_offsets = np.ascontiguousarray(cell_read_offsets, np.int64)
+    aln_offsets = np.ascontiguousarray(aln_offsets, np.int64)
+    refs = np.ascontiguousarray(refs, np.uint32)
+    umi = np.ascontiguousarray(umi, np.uint64)
+    tid_to_gid = np.ascontiguousarray(tid_to_gid, np.uint32)
+    n_reads = int(cell_read_offsets[-1]) if len(cell_read_offsets) else 0
+    out_key = np.empty(max(n_reads, 1), np.uint64)
+    out_cnt = np.empty(max(n_reads, 1), np.int64)
+    rstarts = np.zeros(_NTHREADS, np.int64)
+    rcounts = np.zeros(_NTHREADS, np.int64)
+    lib.radc_crlike_wta_unique(
+        cell_ids.ctypes.data, cell_read_offsets.ctypes.data,
+        len(cell_ids),
+        aln_offsets.ctypes.data, refs.ctypes.data,
+        umi.ctypes.data, tid_to_gid.ctypes.data,
+        n_rows, gbits,
+        out_key.ctypes.data, out_cnt.ctypes.data,
+        rstarts.ctypes.data, rcounts.ctypes.data, _NTHREADS,
+    )
+    pieces_k = []
+    pieces_c = []
+    for t in range(_NTHREADS):
+        s, c = int(rstarts[t]), int(rcounts[t])
+        if c:
+            pieces_k.append(out_key[s : s + c])
+            pieces_c.append(out_cnt[s : s + c])
+    if not pieces_k:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    return np.concatenate(pieces_k), np.concatenate(pieces_c)
 
 
 def count_u64(keys: np.ndarray, cap_hint: int = 0):

@@ -672,6 +672,123 @@ int64_t radc_count_u64(const uint64_t* keys, int64_t n, int64_t cap_hint,
   return j;
 }
 
+// Full cr-like winner-take-all resolution with the non-USA
+// gene-unique rule, one threaded pass (reference semantics:
+// resolve_num_molecules_crlike_from_vec, src/pugutils.rs:644-749, with
+// the unique-tie-set counting rule of src/quant.rs:541-589).
+//
+// Per cell (reads [cell_read_offsets[c], cell_read_offsets[c+1])):
+// project each read's alignments to genes and dedup within the read,
+// aggregate (umi, gene) multiplicities, take per-umi argmax tie sets,
+// and count +1 at (cell, gene) for every singleton tie set.  Cells are
+// independent, so threads take contiguous cell ranges and write
+// compacted (cell*n_rows+gene, count) pairs at their range's input
+// read offset; range_starts/range_counts (n_threads each) tell the
+// caller where each thread's slice lives.
+//
+// gbits must satisfy (max umi) < 2^(64-gbits); caller checks.
+void radc_crlike_wta_unique(
+    const int64_t* cell_ids, const int64_t* cell_read_offsets,
+    int64_t n_cells, const int64_t* aln_offsets, const uint32_t* refs,
+    const uint64_t* umi, const uint32_t* tid_to_gid, int64_t n_rows,
+    int64_t gbits, uint64_t* out_key, int64_t* out_cnt,
+    int64_t* range_starts, int64_t* range_counts, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const uint64_t gmask = (gbits >= 64) ? ~0ull : ((1ull << gbits) - 1);
+  auto work = [&](int64_t c0, int64_t c1, int t) {
+    const int64_t base = (c0 < n_cells) ? cell_read_offsets[c0] : 0;
+    int64_t w = base;
+    std::vector<uint64_t> pairs;
+    std::vector<uint32_t> winners;
+    std::vector<uint32_t> genes;
+    for (int64_t c = c0; c < c1; ++c) {
+      const int64_t r0 = cell_read_offsets[c];
+      const int64_t r1 = cell_read_offsets[c + 1];
+      pairs.clear();
+      winners.clear();
+      for (int64_t r = r0; r < r1; ++r) {
+        genes.clear();
+        for (int64_t a = aln_offsets[r]; a < aln_offsets[r + 1]; ++a) {
+          const uint32_t g = tid_to_gid[refs[a]];
+          bool seen = false;
+          for (uint32_t gg : genes)
+            if (gg == g) {
+              seen = true;
+              break;
+            }
+          if (!seen) genes.push_back(g);
+        }
+        const uint64_t u = umi[r] << gbits;
+        for (uint32_t g : genes) pairs.push_back(u | g);
+      }
+      std::sort(pairs.begin(), pairs.end());
+      const int64_t n = static_cast<int64_t>(pairs.size());
+      int64_t i = 0;
+      while (i < n) {
+        const uint64_t ucur = pairs[i] >> gbits;
+        int64_t best = 0, ties = 0;
+        uint32_t best_gene = 0;
+        int64_t j = i;
+        while (j < n && (pairs[j] >> gbits) == ucur) {
+          int64_t k = j;
+          while (k < n && pairs[k] == pairs[j]) ++k;
+          const int64_t cnt = k - j;
+          if (cnt > best) {
+            best = cnt;
+            best_gene = static_cast<uint32_t>(pairs[j] & gmask);
+            ties = 1;
+          } else if (cnt == best) {
+            ++ties;
+          }
+          j = k;
+        }
+        if (ties == 1) winners.push_back(best_gene);
+        i = j;
+      }
+      std::sort(winners.begin(), winners.end());
+      const uint64_t cell_base =
+          static_cast<uint64_t>(cell_ids[c]) * static_cast<uint64_t>(n_rows);
+      size_t wi = 0;
+      while (wi < winners.size()) {
+        size_t wj = wi;
+        while (wj < winners.size() && winners[wj] == winners[wi]) ++wj;
+        out_key[w] = cell_base + winners[wi];
+        out_cnt[w] = static_cast<int64_t>(wj - wi);
+        ++w;
+        wi = wj;
+      }
+    }
+    range_starts[t] = base;
+    range_counts[t] = w - base;
+  };
+  if (n_threads == 1 || n_cells < 2) {
+    work(0, n_cells, 0);
+    for (int t = 1; t < n_threads; ++t) {
+      range_starts[t] = 0;
+      range_counts[t] = 0;
+    }
+    return;
+  }
+  const int64_t total_reads = cell_read_offsets[n_cells] - cell_read_offsets[0];
+  std::vector<std::thread> ts;
+  std::vector<std::pair<int64_t, int64_t>> ranges;
+  int64_t c_prev = 0;
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t target =
+        cell_read_offsets[0] + total_reads * t / n_threads;
+    int64_t c = c_prev;
+    while (c < n_cells && cell_read_offsets[c] < target) ++c;
+    ranges.emplace_back(c_prev, c);
+    c_prev = c;
+  }
+  ranges.emplace_back(c_prev, n_cells);
+  for (size_t t = 1; t < ranges.size(); ++t)
+    ts.emplace_back(work, ranges[t].first, ranges[t].second,
+                    static_cast<int>(t));
+  work(ranges[0].first, ranges[0].second, 0);
+  for (auto& th : ts) th.join();
+}
+
 // Format integer COO triplets as "r c v\n" lines (MatrixMarket body).
 // out must have room for n * 62 bytes; returns bytes written.
 int64_t radc_format_triplets(const int64_t* rows, const int64_t* cols,

@@ -118,3 +118,41 @@ def test_native_find_neighbors_matches_numpy():
         nat.available = orig
     np.testing.assert_array_equal(n_cnt, p_cnt)
     np.testing.assert_array_equal(n_rep[n_cnt > 0], p_rep[p_cnt > 0])
+
+
+def test_crlike_wta_unique_native_matches_numpy():
+    """Property test: the fused native WTA resolver equals the numpy
+    resolve -> unique-slots -> counts chain on random ragged inputs."""
+    import numpy as np
+    from alevin_fry_tpu.ops import crlike
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    rng = np.random.RandomState(17)
+    for trial in range(8):
+        n_cells = rng.randint(1, 30)
+        n_genes = rng.randint(2, 40)
+        n_txps = n_genes * 3
+        tid_to_gid = rng.randint(0, n_genes, size=n_txps).astype(np.uint32)
+        n_reads = rng.randint(1, 400)
+        cell = np.sort(rng.randint(0, n_cells, size=n_reads)).astype(np.int64)
+        umi = rng.randint(0, 50, size=n_reads).astype(np.uint64)
+        nal = rng.randint(1, 5, size=n_reads)
+        offs = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(nal, out=offs[1:])
+        refs = rng.randint(0, n_txps, size=int(offs[-1])).astype(np.uint32)
+
+        got = crlike.wta_counts_nonusa_native(
+            cell, umi, refs, offs, tid_to_gid, n_genes
+        )
+        assert got is not None
+        groups = crlike.resolve_crlike(cell, umi, refs, offs, tid_to_gid)
+        slot, valid = crlike.nonusa_unique_slots(groups)
+        want = crlike.counts_from_slots(
+            groups.cell, slot, valid, n_cells, n_genes
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w, err_msg=f"trial {trial}")
