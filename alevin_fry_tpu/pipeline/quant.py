@@ -161,8 +161,13 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
 
     unmapped = UnmappedLookup.from_file(parent / "unmapped_bc_count_collated.bin")
 
-    # decode the collated file: one chunk per cell
-    batch = decode_all_chunks(br, schema, hdr.num_chunks)
+    # decode the collated file: one chunk per cell.  Barcodes are
+    # only needed at each cell's first record and orientation was
+    # already filtered at collate time, so skip those columns
+    batch = decode_all_chunks(
+        br, schema, hdr.num_chunks,
+        skip_read_fields=set(schema.barcode_fields), want_dirs=False,
+    )
 
     # optional quant-subset filter: keep cells whose (first-record)
     # barcode is in the list (quant.rs:1732-1743)
@@ -171,7 +176,7 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
         fset, _len = read_barcode_file(Path(opts.filter_list), barcode_len)
         fsorted = np.sort(np.unique(fset))
         first_read = batch.chunk_offsets[:-1]
-        cell_bc_all = batch.barcode()[first_read]
+        cell_bc_all = batch.barcode_at(first_read)
         idx = np.searchsorted(fsorted, cell_bc_all)
         idx_c = np.minimum(idx, max(len(fsorted) - 1, 0))
         keep_cells = (
@@ -227,12 +232,12 @@ def _resolve_cells(
     cell_row[processed] = np.arange(len(processed))
 
     first_read = batch.chunk_offsets[:-1]
-    cell_bcs = batch.barcode()[first_read[processed]]
+    cell_bcs = batch.barcode_at(first_read[processed])
     sample_idx = None
     if sample_names is not None and len(batch.schema.barcode_fields) > 1:
         # the scatter phase stored the sample ordinal in barcodes[0]
         # (quant.rs:1955-1956)
-        sample_idx = batch.barcode(0)[first_read[processed]].astype(np.int64)
+        sample_idx = batch.barcode_at(first_read[processed], 0).astype(np.int64)
 
     # read-level views restricted to processed cells
     cell_of_read = batch.chunk_id

@@ -88,6 +88,13 @@ def _load():
             ctypes.c_int64,                    # n_keys
             ctypes.c_void_p, ctypes.c_void_p,  # order_out, counts_out
         ]
+        lib.radc_gather_uint.restype = ctypes.c_int64
+        lib.radc_gather_uint.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # buf, len
+            ctypes.c_void_p, ctypes.c_int64,   # starts, n
+            ctypes.c_int64, ctypes.c_void_p,   # width, out
+            ctypes.c_int32,                    # n_threads
+        ]
         lib.radc_sort_u64_segments.restype = None
         lib.radc_sort_u64_segments.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,  # keys, seg_offsets
@@ -202,7 +209,7 @@ def walk_records(
 def _col_ptrs(cols):
     arr = (ctypes.c_void_p * len(cols))()
     for i, c in enumerate(cols):
-        arr[i] = c.ctypes.data
+        arr[i] = c.ctypes.data if c is not None else None
     return arr
 
 
@@ -321,6 +328,21 @@ def find_neighbors(queries: np.ndarray, kept_sorted: np.ndarray, bc_len: int):
 
 
 _NTHREADS = max(1, min(8, os.cpu_count() or 1))
+
+
+def gather_uint(buf: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Gather little-endian uints of ``width`` bytes at ``starts``."""
+    lib = _load()
+    buf = np.ascontiguousarray(buf)
+    starts = np.ascontiguousarray(starts, np.int64)
+    out = np.empty(len(starts), np.uint64)
+    rc = lib.radc_gather_uint(
+        buf.ctypes.data, buf.nbytes, starts.ctypes.data, len(starts),
+        width, out.ctypes.data, _NTHREADS,
+    )
+    if rc < 0:
+        raise ValueError("gather_uint out of bounds")
+    return out
 
 
 def sort_u64_segments(keys: np.ndarray, seg_offsets: np.ndarray) -> np.ndarray:
@@ -474,17 +496,25 @@ def extract_fields2(
     num_aln: np.ndarray,
     read_widths,
     aln_widths,
+    read_keep=None,
+    aln_keep=None,
 ):
-    """Threaded one-pass extraction of all record fields into u64
-    columns.  Returns (read_cols list, aln_cols list)."""
+    """Threaded one-pass extraction of record fields into u64 columns.
+    ``read_keep``/``aln_keep`` are optional per-field booleans; skipped
+    fields come back as None (no memory traffic spent on them).
+    Returns (read_cols list, aln_cols list)."""
     lib = _load()
     n = len(rec_starts)
     num_aln = np.ascontiguousarray(num_aln, np.int64)
     aln_offs = np.zeros(n + 1, np.int64)
     np.cumsum(num_aln, out=aln_offs[1:])
     total_aln = int(aln_offs[-1])
-    read_cols = [np.empty(n, np.uint64) for _ in read_widths]
-    aln_cols = [np.empty(total_aln, np.uint64) for _ in aln_widths]
+    if read_keep is None:
+        read_keep = [True] * len(read_widths)
+    if aln_keep is None:
+        aln_keep = [True] * len(aln_widths)
+    read_cols = [np.empty(n, np.uint64) if k else None for k in read_keep]
+    aln_cols = [np.empty(total_aln, np.uint64) if k else None for k in aln_keep]
     rw = np.asarray(read_widths, np.int64)
     aw = np.asarray(aln_widths, np.int64)
     buf = np.ascontiguousarray(buf)

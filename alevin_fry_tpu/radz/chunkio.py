@@ -52,6 +52,10 @@ class ReadBatch:
     aln_cols: Dict[str, np.ndarray] = field(default_factory=dict)
     chunk_id: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     chunk_offsets: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
+    # raw bytes + record starts, kept when some read columns were
+    # skipped at decode time so they can be gathered lazily on demand
+    raw_buf: np.ndarray | None = None
+    rec_starts: np.ndarray | None = None
 
     @property
     def n_reads(self) -> int:
@@ -70,7 +74,29 @@ class ReadBatch:
         sample BC and the last level is the cell BC (the collate key,
         cf. CollatableMappedRecord::collate_key)."""
         names = self.schema.barcode_fields
-        return self.read_cols[names[level]]
+        col = self.read_cols.get(names[level])
+        if col is None:
+            return self.barcode_at(slice(None), level)
+        return col
+
+    def barcode_at(self, idx, level: int = -1) -> np.ndarray:
+        """Barcode values at read indices ``idx``; gathers lazily from
+        the raw bytes when the column was skipped at decode time."""
+        name = self.schema.barcode_fields[level]
+        col = self.read_cols.get(name)
+        if col is not None:
+            return col[idx]
+        if self.raw_buf is None or self.rec_starts is None:
+            raise KeyError(f"column {name} was skipped and no raw bytes kept")
+        off = 4
+        width = None
+        for n, w in self.schema.read_fields:
+            if n == name:
+                width = w
+                break
+            off += w
+        assert width is not None, name
+        return _gather_uint(self.raw_buf, self.rec_starts[idx] + off, width)
 
     @property
     def umi(self) -> np.ndarray:
@@ -79,7 +105,9 @@ class ReadBatch:
 
 def _gather_uint(buf: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
     """Gather little-endian unsigned ints of ``width`` bytes starting at
-    ``starts`` from a uint8 buffer, vectorized."""
+    ``starts`` from a uint8 buffer (native single pass when available)."""
+    if _native.available() and len(starts) > 16384:
+        return _native.gather_uint(buf, starts, width)
     out = np.zeros(len(starts), dtype=np.uint64)
     for k in range(width):
         out |= buf[starts + k].astype(np.uint64) << np.uint64(8 * k)
@@ -161,9 +189,15 @@ def decode_all_chunks(
     fh: BinaryIO,
     schema: RecordSchema,
     num_chunks: int | None = None,
+    skip_read_fields=None,
+    want_dirs: bool = True,
 ) -> ReadBatch:
     """Decode ``num_chunks`` chunks (or until EOF if None) from ``fh``
-    into a columnar :class:`ReadBatch`."""
+    into a columnar :class:`ReadBatch`.
+
+    ``skip_read_fields`` names read-level columns to leave undecoded
+    (gathered lazily via ReadBatch.barcode_at); ``want_dirs=False``
+    skips materializing the per-alignment orientation booleans."""
     chunk_bufs: List[bytes] = []
     chunk_recs: List[int] = []
     n = 0
@@ -182,7 +216,10 @@ def decode_all_chunks(
         chunk_bufs.append(body)
         chunk_recs.append(nrec)
         n += 1
-    return decode_chunk_bodies(chunk_bufs, chunk_recs, schema)
+    return decode_chunk_bodies(
+        chunk_bufs, chunk_recs, schema,
+        skip_read_fields=skip_read_fields, want_dirs=want_dirs,
+    )
 
 
 def iter_decoded_blocks(
@@ -268,9 +305,14 @@ def iter_raw_blocks(
 
 
 def decode_chunk_bodies(
-    chunk_bufs: List[bytes], chunk_recs: List[int], schema: RecordSchema
+    chunk_bufs: List[bytes],
+    chunk_recs: List[int],
+    schema: RecordSchema,
+    skip_read_fields=None,
+    want_dirs: bool = True,
 ) -> ReadBatch:
     """Decode pre-read chunk bodies (without the 8-byte chunk headers)."""
+    skip_read_fields = skip_read_fields or set()
     if chunk_bufs:
         buf = np.frombuffer(b"".join(chunk_bufs), dtype=np.uint8)
     else:
@@ -300,12 +342,15 @@ def decode_chunk_bodies(
             buf, rec_starts, num_aln,
             [w for _, w in schema.read_fields],
             [w for _, w in schema.aln_fields],
+            read_keep=[n not in skip_read_fields for n, _ in schema.read_fields],
         )
         for (name, _w), col in zip(schema.read_fields, read_cols):
-            batch.read_cols[name] = col
+            if col is not None:
+                batch.read_cols[name] = col
         for (name, _w), col in zip(schema.aln_fields, aln_cols):
             if name == schema.ref_field:
-                batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
+                if want_dirs:
+                    batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
                 batch.refs = (col & np.uint64(MASK_TOP_BIT_U32)).astype(np.uint32)
             else:
                 batch.aln_cols[name] = col
@@ -313,7 +358,8 @@ def decode_chunk_bodies(
         # read-level fields
         off = 4
         for name, w in schema.read_fields:
-            batch.read_cols[name] = _gather_uint(buf, rec_starts + off, w)
+            if name not in skip_read_fields:
+                batch.read_cols[name] = _gather_uint(buf, rec_starts + off, w)
             off += w
         # flat start offset of each alignment entry
         aln_base = np.repeat(rec_starts + 4 + rb, num_aln) + (
@@ -325,11 +371,15 @@ def decode_chunk_bodies(
             col = _gather_uint(buf, aln_base + foff, w)
             foff += w
             if name == schema.ref_field:
-                batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
+                if want_dirs:
+                    batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
                 batch.refs = (col & np.uint64(MASK_TOP_BIT_U32)).astype(np.uint32)
             else:
                 batch.aln_cols[name] = col
     batch.aln_offsets = aln_offsets
+    if skip_read_fields:
+        batch.raw_buf = buf
+        batch.rec_starts = rec_starts
 
     chunk_offsets = np.zeros(len(chunk_recs) + 1, np.int64)
     np.cumsum(np.asarray(chunk_recs, np.int64), out=chunk_offsets[1:])

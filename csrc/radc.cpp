@@ -337,32 +337,38 @@ int64_t radc_extract_fields2(const uint8_t* buf, int64_t buf_len,
                              const int64_t* aln_widths, int64_t n_aln_fields,
                              uint64_t** read_cols, uint64_t** aln_cols,
                              int32_t n_threads) {
+  // a null column pointer means "skip this field" (callers that don't
+  // need a column avoid the memory traffic of materializing it)
   auto work = [&](int64_t i0, int64_t i1, int64_t* err) {
     for (int64_t i = i0; i < i1; ++i) {
       int64_t off = rec_starts[i] + 4;
       for (int64_t f = 0; f < n_read_fields; ++f) {
-        uint64_t v = 0;
         const int64_t w = read_widths[f];
         if (off + w > buf_len) {
           *err = -1;
           return;
         }
-        std::memcpy(&v, buf + off, w);
-        read_cols[f][i] = v;
+        if (read_cols[f]) {
+          uint64_t v = 0;
+          std::memcpy(&v, buf + off, w);
+          read_cols[f][i] = v;
+        }
         off += w;
       }
       const int64_t na = num_aln[i];
       int64_t aln_idx = aln_offs[i];
       for (int64_t a = 0; a < na; ++a) {
         for (int64_t f = 0; f < n_aln_fields; ++f) {
-          uint64_t v = 0;
           const int64_t w = aln_widths[f];
           if (off + w > buf_len) {
             *err = -1;
             return;
           }
-          std::memcpy(&v, buf + off, w);
-          aln_cols[f][aln_idx] = v;
+          if (aln_cols[f]) {
+            uint64_t v = 0;
+            std::memcpy(&v, buf + off, w);
+            aln_cols[f][aln_idx] = v;
+          }
           off += w;
         }
         ++aln_idx;
@@ -498,6 +504,44 @@ int64_t radc_lookup_u64(const uint64_t* keys, const uint64_t* vals,
     }
   }
   return hits;
+}
+
+// Gather little-endian unsigned ints of `width` bytes at `starts` from
+// a byte buffer (threaded).  Replaces a width-pass shift-or numpy loop.
+int64_t radc_gather_uint(const uint8_t* buf, int64_t buf_len,
+                         const int64_t* starts, int64_t n, int64_t width,
+                         uint64_t* out, int32_t n_threads) {
+  if (width > 8) return -1;
+  auto work = [&](int64_t i0, int64_t i1, int64_t* err) {
+    for (int64_t i = i0; i < i1; ++i) {
+      const int64_t s = starts[i];
+      if (s < 0 || s + width > buf_len) {
+        *err = -1;
+        return;
+      }
+      uint64_t v = 0;
+      std::memcpy(&v, buf + s, width);
+      out[i] = v;
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  std::vector<int64_t> errs(static_cast<size_t>(n_threads), 0);
+  if (n_threads == 1 || n < (1 << 16)) {
+    work(0, n, &errs[0]);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t prev = 0;
+    for (int t = 1; t < n_threads; ++t) {
+      const int64_t i = n * t / n_threads;
+      ts.emplace_back(work, prev, i, &errs[t]);
+      prev = i;
+    }
+    work(prev, n, &errs[0]);
+    for (auto& th : ts) th.join();
+  }
+  for (int t = 0; t < n_threads; ++t)
+    if (errs[static_cast<size_t>(t)] < 0) return -1;
+  return n;
 }
 
 // Sort u64 keys independently within each segment, threaded across
