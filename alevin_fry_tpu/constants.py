@@ -22,7 +22,10 @@ EM_MAX_ITER = 100
 EM_REL_DIFF_TOLERANCE = 1e-2
 
 # the high bit of a u32 marks forward orientation in compressed_ori_refid
-# (reference libradicl utils: MASK_LOWER_31_U32 / MASK_TOP_BIT_U32 as used
-#  at src/convert.rs:443-444)
-MASK_LOWER_31_U32 = 0x8000_0000
-MASK_TOP_BIT_U32 = 0x7FFF_FFFF
+# (reference libradicl utils, used at src/convert.rs:443-444)
+ORI_BIT_U32 = 0x8000_0000       # bit 31: orientation flag
+REF_ID_MASK_U32 = 0x7FFF_FFFF   # low 31 bits: reference id
+
+# deprecated aliases (the old names were swapped w.r.t. their values)
+MASK_LOWER_31_U32 = ORI_BIT_U32
+MASK_TOP_BIT_U32 = REF_ID_MASK_U32

@@ -22,7 +22,7 @@ from typing import BinaryIO, Dict, List
 
 import numpy as np
 
-from ..constants import MASK_LOWER_31_U32, MASK_TOP_BIT_U32
+from ..constants import ORI_BIT_U32, REF_ID_MASK_U32
 from .records import RecordSchema
 from . import _native
 
@@ -350,8 +350,8 @@ def decode_chunk_bodies(
         for (name, _w), col in zip(schema.aln_fields, aln_cols):
             if name == schema.ref_field:
                 if want_dirs:
-                    batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
-                batch.refs = (col & np.uint64(MASK_TOP_BIT_U32)).astype(np.uint32)
+                    batch.dirs = (col & np.uint64(ORI_BIT_U32)) != 0
+                batch.refs = (col & np.uint64(REF_ID_MASK_U32)).astype(np.uint32)
             else:
                 batch.aln_cols[name] = col
     else:
@@ -372,8 +372,8 @@ def decode_chunk_bodies(
             foff += w
             if name == schema.ref_field:
                 if want_dirs:
-                    batch.dirs = (col & np.uint64(MASK_LOWER_31_U32)) != 0
-                batch.refs = (col & np.uint64(MASK_TOP_BIT_U32)).astype(np.uint32)
+                    batch.dirs = (col & np.uint64(ORI_BIT_U32)) != 0
+                batch.refs = (col & np.uint64(REF_ID_MASK_U32)).astype(np.uint32)
             else:
                 batch.aln_cols[name] = col
     batch.aln_offsets = aln_offsets
