@@ -276,17 +276,20 @@ def device_backend_enabled(n_pairs: int) -> bool:
         return False
 
 
-def wta_counts_nonusa_native(
+def wta_counts_native(
     cell_of_read: np.ndarray,
     umi: np.ndarray,
     refs: np.ndarray,
     aln_offsets: np.ndarray,
     tid_to_gid: np.ndarray,
     n_rows: int,
+    usa_offsets=None,
 ):
-    """Single-pass threaded native cr-like WTA + gene-unique counting.
-    Returns COO triplets (rows, cols, counts[f32]) or None when
-    ineligible (native lib missing, cells not grouped, bit overflow)."""
+    """Single-pass threaded native cr-like WTA counting — the non-USA
+    gene-unique rule, or USA tie-set slotting when ``usa_offsets``
+    (unspliced_off, ambig_off) is given.  Returns COO triplets
+    (rows, cols, counts[f32]) or None when ineligible (native lib
+    missing, cells not grouped, bit overflow)."""
     from ..radz import _native
 
     if not _native.available() or len(cell_of_read) == 0:
@@ -294,13 +297,19 @@ def wta_counts_nonusa_native(
     segs = _segments_of_sorted(cell_of_read)
     if segs is None:
         return None
-    gbits = _bits_for(n_rows)
+    # genes are tid_to_gid values (USA: even/odd interleaved ids),
+    # bounded by the tg-map id space rather than n_rows
+    max_gid = int(tid_to_gid.max()) if len(tid_to_gid) else 0
+    gbits = _bits_for(max(max_gid + 1, n_rows))
     ubits = _bits_for(int(umi.max()) + 1 if len(umi) else 1)
     if ubits + gbits > 64:
         return None
     cell_ids = cell_of_read[segs[:-1]].astype(np.int64)
     key, cnt = _native.crlike_wta_unique(
-        cell_ids, segs, aln_offsets, refs, umi, tid_to_gid, n_rows, gbits
+        cell_ids, segs, aln_offsets, refs, umi, tid_to_gid, n_rows, gbits,
+        usa_mode=usa_offsets is not None,
+        unspliced_off=usa_offsets[0] if usa_offsets else 0,
+        ambig_off=usa_offsets[1] if usa_offsets else 0,
     )
     key = key.astype(np.int64)
     return (

@@ -258,15 +258,17 @@ def _resolve_cells(
         cols_l.append(np.asarray(cols, np.int64))
         vals_l.append(np.asarray(vals, np.float32))
 
-    # --- combined fast path: pure non-USA cr-like counting ---------------
-    # small cells always resolve WTA and large cells resolve WTA too when
-    # -r cr-like, so with no eqclass dump the whole batch goes through ONE
-    # fused resolve+count pass (native threaded kernel; quant.rs small
-    # cells at :453 and large cr-like at :822 compute the same counts)
+    # --- combined fast path: pure cr-like counting ------------------------
+    # small cells always resolve WTA, and large cells resolve WTA too
+    # when -r cr-like (non-USA always; USA when the sa-model is
+    # winner-take-all), so with no eqclass dump the whole batch goes
+    # through ONE fused resolve+count pass (native threaded kernel;
+    # quant.rs small cells at :453 and large cr-like at :822 compute the
+    # same counts)
     if (
         opts.resolution == "cr-like"
-        and not usa_mode
         and not opts.dump_eq
+        and (not usa_mode or sa_model == "winner-take-all")
         and read_keep.any()
     ):
         if bool(read_keep.all()):
@@ -279,22 +281,26 @@ def _resolve_cells(
         else:
             sub = _subset_reads(batch, read_keep)
         rcv = None
-        if crlike.device_backend_enabled(len(sub["umi"])):
+        if not usa_mode and crlike.device_backend_enabled(len(sub["umi"])):
             rcv = crlike.wta_counts_device(
                 sub["cell"], sub["umi"], sub["refs"], sub["offs"],
                 tid_to_gid, num_rows,
             )
         if rcv is None:
-            rcv = crlike.wta_counts_nonusa_native(
+            rcv = crlike.wta_counts_native(
                 sub["cell"], sub["umi"], sub["refs"], sub["offs"],
                 tid_to_gid, num_rows,
+                usa_offsets=usa_offsets if usa_mode else None,
             )
         if rcv is None:
             groups = crlike.resolve_crlike(
                 sub["cell"], sub["umi"], sub["refs"], sub["offs"],
                 tid_to_gid, prefer_ambig=False,
             )
-            slot, valid = crlike.nonusa_unique_slots(groups)
+            if usa_mode:
+                slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
+            else:
+                slot, valid = crlike.nonusa_unique_slots(groups)
             rcv = crlike.counts_from_slots(
                 groups.cell, slot, valid, n_cells_all, num_rows
             )
@@ -310,6 +316,12 @@ def _resolve_cells(
             rcv = crlike.wta_counts_device(
                 sub["cell"], sub["umi"], sub["refs"], sub["offs"],
                 tid_to_gid, num_rows,
+            )
+        if rcv is None:
+            rcv = crlike.wta_counts_native(
+                sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                tid_to_gid, num_rows,
+                usa_offsets=usa_offsets if usa_mode else None,
             )
         if rcv is None:
             groups = crlike.resolve_crlike(

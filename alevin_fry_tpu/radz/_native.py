@@ -115,6 +115,8 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,  # aln_offsets, refs(u32)
             ctypes.c_void_p, ctypes.c_void_p,  # umi(u64), tid_to_gid(u32)
             ctypes.c_int64, ctypes.c_int64,    # n_rows, gbits
+            ctypes.c_int32, ctypes.c_int64,    # usa_mode, unspliced_off
+            ctypes.c_int64,                    # ambig_off
             ctypes.c_void_p, ctypes.c_void_p,  # out_key, out_cnt
             ctypes.c_void_p, ctypes.c_void_p,  # range_starts, range_counts
             ctypes.c_int32,                    # n_threads
@@ -397,9 +399,13 @@ def crlike_wta_unique(
     tid_to_gid: np.ndarray,
     n_rows: int,
     gbits: int,
+    usa_mode: bool = False,
+    unspliced_off: int = 0,
+    ambig_off: int = 0,
 ):
-    """Threaded native cr-like WTA resolution (non-USA unique rule).
-    Returns (key[u64] = cell*n_rows+gene ascending, counts[int64])."""
+    """Threaded native cr-like WTA resolution.  Non-USA: the
+    gene-unique rule; USA: tie-set slotting into the S/U/A blocks.
+    Returns (key[u64] = cell*n_rows+slot ascending, counts[int64])."""
     lib = _load()
     cell_ids = np.ascontiguousarray(cell_ids, np.int64)
     cell_read_offsets = np.ascontiguousarray(cell_read_offsets, np.int64)
@@ -418,6 +424,7 @@ def crlike_wta_unique(
         aln_offsets.ctypes.data, refs.ctypes.data,
         umi.ctypes.data, tid_to_gid.ctypes.data,
         n_rows, gbits,
+        1 if usa_mode else 0, unspliced_off, ambig_off,
         out_key.ctypes.data, out_cnt.ctypes.data,
         rstarts.ctypes.data, rcounts.ctypes.data, _NTHREADS,
     )

@@ -731,11 +731,20 @@ int64_t radc_count_u64(const uint64_t* keys, int64_t n, int64_t cap_hint,
 // caller where each thread's slice lives.
 //
 // gbits must satisfy (max umi) < 2^(64-gbits); caller checks.
+//
+// usa_mode == 0: non-USA gene-unique rule (singleton tie sets count).
+// usa_mode == 1: USA slotting of the tie set (utils.rs:656-739 /
+// quant.rs:541-589): the gene id space interleaves spliced (even) /
+// unspliced (odd) ids; a resolved UMI lands in the spliced block
+// (g>>1), the unspliced block (+unspliced_off) or the ambiguous block
+// (+ambig_off) — len-1 direct, len-2 same-gene -> ambiguous else the
+// single spliced gene, len 3..10 single-spliced rule, len > 10 drop.
 void radc_crlike_wta_unique(
     const int64_t* cell_ids, const int64_t* cell_read_offsets,
     int64_t n_cells, const int64_t* aln_offsets, const uint32_t* refs,
     const uint64_t* umi, const uint32_t* tid_to_gid, int64_t n_rows,
-    int64_t gbits, uint64_t* out_key, int64_t* out_cnt,
+    int64_t gbits, int32_t usa_mode, int64_t unspliced_off,
+    int64_t ambig_off, uint64_t* out_key, int64_t* out_cnt,
     int64_t* range_starts, int64_t* range_counts, int32_t n_threads) {
   if (n_threads < 1) n_threads = 1;
   const uint64_t gmask = (gbits >= 64) ? ~0ull : ((1ull << gbits) - 1);
@@ -743,8 +752,9 @@ void radc_crlike_wta_unique(
     const int64_t base = (c0 < n_cells) ? cell_read_offsets[c0] : 0;
     int64_t w = base;
     std::vector<uint64_t> pairs;
-    std::vector<uint32_t> winners;
+    std::vector<uint32_t> winners;  // resolved slot per UMI
     std::vector<uint32_t> genes;
+    std::vector<uint32_t> tie;
     for (int64_t c = c0; c < c1; ++c) {
       const int64_t r0 = cell_read_offsets[c];
       const int64_t r1 = cell_read_offsets[c + 1];
@@ -770,23 +780,62 @@ void radc_crlike_wta_unique(
       int64_t i = 0;
       while (i < n) {
         const uint64_t ucur = pairs[i] >> gbits;
-        int64_t best = 0, ties = 0;
-        uint32_t best_gene = 0;
+        int64_t best = 0;
+        tie.clear();
         int64_t j = i;
         while (j < n && (pairs[j] >> gbits) == ucur) {
           int64_t k = j;
           while (k < n && pairs[k] == pairs[j]) ++k;
           const int64_t cnt = k - j;
+          const uint32_t g = static_cast<uint32_t>(pairs[j] & gmask);
           if (cnt > best) {
             best = cnt;
-            best_gene = static_cast<uint32_t>(pairs[j] & gmask);
-            ties = 1;
+            tie.clear();
+            tie.push_back(g);
           } else if (cnt == best) {
-            ++ties;
+            tie.push_back(g);
           }
           j = k;
         }
-        if (ties == 1) winners.push_back(best_gene);
+        if (!usa_mode) {
+          if (tie.size() == 1) winners.push_back(tie[0]);
+        } else {
+          // tie is ascending (pairs sorted); apply the USA rules
+          const size_t L = tie.size();
+          if (L == 1) {
+            const uint32_t g = tie[0];
+            winners.push_back(
+                (g & 1) ? static_cast<uint32_t>(unspliced_off + (g >> 1))
+                        : (g >> 1));
+          } else if (L == 2) {
+            const uint32_t g1 = tie[0], g2 = tie[1];
+            const bool sp1 = (g1 & 1) == 0, sp2 = (g2 & 1) == 0;
+            if ((g1 & ~1u) == (g2 & ~1u)) {
+              winners.push_back(static_cast<uint32_t>(ambig_off + (g1 >> 1)));
+            } else if (sp1 && !sp2) {
+              winners.push_back(g1 >> 1);
+            } else if (!sp1 && sp2) {
+              winners.push_back(g2 >> 1);
+            }  // else dropped
+          } else if (L <= 10) {
+            // single-spliced rule
+            uint32_t sgene = 0;
+            int nspl = 0;
+            for (uint32_t g : tie)
+              if ((g & 1) == 0) {
+                sgene = g;
+                ++nspl;
+              }
+            if (nspl == 1) {
+              bool partner = false;
+              for (uint32_t g : tie)
+                if ((g & 1) && (g & ~1u) == (sgene & ~1u)) partner = true;
+              winners.push_back(
+                  partner ? static_cast<uint32_t>(ambig_off + (sgene >> 1))
+                          : (sgene >> 1));
+            }
+          }  // L > 10: dropped
+        }
         i = j;
       }
       std::sort(winners.begin(), winners.end());

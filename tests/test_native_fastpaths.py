@@ -145,7 +145,7 @@ def test_crlike_wta_unique_native_matches_numpy():
         np.cumsum(nal, out=offs[1:])
         refs = rng.randint(0, n_txps, size=int(offs[-1])).astype(np.uint32)
 
-        got = crlike.wta_counts_nonusa_native(
+        got = crlike.wta_counts_native(
             cell, umi, refs, offs, tid_to_gid, n_genes
         )
         assert got is not None
@@ -153,6 +153,52 @@ def test_crlike_wta_unique_native_matches_numpy():
         slot, valid = crlike.nonusa_unique_slots(groups)
         want = crlike.counts_from_slots(
             groups.cell, slot, valid, n_cells, n_genes
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w, err_msg=f"trial {trial}")
+
+
+def test_crlike_wta_usa_native_matches_numpy():
+    """USA-mode tie-set slotting in the native kernel equals the numpy
+    resolve -> usa_slots -> counts chain."""
+    import numpy as np
+    from alevin_fry_tpu.ops import crlike
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    rng = np.random.RandomState(23)
+    for trial in range(8):
+        n_cells = rng.randint(1, 25)
+        n_genes_base = rng.randint(2, 20)      # gene pairs
+        mid = 2 * n_genes_base + 2             # USA id space (even/odd)
+        num_rows = mid + mid // 2
+        usa_offsets = (num_rows // 3, 2 * num_rows // 3)
+        n_txps = n_genes_base * 4
+        # USA tg-map: spliced (even) and unspliced (odd) ids interleaved
+        tid_to_gid = (
+            rng.randint(0, n_genes_base, size=n_txps) * 2
+            + rng.randint(0, 2, size=n_txps)
+        ).astype(np.uint32)
+        n_reads = rng.randint(1, 500)
+        cell = np.sort(rng.randint(0, n_cells, size=n_reads)).astype(np.int64)
+        umi = rng.randint(0, 40, size=n_reads).astype(np.uint64)
+        nal = rng.randint(1, 6, size=n_reads)
+        offs = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(nal, out=offs[1:])
+        refs = rng.randint(0, n_txps, size=int(offs[-1])).astype(np.uint32)
+
+        got = crlike.wta_counts_native(
+            cell, umi, refs, offs, tid_to_gid, num_rows,
+            usa_offsets=usa_offsets,
+        )
+        assert got is not None
+        groups = crlike.resolve_crlike(cell, umi, refs, offs, tid_to_gid)
+        slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
+        want = crlike.counts_from_slots(
+            groups.cell, slot, valid, n_cells, num_rows
         )
         for g, w in zip(got, want):
             np.testing.assert_array_equal(g, w, err_msg=f"trial {trial}")
