@@ -467,6 +467,39 @@ def _large_component_crlike(
             commit(best)
 
 
+def _resolve_parsimony_native(
+    cell, umi, refs, offs, cells, tid_to_gid,
+    pug_exact_umi, large_graph_thresh, gene_level,
+):
+    """Threaded native batch resolution (csrc/radc.cpp::radc_pug_resolve,
+    same semantics as the per-cell Python path — property-tested equal).
+    Returns the resolve_parsimony_cells result tuple or None when the
+    native library isn't available."""
+    from ..radz import _native
+
+    if not _native.available():
+        return None
+    boundaries = np.searchsorted(cell, cells, side="left")
+    cell_read_offsets = np.append(boundaries, len(cell)).astype(np.int64)
+    n_eqc, used_alt, counts, lens, labels = _native.pug_resolve(
+        cell_read_offsets, umi, refs, offs, tid_to_gid,
+        gene_level, pug_exact_umi, large_graph_thresh,
+    )
+    label_offsets = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=label_offsets[1:])
+    cell_eq_offsets = np.zeros(len(cells) + 1, np.int64)
+    np.cumsum(n_eqc, out=cell_eq_offsets[1:])
+    eqc = CellEqClasses(
+        cell_ids=np.asarray(cells, np.int64),
+        cell_eq_offsets=cell_eq_offsets,
+        label_offsets=label_offsets,
+        labels=labels,
+        counts=counts.astype(np.uint32),
+    )
+    alt_cells = [int(c) for c in np.asarray(cells)[used_alt]]
+    return eqc, alt_cells, None
+
+
 def resolve_parsimony_cells(
     sub: dict,
     tid_to_gid: np.ndarray,
@@ -489,6 +522,14 @@ def resolve_parsimony_cells(
     # reads are contiguous per cell (collated order)
     alt_cells: List[int] = []
     with_probs = aln_probs is not None
+
+    if not with_probs:
+        native = _resolve_parsimony_native(
+            cell, umi, refs, offs, cells, tid_to_gid,
+            pug_exact_umi, large_graph_thresh, gene_level,
+        )
+        if native is not None:
+            return native
 
     cell_ids = []
     cell_eq_counts = []

@@ -121,6 +121,19 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,  # range_starts, range_counts
             ctypes.c_int32,                    # n_threads
         ]
+        lib.radc_pug_resolve.restype = ctypes.c_int64
+        lib.radc_pug_resolve.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # cell_read_offsets, n_cells
+            ctypes.c_void_p, ctypes.c_void_p,  # umi(u64), refs(u32)
+            ctypes.c_void_p, ctypes.c_void_p,  # aln_offsets, tid_to_gid
+            ctypes.c_int32, ctypes.c_int32,    # gene_level, exact
+            ctypes.c_int64,                    # large_thresh
+            ctypes.c_void_p, ctypes.c_void_p,  # n_eqc_per_cell, used_alt
+            ctypes.c_void_p, ctypes.c_void_p,  # counts_out, lens_out
+            ctypes.c_void_p,                   # labels_out
+            ctypes.c_void_p, ctypes.c_void_p,  # range_info, label_counts
+            ctypes.c_int32,                    # n_threads
+        ]
         lib.radc_count_u64.restype = ctypes.c_int64
         lib.radc_count_u64.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # keys, n, cap
@@ -438,6 +451,68 @@ def crlike_wta_unique(
     if not pieces_k:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     return np.concatenate(pieces_k), np.concatenate(pieces_c)
+
+
+def pug_resolve(
+    cell_read_offsets: np.ndarray,
+    umi: np.ndarray,
+    refs: np.ndarray,
+    aln_offsets: np.ndarray,
+    tid_to_gid: np.ndarray,
+    gene_level: bool,
+    exact: bool,
+    large_thresh: int,
+):
+    """Threaded batch PUG resolution (ops/pug.py semantics).
+
+    Returns (n_eqc_per_cell[int64], used_alt[bool], counts[int64],
+    label_lens[int64], labels[uint32]) with eqclasses concatenated in
+    cell order, each cell's classes ordered by (label len, label bytes).
+    """
+    lib = _load()
+    cell_read_offsets = np.ascontiguousarray(cell_read_offsets, np.int64)
+    umi = np.ascontiguousarray(umi, np.uint64)
+    refs = np.ascontiguousarray(refs, np.uint32)
+    aln_offsets = np.ascontiguousarray(aln_offsets, np.int64)
+    tid_to_gid = np.ascontiguousarray(tid_to_gid, np.uint32)
+    n_cells = len(cell_read_offsets) - 1
+    n_reads = int(cell_read_offsets[-1]) if n_cells >= 0 else 0
+    n_aln = int(aln_offsets[-1]) if len(aln_offsets) else 0
+    n_eqc = np.zeros(max(n_cells, 1), np.int64)
+    used_alt = np.zeros(max(n_cells, 1), np.uint8)
+    counts = np.empty(max(n_reads, 1), np.int64)
+    lens = np.empty(max(n_reads, 1), np.int64)
+    labels = np.empty(max(n_aln, 1), np.uint32)
+    range_info = np.zeros((_NTHREADS, 4), np.int64)
+    label_counts = np.zeros(_NTHREADS, np.int64)
+    lib.radc_pug_resolve(
+        cell_read_offsets.ctypes.data, n_cells,
+        umi.ctypes.data, refs.ctypes.data,
+        aln_offsets.ctypes.data, tid_to_gid.ctypes.data,
+        1 if gene_level else 0, 1 if exact else 0, large_thresh,
+        n_eqc.ctypes.data, used_alt.ctypes.data,
+        counts.ctypes.data, lens.ctypes.data, labels.ctypes.data,
+        range_info.ctypes.data, label_counts.ctypes.data, _NTHREADS,
+    )
+    pieces_c, pieces_l, pieces_lab = [], [], []
+    for t in range(_NTHREADS):
+        c0, rb, lb, ne = (int(x) for x in range_info[t])
+        lc = int(label_counts[t])
+        if ne:
+            pieces_c.append(counts[rb : rb + ne])
+            pieces_l.append(lens[rb : rb + ne])
+        if lc:
+            pieces_lab.append(labels[lb : lb + lc])
+    cat = lambda ps, dt: (
+        np.concatenate(ps) if ps else np.zeros(0, dt)
+    )
+    return (
+        n_eqc[:n_cells],
+        used_alt[:n_cells].view(bool),
+        cat(pieces_c, np.int64),
+        cat(pieces_l, np.int64),
+        cat(pieces_lab, np.uint32),
+    )
 
 
 def count_u64(keys: np.ndarray, cap_hint: int = 0):

@@ -12,7 +12,10 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <map>
 #include <thread>
+#include <utility>
 #include <vector>
 
 // splitmix64 mixer used by the open-addressing hash tables below.
@@ -999,3 +1002,491 @@ void radc_counting_sort(const int64_t* keys, int64_t n, int64_t n_keys,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Parsimonious UMI graph (PUG) resolution, whole-batch, threaded over cells.
+//
+// Semantics mirror ops/pug.py (itself a re-implementation of the
+// reference's pugutils.rs:65-1331) EXACTLY, including adjacency
+// insertion order and the visited-marking rule of the BFS (a neighbor
+// is marked visited even when the transcript-membership test fails),
+// because both affect which cover is found:
+//   * per cell, eqclasses keyed by the verbatim refs slice
+//     (transcript level) or the sorted unique gene projection (gene
+//     level); per class, UMIs sorted + RLE'd into (umi, freq) nodes;
+//   * edges: within a class all UMI pairs at Hamming<=1 (2-bit packed),
+//     across classes sharing >=1 transcript; direction freq(x) >
+//     2*freq(y)-1 (pugutils.rs:76-99); exact mode keeps only d==0;
+//   * union-find components; singleton shortcut; components larger
+//     than large_graph_thresh take the streaming cr-like fallback;
+//   * greedy cover: repeatedly pick the largest monochromatic
+//     arborescence over uncovered vertices (ascending vertex id,
+//     first-strictly-larger wins), intersect covered labels, project
+//     to genes, bump the per-cell gene-eqclass count.
+//
+// Output: per cell, eqclasses ordered by (label length, label bytes);
+// counts/label lens compacted at the cell's read offset, labels at the
+// cell's alignment offset (both are proven upper bounds).
+namespace pugk {
+
+static inline int hamming2bit(uint64_t a, uint64_t b) {
+  uint64_t x = a ^ b;
+  uint64_t two = (x | (x >> 1)) & 0x5555555555555555ull;
+  const int pc = __builtin_popcountll(two);
+  return pc > 2 ? 2 : pc;
+}
+
+struct CellOut {
+  std::vector<int64_t> counts;
+  std::vector<int64_t> lens;
+  std::vector<uint32_t> labels;
+  int64_t n_eqc = 0;
+  int used_alt = 0;
+};
+
+struct LabelKeyLess {
+  bool operator()(const std::vector<uint32_t>& a,
+                  const std::vector<uint32_t>& b) const {
+    if (a.size() != b.size()) return a.size() < b.size();
+    const int c = std::memcmp(a.data(), b.data(), a.size() * 4);
+    return c < 0;
+  }
+};
+
+static void resolve_cell(
+    const uint64_t* umi, const uint32_t* refs, const int64_t* aln_offsets,
+    int64_t r0, int64_t r1, const uint32_t* tid_to_gid, int gene_level,
+    int exact, int64_t large_thresh, CellOut& out) {
+  const int64_t n_reads = r1 - r0;
+  // --- 1. eqclasses keyed by the raw refs slice / gene projection ---------
+  std::vector<std::vector<uint32_t>> eq_key;     // identity key
+  std::vector<std::vector<uint32_t>> eq_sorted;  // sorted label
+  std::vector<std::vector<uint64_t>> eq_umis_raw;
+  {
+    // open-addressing map over (hash of key) -> eq id
+    uint64_t cap = 16;
+    while (cap < static_cast<uint64_t>(n_reads) * 2) cap <<= 1;
+    const uint64_t mask = cap - 1;
+    std::vector<int32_t> slot(cap, -1);
+    std::vector<uint32_t> keybuf;
+    for (int64_t r = r0; r < r1; ++r) {
+      keybuf.clear();
+      if (gene_level) {
+        for (int64_t a = aln_offsets[r]; a < aln_offsets[r + 1]; ++a)
+          keybuf.push_back(tid_to_gid[refs[a]]);
+        std::sort(keybuf.begin(), keybuf.end());
+        keybuf.erase(std::unique(keybuf.begin(), keybuf.end()), keybuf.end());
+      } else {
+        for (int64_t a = aln_offsets[r]; a < aln_offsets[r + 1]; ++a)
+          keybuf.push_back(refs[a]);
+      }
+      uint64_t h = 1469598103934665603ull;
+      for (uint32_t v : keybuf) h = (h ^ v) * 1099511628211ull;
+      h = mix64(h ^ (uint64_t)keybuf.size()) & mask;
+      int32_t e = -1;
+      while (slot[h] >= 0) {
+        const auto& k = eq_key[static_cast<size_t>(slot[h])];
+        if (k.size() == keybuf.size() &&
+            std::memcmp(k.data(), keybuf.data(), k.size() * 4) == 0) {
+          e = slot[h];
+          break;
+        }
+        h = (h + 1) & mask;
+      }
+      if (e < 0) {
+        e = static_cast<int32_t>(eq_key.size());
+        slot[h] = e;
+        eq_key.push_back(keybuf);
+        std::vector<uint32_t> s = keybuf;
+        std::sort(s.begin(), s.end());
+        eq_sorted.push_back(std::move(s));
+        eq_umis_raw.emplace_back();
+      }
+      eq_umis_raw[static_cast<size_t>(e)].push_back(umi[r]);
+    }
+  }
+  const int64_t nec = static_cast<int64_t>(eq_key.size());
+  // --- 2. per class: sort UMIs, RLE -> (umi, freq) nodes -------------------
+  std::vector<std::vector<uint64_t>> eq_u(nec);
+  std::vector<std::vector<int64_t>> eq_c(nec);
+  std::vector<int64_t> node_base(nec + 1, 0);
+  for (int64_t e = 0; e < nec; ++e) {
+    auto& raw = eq_umis_raw[static_cast<size_t>(e)];
+    std::sort(raw.begin(), raw.end());
+    auto& us = eq_u[static_cast<size_t>(e)];
+    auto& cs = eq_c[static_cast<size_t>(e)];
+    for (size_t i = 0; i < raw.size();) {
+      size_t j = i;
+      while (j < raw.size() && raw[j] == raw[i]) ++j;
+      us.push_back(raw[i]);
+      cs.push_back(static_cast<int64_t>(j - i));
+      i = j;
+    }
+    node_base[e + 1] = node_base[e] + static_cast<int64_t>(us.size());
+  }
+  const int64_t nv = node_base[nec];
+  std::vector<int32_t> node_eq(static_cast<size_t>(nv));
+  for (int64_t e = 0; e < nec; ++e)
+    for (int64_t v = node_base[e]; v < node_base[e + 1]; ++v)
+      node_eq[static_cast<size_t>(v)] = static_cast<int32_t>(e);
+
+  // --- 3. inverted index transcript -> classes (insertion order) ----------
+  // (hash map from label element to list of classes)
+  std::vector<std::vector<int32_t>> inv_lists;
+  uint64_t icap = 16;
+  {
+    int64_t tot = 0;
+    for (auto& s : eq_sorted) tot += static_cast<int64_t>(s.size());
+    while (icap < static_cast<uint64_t>(tot) * 2 + 2) icap <<= 1;
+  }
+  const uint64_t imask = icap - 1;
+  std::vector<uint32_t> ikey(icap, 0xFFFFFFFFu);
+  std::vector<int32_t> ival(icap, -1);
+  auto inv_find = [&](uint32_t t) -> int32_t {
+    uint64_t h = mix64(t) & imask;
+    while (ival[h] >= 0 && ikey[h] != t) h = (h + 1) & imask;
+    return (ival[h] >= 0) ? ival[h] : -1;
+  };
+  for (int64_t e = 0; e < nec; ++e) {
+    for (uint32_t t : eq_sorted[static_cast<size_t>(e)]) {
+      uint64_t h = mix64(t) & imask;
+      while (ival[h] >= 0 && ikey[h] != t) h = (h + 1) & imask;
+      if (ival[h] < 0) {
+        ikey[h] = t;
+        ival[h] = static_cast<int32_t>(inv_lists.size());
+        inv_lists.emplace_back();
+      }
+      inv_lists[static_cast<size_t>(ival[h])].push_back(
+          static_cast<int32_t>(e));
+    }
+  }
+
+  // --- 4. edges (adjacency insertion order matches ops/pug.py) ------------
+  std::vector<std::vector<int32_t>> adj(static_cast<size_t>(nv));
+  auto add_pair = [&](int64_t x, int64_t y, int d, int64_t cx, int64_t cy) {
+    if (exact) {
+      if (d != 0) return;
+      adj[static_cast<size_t>(x)].push_back(static_cast<int32_t>(y));
+      adj[static_cast<size_t>(y)].push_back(static_cast<int32_t>(x));
+      return;
+    }
+    if (d == 0) {
+      adj[static_cast<size_t>(x)].push_back(static_cast<int32_t>(y));
+      adj[static_cast<size_t>(y)].push_back(static_cast<int32_t>(x));
+    } else if (d == 1) {
+      if (cx > 2 * cy - 1) {
+        adj[static_cast<size_t>(x)].push_back(static_cast<int32_t>(y));
+      } else if (cy > 2 * cx - 1) {
+        adj[static_cast<size_t>(y)].push_back(static_cast<int32_t>(x));
+      } else {
+        adj[static_cast<size_t>(x)].push_back(static_cast<int32_t>(y));
+        adj[static_cast<size_t>(y)].push_back(static_cast<int32_t>(x));
+      }
+    }
+  };
+  std::vector<uint8_t> seen(static_cast<size_t>(nec), 0);
+  std::vector<int32_t> seen_touched;
+  for (int64_t e = 0; e < nec; ++e) {
+    const auto& ux = eq_u[static_cast<size_t>(e)];
+    const auto& cx = eq_c[static_cast<size_t>(e)];
+    const int64_t bx = node_base[e];
+    // within class: upper-triangle pairs
+    for (size_t i = 0; i + 1 < ux.size(); ++i)
+      for (size_t j = i + 1; j < ux.size(); ++j)
+        add_pair(bx + static_cast<int64_t>(i), bx + static_cast<int64_t>(j),
+                 hamming2bit(ux[i], ux[j]), cx[i], cx[j]);
+    // across classes sharing a transcript (e2 > e, first-seen dedup)
+    seen_touched.clear();
+    for (uint32_t t : eq_sorted[static_cast<size_t>(e)]) {
+      const int32_t li = inv_find(t);
+      if (li < 0) continue;
+      for (int32_t e2 : inv_lists[static_cast<size_t>(li)]) {
+        if (e2 <= e || seen[static_cast<size_t>(e2)]) continue;
+        seen[static_cast<size_t>(e2)] = 1;
+        seen_touched.push_back(e2);
+        const auto& uy = eq_u[static_cast<size_t>(e2)];
+        const auto& cy = eq_c[static_cast<size_t>(e2)];
+        const int64_t by = node_base[e2];
+        for (size_t i = 0; i < ux.size(); ++i)
+          for (size_t j = 0; j < uy.size(); ++j) {
+            const int d = hamming2bit(ux[i], uy[j]);
+            if (d <= (exact ? 0 : 1))
+              add_pair(bx + static_cast<int64_t>(i),
+                       by + static_cast<int64_t>(j), d, cx[i], cy[j]);
+          }
+      }
+    }
+    for (int32_t e2 : seen_touched) seen[static_cast<size_t>(e2)] = 0;
+  }
+
+  // --- 5. connected components (union-find) -------------------------------
+  std::vector<int32_t> parent(static_cast<size_t>(nv));
+  for (int64_t v = 0; v < nv; ++v) parent[static_cast<size_t>(v)] = (int32_t)v;
+  std::function<int32_t(int32_t)> find = [&](int32_t x) {
+    while (parent[static_cast<size_t>(x)] != x) {
+      parent[static_cast<size_t>(x)] =
+          parent[static_cast<size_t>(parent[static_cast<size_t>(x)])];
+      x = parent[static_cast<size_t>(x)];
+    }
+    return x;
+  };
+  for (int64_t a = 0; a < nv; ++a)
+    for (int32_t b : adj[static_cast<size_t>(a)]) {
+      const int32_t ra = find(static_cast<int32_t>(a)), rb = find(b);
+      if (ra != rb) parent[static_cast<size_t>(rb)] = ra;
+    }
+  // group by root, preserving ascending vertex order within a component
+  std::vector<int32_t> root_of(static_cast<size_t>(nv));
+  for (int64_t v = 0; v < nv; ++v)
+    root_of[static_cast<size_t>(v)] = find(static_cast<int32_t>(v));
+  std::vector<std::vector<int32_t>> comps;
+  {
+    std::vector<int32_t> comp_of_root(static_cast<size_t>(nv), -1);
+    for (int64_t v = 0; v < nv; ++v) {
+      const int32_t r = root_of[static_cast<size_t>(v)];
+      if (comp_of_root[static_cast<size_t>(r)] < 0) {
+        comp_of_root[static_cast<size_t>(r)] =
+            static_cast<int32_t>(comps.size());
+        comps.emplace_back();
+      }
+      comps[static_cast<size_t>(comp_of_root[static_cast<size_t>(r)])]
+          .push_back(static_cast<int32_t>(v));
+    }
+  }
+
+  // --- 6. resolve each component ------------------------------------------
+  std::map<std::vector<uint32_t>, int64_t, LabelKeyLess> gene_eqc;
+  auto project = [&](const std::vector<uint32_t>& lab,
+                     std::vector<uint32_t>& out_genes) {
+    out_genes.clear();
+    if (gene_level) {
+      out_genes = lab;  // already sorted unique genes
+      return;
+    }
+    for (uint32_t t : lab) out_genes.push_back(tid_to_gid[t]);
+    std::sort(out_genes.begin(), out_genes.end());
+    out_genes.erase(std::unique(out_genes.begin(), out_genes.end()),
+                    out_genes.end());
+  };
+  std::vector<uint32_t> genes_buf;
+  std::vector<int32_t> visited_stamp(static_cast<size_t>(nv), -1);
+  int32_t stamp = 0;
+  std::vector<int32_t> bfs_q;
+  std::vector<uint8_t> covered(static_cast<size_t>(nv), 0);
+
+  for (auto& comp : comps) {
+    if (comp.size() == 1) {
+      const int32_t tv = comp[0];
+      const auto& tl = eq_sorted[static_cast<size_t>(node_eq[tv])];
+      project(tl, genes_buf);
+      ++gene_eqc[genes_buf];
+      continue;
+    }
+    if (static_cast<int64_t>(comp.size()) > large_thresh) {
+      // streaming cr-like fallback over (umi, gene, freq) triplets
+      out.used_alt = 1;
+      std::vector<std::pair<uint64_t, std::pair<uint32_t, int64_t>>> trips;
+      std::vector<uint32_t> gset;
+      for (int32_t vtx : comp) {
+        const int32_t e = node_eq[static_cast<size_t>(vtx)];
+        const int64_t rank = vtx - node_base[e];
+        const uint64_t u = eq_u[static_cast<size_t>(e)][(size_t)rank];
+        const int64_t c = eq_c[static_cast<size_t>(e)][(size_t)rank];
+        project(eq_sorted[static_cast<size_t>(e)], gset);
+        for (uint32_t g : gset) trips.push_back({u, {g, c}});
+      }
+      std::sort(trips.begin(), trips.end(),
+                [](const auto& a, const auto& b) {
+                  if (a.first != b.first) return a.first < b.first;
+                  if (a.second.first != b.second.first)
+                    return a.second.first < b.second.first;
+                  return a.second.second < b.second.second;
+                });
+      uint64_t curr_umi = 0;
+      uint32_t curr_gn = 0;
+      int64_t max_count = 0, count_aggr = 0;
+      std::vector<uint32_t> best;
+      bool first = true;
+      auto commit = [&]() { ++gene_eqc[best]; };
+      for (size_t idx = 0; idx < trips.size(); ++idx) {
+        const uint64_t u = trips[idx].first;
+        const uint32_t g = trips[idx].second.first;
+        const int64_t c = trips[idx].second.second;
+        if (first) {
+          curr_umi = u;
+          curr_gn = g;
+          count_aggr = max_count = c;
+          best.assign(1, g);
+          first = false;
+        } else if (u != curr_umi) {
+          commit();
+          curr_umi = u;
+          curr_gn = g;
+          best.assign(1, g);
+          count_aggr = max_count = c;
+        } else {
+          if (g == curr_gn) {
+            count_aggr += c;
+          } else {
+            count_aggr = c;
+            curr_gn = g;
+          }
+          if (count_aggr > max_count) {
+            max_count = count_aggr;
+            if (!(best.size() == 1 && best[0] == g)) best.assign(1, g);
+          } else if (count_aggr == max_count) {
+            best.push_back(g);
+          }
+        }
+        if (idx + 1 == trips.size()) commit();
+      }
+      continue;
+    }
+    // greedy monochromatic-arborescence cover
+    int64_t n_uncovered = static_cast<int64_t>(comp.size());
+    for (int32_t v : comp) covered[static_cast<size_t>(v)] = 0;
+    std::vector<int32_t> best_mcc, cand;
+    while (n_uncovered > 0) {
+      best_mcc.clear();
+      for (int32_t v : comp) {
+        if (covered[static_cast<size_t>(v)]) continue;
+        // try each transcript of v's label
+        const auto& vlab = eq_sorted[static_cast<size_t>(node_eq[(size_t)v])];
+        bool saturated = false;
+        for (uint32_t t : vlab) {
+          ++stamp;
+          visited_stamp[static_cast<size_t>(v)] = stamp;
+          cand.clear();
+          bfs_q.clear();
+          bfs_q.push_back(v);
+          size_t qh = 0;
+          while (qh < bfs_q.size()) {
+            const int32_t cv = bfs_q[qh++];
+            cand.push_back(cv);
+            for (int32_t nxt : adj[static_cast<size_t>(cv)]) {
+              if (covered[static_cast<size_t>(nxt)] ||
+                  visited_stamp[static_cast<size_t>(nxt)] == stamp)
+                continue;
+              visited_stamp[static_cast<size_t>(nxt)] = stamp;
+              const auto& lab =
+                  eq_sorted[static_cast<size_t>(node_eq[(size_t)nxt])];
+              if (std::binary_search(lab.begin(), lab.end(), t))
+                bfs_q.push_back(nxt);
+            }
+          }
+          if (cand.size() > best_mcc.size()) best_mcc = cand;
+          if (static_cast<int64_t>(cand.size()) == n_uncovered) {
+            saturated = true;
+            break;
+          }
+        }
+        if (saturated) break;
+      }
+      // intersect labels over the cover
+      const auto& lab0 =
+          eq_sorted[static_cast<size_t>(node_eq[(size_t)best_mcc[0]])];
+      std::vector<uint32_t> inter(lab0.begin(), lab0.end());
+      inter.erase(std::unique(inter.begin(), inter.end()), inter.end());
+      std::vector<uint32_t> tmp;
+      for (size_t i = 1; i < best_mcc.size() && !inter.empty(); ++i) {
+        const auto& lab =
+            eq_sorted[static_cast<size_t>(node_eq[(size_t)best_mcc[i]])];
+        tmp.clear();
+        for (uint32_t t : inter)
+          if (std::binary_search(lab.begin(), lab.end(), t))
+            tmp.push_back(t);
+        inter.swap(tmp);
+      }
+      project(inter, genes_buf);
+      ++gene_eqc[genes_buf];
+      for (int32_t vtx : best_mcc) {
+        covered[static_cast<size_t>(vtx)] = 1;
+        --n_uncovered;
+      }
+    }
+  }
+
+  // --- 7. emit in (label length, label bytes) order ------------------------
+  out.n_eqc = static_cast<int64_t>(gene_eqc.size());
+  for (auto& kv : gene_eqc) {
+    out.counts.push_back(kv.second);
+    out.lens.push_back(static_cast<int64_t>(kv.first.size()));
+    out.labels.insert(out.labels.end(), kv.first.begin(), kv.first.end());
+  }
+}
+
+}  // namespace pugk
+
+// Batch PUG resolution over cells.  Outputs are compacted per thread
+// range: counts/lens at the range's read offset, labels at the range's
+// alignment offset, n_eqc_per_cell / used_alt per cell (exact).
+// range_* arrays are (n_threads, 4): [cell0, read_base, label_base,
+// n_eq_written]; labels_written goes to label_counts.
+extern "C" int64_t radc_pug_resolve(
+    const int64_t* cell_read_offsets, int64_t n_cells,
+    const uint64_t* umi, const uint32_t* refs, const int64_t* aln_offsets,
+    const uint32_t* tid_to_gid, int32_t gene_level, int32_t exact,
+    int64_t large_thresh,
+    int64_t* n_eqc_per_cell, uint8_t* used_alt_per_cell,
+    int64_t* counts_out, int64_t* lens_out, uint32_t* labels_out,
+    int64_t* range_info, int64_t* label_counts, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t c0, int64_t c1, int t) {
+    const int64_t read_base = (c0 < n_cells) ? cell_read_offsets[c0] : 0;
+    const int64_t label_base = (c0 < n_cells) ? aln_offsets[read_base] : 0;
+    int64_t w = read_base;
+    int64_t lw = label_base;
+    pugk::CellOut out;
+    for (int64_t c = c0; c < c1; ++c) {
+      out.counts.clear();
+      out.lens.clear();
+      out.labels.clear();
+      out.n_eqc = 0;
+      out.used_alt = 0;
+      pugk::resolve_cell(umi, refs, aln_offsets, cell_read_offsets[c],
+                         cell_read_offsets[c + 1], tid_to_gid, gene_level,
+                         exact, large_thresh, out);
+      n_eqc_per_cell[c] = out.n_eqc;
+      used_alt_per_cell[c] = static_cast<uint8_t>(out.used_alt);
+      std::memcpy(counts_out + w, out.counts.data(), out.counts.size() * 8);
+      std::memcpy(lens_out + w, out.lens.data(), out.lens.size() * 8);
+      std::memcpy(labels_out + lw, out.labels.data(), out.labels.size() * 4);
+      w += static_cast<int64_t>(out.counts.size());
+      lw += static_cast<int64_t>(out.labels.size());
+    }
+    range_info[t * 4 + 0] = c0;
+    range_info[t * 4 + 1] = read_base;
+    range_info[t * 4 + 2] = label_base;
+    range_info[t * 4 + 3] = w - read_base;
+    label_counts[t] = lw - label_base;
+  };
+  if (n_threads == 1 || n_cells < 2) {
+    work(0, n_cells, 0);
+    for (int t = 1; t < n_threads; ++t) {
+      range_info[t * 4 + 0] = n_cells;
+      range_info[t * 4 + 1] = 0;
+      range_info[t * 4 + 2] = 0;
+      range_info[t * 4 + 3] = 0;
+      label_counts[t] = 0;
+    }
+    return 0;
+  }
+  const int64_t total = cell_read_offsets[n_cells] - cell_read_offsets[0];
+  std::vector<std::thread> ts;
+  std::vector<std::pair<int64_t, int64_t>> ranges;
+  int64_t c_prev = 0;
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t target = cell_read_offsets[0] + total * t / n_threads;
+    int64_t c = c_prev;
+    while (c < n_cells && cell_read_offsets[c] < target) ++c;
+    ranges.emplace_back(c_prev, c);
+    c_prev = c;
+  }
+  ranges.emplace_back(c_prev, n_cells);
+  for (size_t t = 1; t < ranges.size(); ++t)
+    ts.emplace_back(work, ranges[t].first, ranges[t].second,
+                    static_cast<int>(t));
+  work(ranges[0].first, ranges[0].second, 0);
+  for (auto& th : ts) th.join();
+  return 0;
+}

@@ -175,3 +175,63 @@ def test_parsimony_usa_mode(tmp_path):
     assert m.shape == (1, 6)
     # merged u_a/u_b molecule -> t0 -> g0 spliced; 97 pads -> t2 -> g1 spliced
     np.testing.assert_array_equal(m, [[1, 97, 0, 0, 0, 0]])
+
+
+def test_pug_native_matches_python():
+    """Property test: the threaded native PUG resolver reproduces the
+    per-cell Python resolver exactly (eqclass labels, counts, order,
+    alt-cell flags) on random ragged inputs, both transcript- and
+    gene-level, exact and 1-edit modes, including the large-component
+    fallback."""
+    import numpy as np
+    from alevin_fry_tpu.ops import pug
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    rng = np.random.RandomState(41)
+    for trial in range(10):
+        n_cells = rng.randint(1, 12)
+        n_genes = rng.randint(2, 12)
+        n_txps = n_genes * 3
+        tid_to_gid = rng.randint(0, n_genes, size=n_txps).astype(np.uint32)
+        n_reads = rng.randint(1, 250)
+        cell = np.sort(rng.randint(0, n_cells, size=n_reads)).astype(np.int64)
+        # small UMI space to force Hamming-1 neighborhoods and shared UMIs
+        umi = rng.randint(0, 16, size=n_reads).astype(np.uint64)
+        nal = rng.randint(1, 4, size=n_reads)
+        offs = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(nal, out=offs[1:])
+        refs = rng.randint(0, n_txps, size=int(offs[-1])).astype(np.uint32)
+        sub = {"cell": cell, "umi": umi, "refs": refs, "offs": offs}
+        gene_level = bool(trial % 2)
+        exact = trial % 3 == 0
+        thresh = 6 if trial % 4 == 0 else 1000  # exercise the fallback
+
+        cells = np.unique(cell)
+        got = pug._resolve_parsimony_native(
+            cell, umi, refs, offs, cells, tid_to_gid, exact, thresh,
+            gene_level,
+        )
+        assert got is not None
+        import unittest.mock as mock
+
+        with mock.patch.object(pug, "_resolve_parsimony_native",
+                               lambda *a, **k: None):
+            want = pug.resolve_parsimony_cells(
+                sub, tid_to_gid, n_genes, pug_exact_umi=exact,
+                large_graph_thresh=thresh, gene_level=gene_level,
+            )
+        ge, we = got[0], want[0]
+        np.testing.assert_array_equal(ge.cell_ids, we.cell_ids, err_msg=f"t{trial}")
+        np.testing.assert_array_equal(
+            ge.cell_eq_offsets, we.cell_eq_offsets, err_msg=f"t{trial}"
+        )
+        np.testing.assert_array_equal(
+            ge.label_offsets, we.label_offsets, err_msg=f"t{trial}"
+        )
+        np.testing.assert_array_equal(ge.labels, we.labels, err_msg=f"t{trial}")
+        np.testing.assert_array_equal(ge.counts, we.counts, err_msg=f"t{trial}")
+        assert got[1] == want[1], f"t{trial} alt cells"
