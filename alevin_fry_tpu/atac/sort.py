@@ -48,7 +48,7 @@ def write_bed_rows(
     if rc:
         bcs = revcomp_packed(bcs, bc_len)
     bmat = unpack_seqs(bcs, bc_len)
-    name_arr = np.asarray(ref_names, dtype=object)
+    name_arr = np.asarray(list(ref_names), dtype=object)
     lines = []
     ends = starts + frag_lens
     for i in range(len(chrs)):

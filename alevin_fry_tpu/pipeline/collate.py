@@ -586,7 +586,7 @@ def collate(
         if n_written != len(cell_bcs):
             # patch the header with the actual chunk count
             pos = sink.tell()
-            sink.seek(1 + 8 + sum(2 + len(n.encode()) for n in prelude.hdr.ref_names))
+            sink.seek(1 + 8 + prelude.hdr.names_nbytes())
             sink.write(struct.pack("<Q", n_written))
             sink.seek(pos)
         if compress_out:

@@ -82,6 +82,11 @@ def _load():
         lib.radc_format_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.radc_scan_names.restype = ctypes.c_int64
+        lib.radc_scan_names.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # buf, len
+            ctypes.c_int64, ctypes.c_void_p,   # count, starts_out
+        ]
         lib.radc_counting_sort.restype = None
         lib.radc_counting_sort.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,   # keys, n
@@ -639,6 +644,18 @@ def format_f32(vals: np.ndarray) -> list:
     out = np.empty(n * 64, np.uint8)
     ln = lib.radc_format_f32(vals.ctypes.data, n, out.ctypes.data)
     return out[: ln - 1].tobytes().decode().split("\n")
+
+
+def scan_names(buf: np.ndarray, count: int):
+    """Scan a [len:u16|utf8]*count name region.  Returns
+    (region_nbytes, starts[int64 count+1]) or (-1, starts) when the
+    buffer ends mid-region (read more and retry)."""
+    lib = _load()
+    starts = np.empty(count + 1, np.int64)
+    n = lib.radc_scan_names(
+        buf.ctypes.data, len(buf), count, starts.ctypes.data
+    )
+    return int(n), starts
 
 
 def counting_sort(keys: np.ndarray, n_keys: int):

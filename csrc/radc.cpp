@@ -984,6 +984,28 @@ int64_t radc_format_f32(const float* vals, int64_t n, char* out) {
   return p - out;
 }
 
+// Scan the RAD header's ref-name region: `count` names, each
+// [len:u16][utf8 bytes], starting at buf[0].  Fills starts_out
+// (count+1 entries: starts_out[i] = byte offset of name i's utf8
+// payload; starts_out[count] = end_of_region + 2 so that
+// len_i = starts_out[i+1] - starts_out[i] - 2 holds for every i).
+// Returns the total byte length of the region, or -1 if the buffer
+// ends mid-region (caller should read more bytes and retry).
+int64_t radc_scan_names(const uint8_t* buf, int64_t buf_len, int64_t count,
+                        int64_t* starts_out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < count; ++i) {
+    if (pos + 2 > buf_len) return -1;
+    uint16_t nlen;
+    std::memcpy(&nlen, buf + pos, 2);
+    starts_out[i] = pos + 2;
+    pos += 2 + static_cast<int64_t>(nlen);
+    if (pos > buf_len) return -1;
+  }
+  starts_out[count] = pos + 2;
+  return pos;
+}
+
 // Stable counting sort of small-domain keys: fills order[] with indices
 // of keys grouped by key value (ascending), preserving input order
 // within a key, and counts[] with per-key occupancy.  O(n + n_keys) —
