@@ -42,6 +42,7 @@ def collate(
     del bclen
     order = np.lexsort((freq_bc, -freq_ct.astype(np.int64)))
     cell_bcs = freq_bc[order]
+    cell_cts = freq_ct[order]
 
     map_keys, map_vals = bincodeio.read_u64_map_file(input_dir / "permit_map.bin")
 
@@ -59,6 +60,22 @@ def collate(
         unmappedio.write_collated_single(
             input_dir / "unmapped_bc_count_collated.bin",
             np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+        )
+
+    # out-of-core path for datasets beyond the in-memory record bound
+    # (the reference's --max-records scatter/gather, reused from the RNA
+    # collation; ATAC records carry no orientation so ori = '.')
+    total_to_collate = int(freq_ct.sum())
+    if total_to_collate > max_records:
+        from ..pipeline.collate import _collate_out_of_core
+
+        write_json(input_dir / "collate.json", {
+            "cmd": cmdline, "version_str": version,
+            "compressed_output": compress_out,
+        })
+        return _collate_out_of_core(
+            input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
+            ".", False, max_records, compress_out, expect_atac=True,
         )
 
     with open(rad_dir / "map.rad", "rb") as fh:

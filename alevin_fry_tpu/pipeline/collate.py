@@ -94,16 +94,28 @@ def _collate_out_of_core(
     velo_mode: bool,
     max_records: int,
     compress_out: bool,
+    expect_atac: bool = False,
 ) -> None:
     """Bounded-memory collation: scatter corrected records into
     rank-range spill buckets (each <= max_records), then gather each
     bucket with one in-memory sort.  Records are re-encoded once during
-    scatter and moved byte-wise during gather (no second field decode)."""
+    scatter and moved byte-wise during gather (no second field decode).
+
+    Shared by the RNA path (orientation-filtered) and the ATAC path
+    (``expect_atac=True``, ``expected_ori='.'`` — ATAC records carry no
+    orientation; reference atac/collate.rs keys purely by barcode)."""
     from ..radz.chunkio import encode_records, iter_decoded_blocks
     from ..radz import _native
 
     with open(rad_dir / "map.rad", "rb") as fh:
         prelude, ftm, _ = read_prelude(fh)
+        rec_type, _info = record_type_from_prelude(prelude, ftm)
+        if (rec_type == KnownRecordType.ATAC) != expect_atac:
+            raise ValueError(
+                'To process atac-seq data, you should use the "atac" '
+                "sub-command" if rec_type == KnownRecordType.ATAC
+                else "the atac collate sub-command requires an ATAC RAD file"
+            )
         schema = RecordSchema.from_prelude(prelude)
 
         # bucket planning over the descending-count cell ranks
@@ -128,8 +140,11 @@ def _collate_out_of_core(
             for b in range(n_buckets)
         ]
         try:
+            # ATAC gpl outputs may leave num_chunks = 0 in the header
+            # (chunk count lives in the gpl JSON, atac/collate.rs:212);
+            # None = stream until EOF
             for batch in iter_decoded_blocks(
-                fh, schema, prelude.hdr.num_chunks, max_records
+                fh, schema, prelude.hdr.num_chunks or None, max_records
             ):
                 corrected, keep_read, keep_aln, new_offsets, _ = (
                     correct_and_filter(batch, map_keys, map_vals, expected_ori)

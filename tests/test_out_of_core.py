@@ -59,3 +59,56 @@ def test_out_of_core_matches_in_memory(tmp_path):
     r, c, v, shape = read_matrix_market(tmp_path / "q" / "alevin" / "quants_mat.mtx")
     assert shape[0] == 5
     assert v.sum() > 0
+
+
+def test_atac_out_of_core_matches_in_memory(tmp_path):
+    """ATAC collation honors --max-records via the shared spill-bucket
+    path and produces byte-identical output to the in-memory path."""
+    from alevin_fry_tpu.cli import main
+    from synth import write_atac_rad
+    from alevin_fry_tpu.ops.barcodes import revcomp_packed, unpack_seq
+
+    rng = np.random.RandomState(9)
+    refs = ["chr1", "chr2"]
+    ref_lens = [250_000, 150_000]
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG"]
+    reads = []
+    for ci, bc in enumerate(bcs):
+        for _ in range(20 + 7 * ci):
+            reads.append((
+                pack_seq(bc),
+                [(int(rng.randint(2)), 4, int(rng.randint(200_000)), 100)],
+            ))
+    rng.shuffle(reads)
+    chunks = [reads[i : i + 11] for i in range(0, len(reads), 11)]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_atac_rad(rad_dir / "map.rad", refs, ref_lens, chunks, bc_len=8)
+    wl = tmp_path / "wl.txt"
+    wl.write_text("".join(
+        unpack_seq(int(revcomp_packed(
+            np.asarray([pack_seq(b)], np.uint64), 8)[0]), 8) + "\n"
+        for b in bcs
+    ))
+    gpl = tmp_path / "gpl"
+    assert main([
+        "atac", "generate-permit-list", "-i", str(rad_dir), "-o", str(gpl),
+        "-u", str(wl), "-m", "1", "-d", "rc",
+    ]) == 0
+
+    assert main([
+        "atac", "collate", "-i", str(gpl), "-r", str(rad_dir), "-t", "2",
+    ]) == 0
+    in_mem = (gpl / "map.collated.rad").read_bytes()
+
+    assert main([
+        "atac", "collate", "-i", str(gpl), "-r", str(rad_dir), "-t", "2",
+        "--max-records", "13",
+    ]) == 0
+    spilled = (gpl / "map.collated.rad").read_bytes()
+    assert spilled == in_mem
+    assert not (gpl / "_collate_tmp").exists()
+
+    # the spilled collated file drives dedup identically
+    assert main(["atac", "deduplicate", "-i", str(gpl), "-d", "rc"]) == 0
+    assert (gpl / "map.bed").exists()
