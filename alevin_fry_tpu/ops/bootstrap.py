@@ -9,7 +9,10 @@ variance matrices (quant.rs:115-208), which is what we produce.
 
 Resampling uses a seeded NumPy generator (the reference uses an
 unseeded thread RNG; bootstrap draws are stochastic by nature, so we
-choose determinism).
+choose determinism).  The generator is seeded PER CELL from the global
+cell index so replicates are invariant to how quant blocks the cell
+stream (AFT_QUANT_BLOCK_RECORDS) — mirroring the reference's per-cell
+barcode-seeded hasher philosophy (quant.rs:921).
 """
 
 from __future__ import annotations
@@ -31,15 +34,20 @@ def run_bootstraps(
     init_uniform: bool,
     summary_stat: bool,
     seed: int = 271828,
+    cell_offset: int = 0,
 ) -> Tuple[tuple, tuple]:
     """Returns ((rows, cols, mean_vals), (rows, cols, var_vals)) COO
-    triplets over (cell_row=global cell index, gene)."""
-    rng = np.random.RandomState(seed)
+    triplets over (cell_row=block-local cell index, gene).
+    ``cell_offset`` globalizes the per-cell RNG seed under streaming."""
     rows_m, cols_m, vals_m = [], [], []
     rows_v, cols_v, vals_v = [], [], []
     C = len(eqc.cell_ids)
     for k in range(C):
         ci = int(eqc.cell_ids[k])
+        # splitmix-style per-cell stream: independent of block layout
+        rng = np.random.RandomState(
+            (seed + 0x9E3779B9 * (ci + cell_offset + 1)) & 0xFFFFFFFF
+        )
         s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
         if s == e:
             continue

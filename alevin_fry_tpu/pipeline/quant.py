@@ -34,7 +34,7 @@ from ..constants import SMALL_CELL_FAST_THRESHOLD
 from ..ops import crlike
 from ..ops.em import em_cells_batched
 from ..radz import read_prelude, record_type_from_prelude, KnownRecordType
-from ..radz.chunkio import ReadBatch, decode_all_chunks
+from ..radz.chunkio import ReadBatch, iter_decoded_blocks
 from ..radz.mtx import format_f32_list, rust_f32_str, write_matrix_market
 from ..radz.records import RecordSchema
 from ..radz.unmapped import UnmappedLookup
@@ -161,34 +161,49 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
 
     unmapped = UnmappedLookup.from_file(parent / "unmapped_bc_count_collated.bin")
 
-    # decode the collated file: one chunk per cell.  Barcodes are
-    # only needed at each cell's first record and orientation was
-    # already filtered at collate time, so skip those columns
-    batch = decode_all_chunks(
-        br, schema, hdr.num_chunks,
-        skip_read_fields=set(schema.barcode_fields), want_dirs=False,
-    )
-
     # optional quant-subset filter: keep cells whose (first-record)
     # barcode is in the list (quant.rs:1732-1743)
-    keep_cells = np.ones(hdr.num_chunks, bool)
+    fsorted = None
     if opts.filter_list is not None:
         fset, _len = read_barcode_file(Path(opts.filter_list), barcode_len)
         fsorted = np.sort(np.unique(fset))
-        first_read = batch.chunk_offsets[:-1]
-        cell_bc_all = batch.barcode_at(first_read)
-        idx = np.searchsorted(fsorted, cell_bc_all)
-        idx_c = np.minimum(idx, max(len(fsorted) - 1, 0))
-        keep_cells = (
-            (len(fsorted) > 0)
-            & (idx < len(fsorted))
-            & (fsorted[idx_c] == cell_bc_all)
-        )
 
-    result = _resolve_cells(
-        batch, keep_cells, tid_to_gid, opts, sa_model, usa_mode, usa_offsets,
-        num_genes, num_rows, sample_names,
-    )
+    # stream the collated file (one chunk per cell) in blocks of whole
+    # cells: cells are independent, so each block resolves on its own at
+    # bounded memory (the reference streams per-cell chunks through
+    # ParallelChunkReader, quant.rs:1532-1535).  The default block bound
+    # keeps typical runs single-block; barcodes are only needed at each
+    # cell's first record and orientation was already filtered at
+    # collate time, so those columns stay undecoded
+    import os
+
+    block_records = int(os.environ.get("AFT_QUANT_BLOCK_RECORDS", 30_000_000))
+    parts: List[tuple] = []
+    for batch in iter_decoded_blocks(
+        br, schema, hdr.num_chunks, block_records,
+        skip_read_fields=set(schema.barcode_fields), want_dirs=False,
+    ):
+        first = batch.first_chunk
+        batch.chunk_id = batch.chunk_id - first
+        n_local = len(batch.chunk_offsets) - 1
+        keep_local = np.ones(n_local, bool)
+        if fsorted is not None:
+            first_read = batch.chunk_offsets[:-1]
+            cell_bc_all = batch.barcode_at(first_read)
+            idx = np.searchsorted(fsorted, cell_bc_all)
+            idx_c = np.minimum(idx, max(len(fsorted) - 1, 0))
+            keep_local = (
+                (len(fsorted) > 0)
+                & (idx < len(fsorted))
+                & (fsorted[idx_c] == cell_bc_all)
+            )
+        parts.append((first, _resolve_cells(
+            batch, keep_local, tid_to_gid, opts, sa_model, usa_mode,
+            usa_offsets, num_genes, num_rows, sample_names,
+            cell_offset=first,
+        )))
+
+    result = _merge_results(parts)
 
     _write_outputs(
         opts, parent, result, gene_names, usa_mode, num_rows, barcode_len,
@@ -207,9 +222,76 @@ class CellResult:
     vals: np.ndarray
     mmrate: Dict[int, float]
     alt_res_cells: List[int]
-    dump_eq_data: Optional[tuple]
+    dump_eq_data: Optional[list]  # list of CellEqClasses (global cell ids)
     boot_mean: Optional[tuple]
     boot_var: Optional[tuple]
+
+
+def _merge_results(parts: List[tuple]) -> CellResult:
+    """Merge per-block CellResults (streamed quant).  ``parts`` holds
+    (first_chunk, CellResult) in file order; block-local cell indices
+    shift by first_chunk and matrix rows by the cells emitted so far."""
+    import dataclasses
+
+    if not parts:
+        z64 = np.zeros(0, np.int64)
+        return CellResult(
+            cells=z64, cell_bcs=np.zeros(0, np.uint64), sample_idx=None,
+            nrec=z64, rows=z64, cols=z64, vals=np.zeros(0, np.float32),
+            mmrate={}, alt_res_cells=[], dump_eq_data=None,
+            boot_mean=None, boot_var=None,
+        )
+    if len(parts) == 1 and parts[0][0] == 0:
+        r = parts[0][1]
+        if r.dump_eq_data is not None:
+            r.dump_eq_data = [r.dump_eq_data]
+        return r
+    cells_l, bcs_l, sidx_l, nrec_l = [], [], [], []
+    rows_l, cols_l, vals_l = [], [], []
+    mmrate: Dict[int, float] = {}
+    alt: List[int] = []
+    dump: List = []
+    bm = ([], [], [])
+    bv = ([], [], [])
+    have_boot = have_dump = False
+    rows_off = 0
+    for first, r in parts:
+        cells_l.append(r.cells + first)
+        bcs_l.append(r.cell_bcs)
+        if r.sample_idx is not None:
+            sidx_l.append(r.sample_idx)
+        nrec_l.append(r.nrec)
+        rows_l.append(r.rows + rows_off)
+        cols_l.append(r.cols)
+        vals_l.append(r.vals)
+        mmrate.update({k + first: v for k, v in r.mmrate.items()})
+        alt.extend(c + first for c in r.alt_res_cells)
+        if r.dump_eq_data is not None:
+            have_dump = True
+            eqc = r.dump_eq_data
+            dump.append(dataclasses.replace(
+                eqc, cell_ids=eqc.cell_ids + first
+            ))
+        if r.boot_mean is not None:
+            have_boot = True
+            for dst, src in ((bm, r.boot_mean), (bv, r.boot_var)):
+                dst[0].append(src[0] + rows_off)
+                dst[1].append(src[1])
+                dst[2].append(src[2])
+        rows_off += len(r.cells)
+    cat = np.concatenate
+    return CellResult(
+        cells=cat(cells_l),
+        cell_bcs=cat(bcs_l),
+        sample_idx=cat(sidx_l) if sidx_l else None,
+        nrec=cat(nrec_l),
+        rows=cat(rows_l), cols=cat(cols_l), vals=cat(vals_l),
+        mmrate=mmrate,
+        alt_res_cells=alt,
+        dump_eq_data=dump if have_dump else None,
+        boot_mean=tuple(cat(x) for x in bm) if have_boot else None,
+        boot_var=tuple(cat(x) for x in bv) if have_boot else None,
+    )
 
 
 def _resolve_cells(
@@ -223,6 +305,7 @@ def _resolve_cells(
     num_genes: int,
     num_rows: int,
     sample_names,
+    cell_offset: int = 0,
 ) -> CellResult:
     n_cells_all = len(batch.chunk_offsets) - 1
     nrec_all = np.diff(batch.chunk_offsets)
@@ -378,7 +461,7 @@ def _resolve_cells(
                 )
                 dump_eq_data, bm, bv = _counts_from_groups(
                     groups, res, usa_mode, usa_offsets, num_genes, num_rows,
-                    n_cells_all, opts, add_coo,
+                    n_cells_all, opts, add_coo, cell_offset=cell_offset,
                 )
             boot_mean, boot_var = bm, bv
         elif res == "trivial":
@@ -407,6 +490,7 @@ def _resolve_cells(
             dump_eq_data, bm, bv = _counts_from_eqclasses(
                 groups_eqc, res, usa_mode, usa_offsets, num_genes, num_rows,
                 n_cells_all, opts, add_coo, eq_probs=eq_probs,
+                cell_offset=cell_offset,
             )
             boot_mean, boot_var = bm, bv
         else:
@@ -520,22 +604,22 @@ def _longread_aln_probs(sub: dict) -> np.ndarray:
 
 def _counts_from_groups(
     groups, res, usa_mode, usa_offsets, num_genes, num_rows, n_cells_all,
-    opts, add_coo,
+    opts, add_coo, cell_offset=0,
 ):
     """cr-like family: extract counts or run EM from per-UMI tie sets."""
     eqc = crlike.group_eqclasses(groups)
     return _counts_from_eqclasses(
         eqc, res, usa_mode, usa_offsets, num_genes, num_rows, n_cells_all,
-        opts, add_coo,
+        opts, add_coo, cell_offset=cell_offset,
     )
 
 
 def _counts_from_eqclasses(
     eqc: crlike.CellEqClasses, res, usa_mode, usa_offsets, num_genes,
-    num_rows, n_cells_all, opts, add_coo, eq_probs=None,
+    num_rows, n_cells_all, opts, add_coo, eq_probs=None, cell_offset=0,
 ):
     only_unique = res in ("cr-like", "parsimony", "parsimony-gene")
-    dump_eq_data = (eqc, usa_mode) if opts.dump_eq else None
+    dump_eq_data = eqc if opts.dump_eq else None
     boot_mean = boot_var = None
 
     if usa_mode and only_unique:
@@ -610,7 +694,7 @@ def _counts_from_eqclasses(
 
         boot_mean, boot_var = run_bootstraps(
             eqc, lab_offs, labels, em_rows, opts.num_bootstraps,
-            opts.init_uniform, opts.summary_stat,
+            opts.init_uniform, opts.summary_stat, cell_offset=cell_offset,
         )
     return dump_eq_data, boot_mean, boot_var
 
@@ -807,30 +891,33 @@ def _write_eqc_counts(result: CellResult, num_rows: int, usa_mode: bool, mat_pat
     Global eqclass ids are assigned in first-encounter order over cells
     (deterministic here since cell order is deterministic); labels are
     written with USA relabeling when usa_mode."""
-    eqc, _usa = result.dump_eq_data
-    # global interning of label lists across cells
+    # global interning of label lists across cells (and across streamed
+    # blocks — dump_eq_data is a list of per-block CellEqClasses with
+    # global cell ids; first-encounter order is deterministic because
+    # blocks and cells arrive in file order)
     key_to_id: Dict[bytes, int] = {}
     trip_r: List[int] = []
     trip_c: List[int] = []
     trip_v: List[float] = []
     id_labels: List[np.ndarray] = []
     cell_rows = {int(c): r for r, c in enumerate(result.cells)}
-    for k, ci in enumerate(eqc.cell_ids):
-        s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
-        row = cell_rows.get(int(ci))
-        if row is None:
-            continue
-        for j in range(s, e):
-            lab = eqc.labels[eqc.label_offsets[j] : eqc.label_offsets[j + 1]]
-            kb = lab.tobytes()
-            gid = key_to_id.get(kb)
-            if gid is None:
-                gid = len(key_to_id)
-                key_to_id[kb] = gid
-                id_labels.append(lab)
-            trip_r.append(row)
-            trip_c.append(gid)
-            trip_v.append(float(eqc.counts[j]))
+    for eqc in result.dump_eq_data:
+        for k, ci in enumerate(eqc.cell_ids):
+            s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
+            row = cell_rows.get(int(ci))
+            if row is None:
+                continue
+            for j in range(s, e):
+                lab = eqc.labels[eqc.label_offsets[j] : eqc.label_offsets[j + 1]]
+                kb = lab.tobytes()
+                gid = key_to_id.get(kb)
+                if gid is None:
+                    gid = len(key_to_id)
+                    key_to_id[kb] = gid
+                    id_labels.append(lab)
+                trip_r.append(row)
+                trip_c.append(gid)
+                trip_v.append(float(eqc.counts[j]))
     write_matrix_market(
         mat_path / "geqc_counts.mtx",
         np.asarray(trip_r, np.int64), np.asarray(trip_c, np.int64),

@@ -56,6 +56,9 @@ class ReadBatch:
     # skipped at decode time so they can be gathered lazily on demand
     raw_buf: np.ndarray | None = None
     rec_starts: np.ndarray | None = None
+    # global index of this batch's first chunk when the batch is one
+    # block of a streamed decode (iter_decoded_blocks)
+    first_chunk: int = 0
 
     @property
     def n_reads(self) -> int:
@@ -227,15 +230,29 @@ def iter_decoded_blocks(
     schema: RecordSchema,
     num_chunks: int | None,
     max_records: int,
+    skip_read_fields=None,
+    want_dirs: bool = True,
 ):
     """Stream-decode chunks into ReadBatch blocks of roughly
     ``max_records`` reads each (bounded-memory ingestion; the analog of
-    the reference's --max-records scatter bound)."""
+    the reference's --max-records scatter bound).  Each block's
+    ``first_chunk`` records the global index of its first chunk and
+    ``chunk_id`` is globally offset."""
     chunk_bufs: List[bytes] = []
     chunk_recs: List[int] = []
     first_chunk = 0
     n = 0
     pending = 0
+
+    def _emit(first):
+        batch = decode_chunk_bodies(
+            chunk_bufs, chunk_recs, schema,
+            skip_read_fields=skip_read_fields, want_dirs=want_dirs,
+        )
+        batch.chunk_id += first
+        batch.first_chunk = first
+        return batch
+
     while num_chunks is None or n < num_chunks:
         hdr = fh.read(8)
         if len(hdr) < 8:
@@ -251,15 +268,11 @@ def iter_decoded_blocks(
         pending += nrec
         n += 1
         if pending >= max_records:
-            batch = decode_chunk_bodies(chunk_bufs, chunk_recs, schema)
-            batch.chunk_id += first_chunk
-            yield batch
+            yield _emit(first_chunk)
             first_chunk = n
             chunk_bufs, chunk_recs, pending = [], [], 0
     if chunk_bufs:
-        batch = decode_chunk_bodies(chunk_bufs, chunk_recs, schema)
-        batch.chunk_id += first_chunk
-        yield batch
+        yield _emit(first_chunk)
 
 
 def iter_raw_blocks(

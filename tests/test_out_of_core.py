@@ -112,3 +112,67 @@ def test_atac_out_of_core_matches_in_memory(tmp_path):
     # the spilled collated file drives dedup identically
     assert main(["atac", "deduplicate", "-i", str(gpl), "-d", "rc"]) == 0
     assert (gpl / "map.bed").exists()
+
+
+def test_quant_streamed_blocks_match_single_block(tmp_path, monkeypatch):
+    """Quant streams whole-cell blocks; a tiny block bound must produce
+    identical outputs (matrix, rows, featureDump, geqc dump) to the
+    default single-block run."""
+    # cells must exceed SMALL_CELL_FAST_THRESHOLD (100 reads) so the
+    # EM / dump-eq / bootstrap branches are actually exercised
+    rng = np.random.RandomState(11)
+    refs = [f"t{i}" for i in range(8)]
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT"]
+    reads = []
+    for ci, bc in enumerate(bcs):
+        for _ in range(120 + 15 * ci):
+            na = 1 + int(rng.rand() < 0.4)
+            alns = [(int(rng.randint(8)), True) for _ in range(na)]
+            reads.append((pack_seq(bc), int(rng.randint(1 << 10)) * 4, alns))
+    rng.shuffle(reads)
+    chunks = [reads[i : i + 37] for i in range(0, len(reads), 37)]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, chunks, bc_len=8, umi_len=6)
+    (tmp_path / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+    (tmp_path / "t2g.tsv").write_text(
+        "".join(f"t{i}\tg{i // 2}\n" for i in range(8))
+    )
+    gpl = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=tmp_path / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(gpl, rad_dir, cmdline="t")
+
+    def run(out, res, **kw):
+        quantify(QuantOpts(
+            input_dir=gpl, tg_map=tmp_path / "t2g.tsv",
+            output_dir=out, resolution=res, cmdline="t", **kw,
+        ))
+
+    for res, kw in [
+        ("cr-like", {}),
+        ("cr-like-em", {"dump_eq": True}),
+        ("parsimony", {}),
+        ("cr-like-em", {"num_bootstraps": 3, "summary_stat": True}),
+    ]:
+        tag = res + ("_d" if kw.get("dump_eq") else "") + (
+            "_b" if kw.get("num_bootstraps") else "")
+        run(tmp_path / f"one_{tag}", res, **kw)
+        monkeypatch.setenv("AFT_QUANT_BLOCK_RECORDS", "130")
+        run(tmp_path / f"blk_{tag}", res, **kw)
+        monkeypatch.delenv("AFT_QUANT_BLOCK_RECORDS")
+        for f in [
+            "alevin/quants_mat.mtx", "alevin/quants_mat_rows.txt",
+            "featureDump.txt", "alevin/geqc_counts.mtx",
+            "alevin/gene_eqclass.txt.gz", "alevin/bootstraps_mean.mtx",
+            "alevin/bootstraps_var.mtx",
+        ]:
+            a = tmp_path / f"one_{tag}" / f
+            b = tmp_path / f"blk_{tag}" / f
+            assert a.exists() == b.exists(), f
+            if a.exists():
+                assert a.read_bytes() == b.read_bytes(), (tag, f)
