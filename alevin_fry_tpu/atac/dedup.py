@@ -37,12 +37,11 @@ def deduplicate(
         collate_md = json.load(fh)
     compressed = bool(collate_md["compressed_output"])
     if compressed:
-        import io
-
         from ..radz import snappyz
 
-        with open(input_dir / "map.collated.rad.sz", "rb") as fh:
-            br = io.BytesIO(snappyz.frame_decompress(fh))
+        br = snappyz.SnappyFrameReader(
+            open(input_dir / "map.collated.rad.sz", "rb")
+        )
     else:
         br = open(input_dir / "map.collated.rad", "rb")
     try:

@@ -82,11 +82,12 @@ def quantify(opts: QuantOpts) -> None:
 
     if compressed:
         from ..radz import snappyz
-        import io
 
-        with open(parent / "map.collated.rad.sz", "rb") as fh:
-            raw = snappyz.frame_decompress(fh)
-        br = io.BytesIO(raw)
+        # streaming frame reader: the collated file decompresses
+        # frame-by-frame as quant's whole-cell blocks consume it
+        br = snappyz.SnappyFrameReader(
+            open(parent / "map.collated.rad.sz", "rb")
+        )
     else:
         br = open(parent / "map.collated.rad", "rb")
     try:
@@ -97,6 +98,9 @@ def quantify(opts: QuantOpts) -> None:
 
 def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
     prelude, ftm, _ = read_prelude(br)
+    # prelude parsing may over-read and seek back; past it the input is
+    # consumed strictly forward, so a streaming reader can drop history
+    getattr(br, "drop_history", lambda: None)()
     rec_type, info = record_type_from_prelude(prelude, ftm)
     if rec_type == KnownRecordType.ATAC:
         raise ValueError(

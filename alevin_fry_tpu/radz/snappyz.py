@@ -183,6 +183,99 @@ def frame_compress_stream(data: bytes, fh: BinaryIO) -> None:
     w.flush()
 
 
+class SnappyFrameReader:
+    """Streaming snappy framing reader with a file-like ``read``/``seek``
+    surface, so consumers (quant's whole-cell block streaming) never
+    hold the decompressed file in memory.
+
+    ``read(n)`` returns exactly ``n`` bytes unless EOF.  Relative
+    backward ``seek`` is supported within retained history: history is
+    kept in full until :meth:`drop_history` (the header parser
+    over-reads and seeks back while scanning ref names), after which
+    consumed bytes are trimmed aggressively.
+    """
+
+    def __init__(self, fh: BinaryIO):
+        self._fh = fh
+        self._buf = bytearray()
+        self._pos = 0       # cursor into _buf
+        self._base = 0      # absolute offset of _buf[0]
+        self._keep_history = True
+        self._eof = False
+        self._first = True
+
+    def drop_history(self) -> None:
+        self._keep_history = False
+        self._trim()
+
+    def _trim(self) -> None:
+        if self._keep_history or self._pos < (1 << 22):
+            return
+        del self._buf[: self._pos]
+        self._base += self._pos
+        self._pos = 0
+
+    def _pull_frame(self) -> bool:
+        hdr = self._fh.read(4)
+        if len(hdr) < 4:
+            self._eof = True
+            return False
+        word = struct.unpack("<I", hdr)[0]
+        ctype = word & 0xFF
+        ln = word >> 8
+        body = self._fh.read(ln)
+        if len(body) != ln:
+            raise EOFError("truncated snappy frame")
+        if ctype == 0xFF:
+            if self._first and body != b"sNaPpY":
+                raise ValueError("bad snappy stream identifier")
+        elif ctype == 0x00:
+            self._buf += block_decompress(body[4:])
+        elif ctype == 0x01:
+            self._buf += body[4:]
+        elif ctype == 0xFE or 0x80 <= ctype <= 0xFD:
+            pass  # padding / skippable
+        else:
+            raise ValueError(f"unskippable snappy chunk type 0x{ctype:02x}")
+        self._first = False
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            while self._pull_frame():
+                pass
+            out = bytes(self._buf[self._pos :])
+            self._pos = len(self._buf)
+            self._trim()
+            return out
+        while len(self._buf) - self._pos < n and not self._eof:
+            self._pull_frame()
+        out = bytes(self._buf[self._pos : self._pos + n])
+        self._pos += len(out)
+        self._trim()
+        return out
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 1:
+            target = self._pos + offset
+        elif whence == 0:
+            target = offset - self._base
+        else:
+            raise OSError("snappy frame reader cannot seek from end")
+        if target < 0:
+            raise OSError("seek before retained snappy history")
+        while target > len(self._buf) and not self._eof:
+            self._pull_frame()
+        self._pos = min(target, len(self._buf))
+        return self._base + self._pos
+
+    def tell(self) -> int:
+        return self._base + self._pos
+
+    def close(self) -> None:
+        self._fh.close()
+
+
 def frame_decompress(fh: BinaryIO) -> bytes:
     """Read a whole snappy framing stream."""
     out = bytearray()

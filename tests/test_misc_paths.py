@@ -46,6 +46,17 @@ def test_snappy_frame_roundtrip(tmp_path):
     buf.seek(0)
     assert snappyz.frame_decompress(buf) == data
 
+    # streaming reader: exact reads, relative/absolute seeks, history drop
+    buf.seek(0)
+    r = snappyz.SnappyFrameReader(buf)
+    assert r.read(5) == data[:5]
+    r.seek(-3, 1)                       # backward within history
+    assert r.read(3) == data[2:5]
+    assert r.tell() == 5
+    r.drop_history()
+    rest = r.read(-1)
+    assert rest == data[5:]
+
 
 def test_compressed_collate_quant(tmp_path):
     rad_dir, wl, t2g = make_dataset(tmp_path)
