@@ -62,7 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-t", "--threads", type=int, default=collate_threads)
     c.add_argument("-c", "--compress", action="store_true")
     c.add_argument("-m", "--max-records", type=int, default=30_000_000)
-    c.add_argument("--collation-mode", choices=["two-round", "fast"], default="two-round")
+    # the reference advertises default "two-round" but hardcodes the fast
+    # path (collate.rs:161-170 TODO); we honor the flag and default to the
+    # reference's effective behavior (docs/parity.md)
+    c.add_argument("--collation-mode", choices=["two-round", "fast"], default="fast")
 
     q = sub.add_parser("quant", help="Quantify expression from a collated RAD file")
     q.add_argument("-i", "--input-dir", required=True, type=_existing_dir)
@@ -189,7 +192,7 @@ def main(argv=None) -> int:
 
         collate(
             args.input_dir, args.rad_dir, args.threads, args.max_records,
-            args.compress, cmdline,
+            args.compress, cmdline, collation_mode=args.collation_mode,
         )
         return 0
 

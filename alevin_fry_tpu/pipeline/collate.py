@@ -440,6 +440,7 @@ def collate(
     compress_out: bool = False,
     cmdline: str = "",
     version: str = __version__,
+    collation_mode: str = "fast",
 ) -> None:
     input_dir = Path(input_dir)
     rad_dir = Path(rad_dir)
@@ -450,7 +451,7 @@ def collate(
 
         return collate_multi_bc(
             input_dir, rad_dir, num_threads, max_records, compress_out,
-            cmdline, version,
+            cmdline, version, mode=collation_mode,
         )
 
     if compress_out:

@@ -1,4 +1,4 @@
-"""Multi-barcode hierarchical collation (fast single-pass mode).
+"""Multi-barcode hierarchical collation (fast and two-round modes).
 
 Re-implements do_collate_multi_bc_fast (collate.rs:1160-1965) as one
 vectorized pass:
@@ -17,6 +17,20 @@ vectorized pass:
 * writes collation_manifest.bin and collate.json with
   multi_barcode/num_samples, and the corrected multi-key unmapped
   counts.
+
+The ``two-round`` mode (do_collate_multi_bc_two_round,
+collate.rs:1977-2475) differs only in how cell barcodes are corrected:
+round 2 of the reference corrects through each sample's gpl-written
+``permit_map.bin`` (collate.rs:2277-2283, the full 1-edit neighbor map
+built at gpl time) instead of the tiered identity/unique-1-edit search
+the fast path performs at collate time.  Sample grouping, per-sample
+descending-frequency cell order and the collation manifest are the
+same, so we share one vectorized engine and switch the correction
+tier.  Note the reference parses ``--collation-mode`` but never routes
+it (a TODO at collate.rs:161-170 hardcodes the fast path); we honor
+the flag, a documented divergence (docs/parity.md).  In both modes we
+write the manifest ordinal into barcodes[0] — the contract quant's
+sample_idx_extractor depends on (quant.rs:1955-1956).
 """
 
 from __future__ import annotations
@@ -48,7 +62,10 @@ def collate_multi_bc(
     compress_out: bool,
     cmdline: str,
     version: str = __version__,
+    mode: str = "fast",
 ) -> None:
+    if mode not in ("fast", "two-round"):
+        raise ValueError(f"unknown collation mode {mode!r}")
     input_dir = Path(input_dir)
     rad_dir = Path(rad_dir)
     with open(input_dir / "generate_permit_list.json") as fh:
@@ -110,7 +127,11 @@ def collate_multi_bc(
     sample_idx = np.full(batch.n_reads, -1, np.int64)
     sample_idx[known] = sb_sorted_idx[si_c[known]]
 
-    # tiered cell correction per sample
+    # cell correction per sample: the fast mode runs the tiered
+    # identity / unique-1-edit search (collate.rs:1486-1664); the
+    # two-round mode corrects through each sample's gpl-written
+    # permit_map.bin exactly as round 2 of the reference does
+    # (collate.rs:2277-2283)
     cbc = batch.barcode(-1)
     corrected_cell = np.zeros(batch.n_reads, np.uint64)
     cell_ok = np.zeros(batch.n_reads, bool)
@@ -118,8 +139,21 @@ def collate_multi_bc(
         sel = np.flatnonzero(sample_idx == sidx)
         if len(sel) == 0:
             continue
-        valid = per_sample_valid[sidx]
         q = cbc[sel]
+        if mode == "two-round":
+            mp = input_dir / f"sample_{sample_names[sidx]}" / "permit_map.bin"
+            if not mp.exists():
+                log.info(
+                    "Round 2: skipping sample '%s' (no permit maps)",
+                    sample_names[sidx],
+                )
+                continue
+            mk, mv = bincodeio.read_u64_map_file(mp)
+            hit, corr = _lookup_map(mk, mv, q)
+            corrected_cell[sel[hit]] = corr[hit]
+            cell_ok[sel[hit]] = True
+            continue
+        valid = per_sample_valid[sidx]
         # identity tier
         vi = np.searchsorted(valid, q)
         vi_c = np.minimum(vi, max(len(valid) - 1, 0))
@@ -219,12 +253,17 @@ def collate_multi_bc(
     ur, uc = np.unique(rank_sorted, return_counts=True)
     per_cell[ur] = uc
 
-    write_json(input_dir / "collate.json", {
+    # the reference's two-round mode records its mode in collate.json
+    # (collate.rs:2447-2454); the fast mode omits the key (:1368-1374)
+    cmeta = {
         "cmd": cmdline, "version_str": version,
         "compressed_output": compress_out,
         "multi_barcode": True,
         "num_samples": num_samples,
-    })
+    }
+    if mode == "two-round":
+        cmeta["collation_mode"] = "two-round"
+    write_json(input_dir / "collate.json", cmeta)
 
     # corrected unmapped counts keyed (sample, cell).  The raw
     # multi-field unmapped format is mapper-specific; when it is absent

@@ -185,3 +185,36 @@ def test_sample_names_file_override(tmp_path):
     info = json.loads((out / "sample_info.json").read_text())
     assert {e["name"] for e in info["samples"]} == {"wellA", "wellB"}
     assert (out / "sample_wellA" / "permit_freq.bin").exists()
+
+
+def test_two_round_collation_matches_fast(tmp_path):
+    """The two-round mode (collate.rs:1977-2475) corrects cells through
+    the per-sample gpl permit_map.bin; on data whose noisy barcodes all
+    have a unique 1-edit representative, the fast mode's tiered search
+    makes the same corrections, so the collated file, manifest and
+    downstream quant must agree.  Also checks the two-round collate.json
+    records its mode (collate.rs:2447-2454)."""
+    entries = [
+        ("sample_a", make_packed_bc(100, SAMPLE_BC_LEN)),
+        ("sample_b", make_packed_bc(200, SAMPLE_BC_LEN)),
+    ]
+    out, qdir = _run_full(tmp_path, [0, 1], entries)
+    fast_bytes = (out / "map.collated.rad").read_bytes()
+    fast_manifest = (out / "collation_manifest.bin").read_bytes()
+    fast_mtx = (qdir / "alevin" / "quants_mat.mtx").read_bytes()
+    fast_rows = (qdir / "alevin" / "quants_mat_rows.txt").read_text()
+
+    collate(out, tmp_path / "rad", num_threads=2, cmdline="test",
+            collation_mode="two-round")
+    cmeta = json.loads((out / "collate.json").read_text())
+    assert cmeta["collation_mode"] == "two-round"
+    assert (out / "map.collated.rad").read_bytes() == fast_bytes
+    assert (out / "collation_manifest.bin").read_bytes() == fast_manifest
+
+    qdir2 = tmp_path / "quant2"
+    quantify(QuantOpts(
+        input_dir=out, tg_map=tmp_path / "t2g.tsv", output_dir=qdir2,
+        resolution="trivial", cmdline="test",
+    ))
+    assert (qdir2 / "alevin" / "quants_mat.mtx").read_bytes() == fast_mtx
+    assert (qdir2 / "alevin" / "quants_mat_rows.txt").read_text() == fast_rows
