@@ -108,6 +108,85 @@ def sharded_em_step(mesh: Mesh):
     return step
 
 
+def sharded_collate_shuffle(
+    mesh: Mesh,
+    ranks: np.ndarray,
+    payload: np.ndarray,
+    n_cells: int,
+    capacity: int,
+):
+    """All-to-all collation shuffle over the device mesh.
+
+    The reference's collate stage is an out-of-core scatter/gather by
+    corrected barcode through temp files (collate.rs:584-905); on a TPU
+    slice the same regrouping is a fixed-capacity all-to-all over ICI
+    (SURVEY.md §5): reads arrive sharded in mapper order, each carrying
+    its corrected cell rank, and must end up grouped by cell on the
+    shard that owns that cell.
+
+    Ownership is contiguous: shard ``s`` owns ranks in
+    ``[s*ceil(n_cells/S), (s+1)*ceil(n_cells/S))``.  Each device bins
+    its local reads by owner, pads every bin to ``capacity``, exchanges
+    bins with ``lax.all_to_all``, then sorts what it received by
+    (rank, payload) — the per-shard collated order.
+
+    Returns ``(ranks_out, payload_out, n_dropped)`` where the outputs
+    have global shape ``(S, S*capacity)`` (row ``s`` = shard ``s``'s
+    reads, invalid slots hold rank ``n_cells``) and ``n_dropped`` counts
+    reads that overflowed a bin (0 when ``capacity`` bounds the largest
+    (device, owner) bin — the analog of the reference's per-bucket
+    record-count invariant, collate.rs:784-803).
+    """
+    axis = mesh.axis_names[0]
+    S = mesh.devices.size
+    cells_per_shard = -(-n_cells // S)
+    C = int(capacity)
+    INVALID = np.int32(n_cells)
+
+    def local(r, p):
+        n_loc = r.shape[0]
+        dest = jnp.minimum(r // cells_per_shard, S - 1)
+        order = jnp.argsort(dest, stable=True)
+        d_sorted = dest[order]
+        cnt = jnp.zeros(S, jnp.int32).at[d_sorted].add(1)
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)[:-1]])
+        pos = jnp.arange(n_loc, dtype=jnp.int32) - starts[d_sorted]
+        ok = pos < C
+        n_drop = jax.lax.psum((~ok).sum(), axis)
+        # scatter into the padded (S, C) exchange buffer; dropped reads
+        # land in a scratch row
+        row = jnp.where(ok, d_sorted, S)
+        col = jnp.where(ok, pos, 0)
+        buf_r = jnp.full((S + 1, C), INVALID, r.dtype).at[row, col].set(r[order])
+        buf_p = jnp.zeros((S + 1, C), p.dtype).at[row, col].set(p[order])
+        ex_r = jax.lax.all_to_all(buf_r[:S], axis, split_axis=0, concat_axis=0)
+        ex_p = jax.lax.all_to_all(buf_p[:S], axis, split_axis=0, concat_axis=0)
+        fr = ex_r.reshape(-1)
+        fp = ex_p.reshape(-1)
+        # collated order on the owning shard: (rank, payload) ascending,
+        # invalid slots (rank == n_cells) pushed to the end
+        perm = jnp.lexsort((fp, fr))
+        return fr[perm], fp[perm], n_drop
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+    )
+    r = jax.device_put(
+        np.asarray(ranks, np.int32), NamedSharding(mesh, P(axis))
+    )
+    p = jax.device_put(
+        np.asarray(payload, np.int32), NamedSharding(mesh, P(axis))
+    )
+    ranks_out, payload_out, n_drop = jax.jit(fn)(r, p)
+    return (
+        np.asarray(ranks_out).reshape(S, S * C),
+        np.asarray(payload_out).reshape(S, S * C),
+        int(n_drop),
+    )
+
+
 def example_em_inputs(B=8, E=8, L=4, R=32, seed=0):
     rng = np.random.RandomState(seed)
     lens = rng.randint(1, L + 1, size=(B, E)).astype(np.int32)

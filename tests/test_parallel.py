@@ -182,3 +182,45 @@ def test_crlike_sharded_matches_single(mesh):
     np.testing.assert_array_equal(uniq // n_genes, r1)
     np.testing.assert_array_equal(uniq % n_genes, c1)
     np.testing.assert_array_equal(cnt.astype(np.float32), v1)
+
+
+def test_sharded_collate_shuffle_matches_host(mesh):
+    """The all-to-all collation shuffle must regroup reads by owning
+    shard in (rank, payload) order — the device analog of the
+    reference's temp-bucket scatter/gather (collate.rs:584-905)."""
+    from alevin_fry_tpu.parallel.mesh import sharded_collate_shuffle
+
+    rng = np.random.RandomState(3)
+    S = len(jax.devices())
+    n_cells = 50
+    n = 64 * S
+    ranks = rng.randint(0, n_cells, size=n).astype(np.int32)
+    payload = np.arange(n, dtype=np.int32)
+
+    cells_per_shard = -(-n_cells // S)
+    # capacity = the largest (source device, owner) bin
+    cap = 0
+    for d in range(S):
+        loc = ranks[d * (n // S):(d + 1) * (n // S)]
+        owners = np.minimum(loc // cells_per_shard, S - 1)
+        if len(owners):
+            cap = max(cap, int(np.bincount(owners, minlength=S).max()))
+
+    r_out, p_out, dropped = sharded_collate_shuffle(
+        mesh, ranks, payload, n_cells, cap
+    )
+    assert dropped == 0
+    owners_all = np.minimum(ranks // cells_per_shard, S - 1)
+    for s in range(S):
+        mine = np.flatnonzero(owners_all == s)
+        exp = mine[np.lexsort((payload[mine], ranks[mine]))]
+        got_valid = r_out[s] != n_cells
+        np.testing.assert_array_equal(r_out[s][got_valid], ranks[exp])
+        np.testing.assert_array_equal(p_out[s][got_valid], payload[exp])
+
+    # a too-small capacity must be detected, not silently truncated
+    if cap > 1:
+        _, _, dropped2 = sharded_collate_shuffle(
+            mesh, ranks, payload, n_cells, cap - 1
+        )
+        assert dropped2 > 0
