@@ -224,3 +224,42 @@ def test_sharded_collate_shuffle_matches_host(mesh):
             mesh, ranks, payload, n_cells, cap - 1
         )
         assert dropped2 > 0
+
+
+def test_device_cc_matches_union_find(mesh):
+    """Batched min-label propagation must equal the host union-find
+    (pugutils.rs:278-301 semantics) on random per-cell graphs."""
+    from alevin_fry_tpu.ops.pug import _DSU
+    from alevin_fry_tpu.ops.pug_device import (
+        connected_components_batched, pack_adjacency,
+    )
+
+    rng = np.random.RandomState(11)
+    B = 2 * len(jax.devices())
+    adjs = []
+    for _ in range(B):
+        n = rng.randint(1, 40)
+        adj = [[] for _ in range(n)]
+        for _ in range(rng.randint(0, 2 * n)):
+            a, b = rng.randint(0, n, size=2)
+            if a != b:
+                adj[a].append(b)
+        adjs.append(adj)
+
+    nbrs, valid = pack_adjacency(adjs)
+    labels = connected_components_batched(nbrs, valid, mesh=mesh)
+
+    for b, adj in enumerate(adjs):
+        n = len(adj)
+        dsu = _DSU(n)
+        for a in range(n):
+            for w in adj[a]:
+                dsu.union(a, w)
+        roots = {}
+        for v in range(n):
+            roots.setdefault(dsu.find(v), []).append(v)
+        for members in roots.values():
+            expect = min(members)
+            got = {int(labels[b, v]) for v in members}
+            assert got == {expect}, (b, members, got)
+        assert (labels[b, n:] == nbrs.shape[1]).all()
