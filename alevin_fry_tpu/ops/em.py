@@ -405,8 +405,9 @@ def em_cells_batched(
         return results
 
     if use_jax is None:
-        # below ~64 EM cells the jit compile dominates; NumPy wins
-        use_jax = len(em_cells) >= 64
+        # below ~64 EM cells the jit compile dominates; NumPy wins —
+        # unless a mesh was explicitly requested (device execution)
+        use_jax = mesh is not None or len(em_cells) >= 64
 
     if not use_jax:
         for ci in em_cells:

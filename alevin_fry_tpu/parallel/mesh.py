@@ -30,6 +30,29 @@ def make_mesh(n_devices: int | None = None, axis: str = "cells") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def mesh_from_env() -> Mesh | None:
+    """Build the cells-axis mesh requested by ``AFT_EM_MESH`` (unset /
+    ``0`` → no mesh; ``auto`` → all devices; an integer → that many).
+
+    The EM batch sizes are quantized to {64, 512, 4096}
+    (ops/em.py::em_cells_batched), so the device count is clamped to
+    the largest power of two ≤ min(request, 64) to keep every batch
+    evenly shardable."""
+    import os
+
+    spec = os.environ.get("AFT_EM_MESH", "").strip().lower()
+    if spec in ("", "0", "none", "off"):
+        return None
+    avail = len(jax.devices())
+    want = avail if spec == "auto" else max(1, int(spec))
+    n = 1
+    while n * 2 <= min(want, avail, 64):
+        n *= 2
+    if n < 2:
+        return None
+    return make_mesh(n)
+
+
 def sharded_histogram(mesh: Mesh, bcs: jnp.ndarray, wl_sorted: jnp.ndarray):
     """Barcode histogram against a replicated sorted whitelist.
 

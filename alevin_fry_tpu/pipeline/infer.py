@@ -104,9 +104,12 @@ def infer(
     labels = eq_labels[gather]
     counts = vals_s.astype(np.uint32)
 
+    from ..parallel.mesh import mesh_from_env
+
     results = em_cells_batched(
         cell_eq_offsets, lab_offsets, labels, counts,
         num_genes, usa_offsets, False, True,
+        mesh=mesh_from_env(),
     )
 
     out_path = Path(output_dir)

@@ -686,9 +686,12 @@ def _counts_from_eqclasses(
             nz = np.flatnonzero(alphas)
             add_coo(np.full(len(nz), ci), nz, alphas[nz])
     else:
+        from ..parallel.mesh import mesh_from_env
+
         results = em_cells_batched(
             eqc.cell_eq_offsets, lab_offs, labels, eqc.counts,
             em_rows, em_usa, opts.init_uniform, with_last_round,
+            mesh=mesh_from_env(),
         )
         for ci, (nz, vv) in zip(eqc.cell_ids, results):
             add_coo(np.full(len(nz), ci), nz, vv)
