@@ -3,26 +3,69 @@
 Mirrors run_bootstrap / run_bootstrap_subset (em.rs:427-568): per cell,
 resample the class counts from a multinomial with the observed counts
 as weights (total draws = total observed fragments), re-run the EM with
-Random init, and report either the full replicates' mean/variance or
-the summary statistics.  The reference only ever writes the mean and
-variance matrices (quant.rs:115-208), which is what we produce.
+Random init, and report the replicates' mean/variance (the reference
+only ever writes the mean and variance matrices, quant.rs:115-208).
+
+Where the reference loops replicates sequentially inside each worker's
+per-cell loop, here **(cell, replicate) is one batch axis**: every
+replicate of every cell becomes a row of the padded batched EM
+(ops/em.py), so a whole block of bootstraps is a handful of batched
+EM convergence loops instead of cells x replicates Python iterations.
+The multinomial resampling itself is one vectorized
+``rng.multinomial(total, p, size=n_bootstraps)`` draw per cell.
 
 Resampling uses a seeded NumPy generator (the reference uses an
 unseeded thread RNG; bootstrap draws are stochastic by nature, so we
 choose determinism).  The generator is seeded PER CELL from the global
 cell index so replicates are invariant to how quant blocks the cell
 stream (AFT_QUANT_BLOCK_RECORDS) — mirroring the reference's per-cell
-barcode-seeded hasher philosophy (quant.rs:921).
+barcode-seeded hasher philosophy (quant.rs:921).  The Random EM init is
+seeded per (cell, replicate); on the device path it is generated
+on-chip from those seeds (O(B) transfer), so host and device paths are
+each deterministic (with different draws — bootstrap values are
+sampling noise either way).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+import os
+from typing import List, Tuple
 
 import numpy as np
 
 from .crlike import CellEqClasses
-from .em import em_optimize_cell_np
+from .em import _EP_LADDER, _get_em_kernel, _pad_pow2, em_batch_np
+
+
+def _cell_rng(seed: int, global_cell: int) -> np.random.RandomState:
+    # splitmix-style per-cell stream: independent of block layout
+    return np.random.RandomState(
+        (seed + 0x9E3779B9 * (global_cell + 1)) & 0xFFFFFFFF
+    )
+
+
+def _init_seed(seed: int, global_cell: int, rep: int) -> int:
+    return (
+        (seed ^ 0x51ED2700)
+        + 0x9E3779B9 * (global_cell + 1)
+        + 7919 * (rep + 1)
+    ) & 0xFFFFFFFF
+
+
+def _use_device(n_rows_batch: int) -> bool:
+    mode = os.environ.get("AFT_BOOT_BACKEND", "auto")
+    if mode == "host":
+        return False
+    if mode == "jax":
+        return True
+    if n_rows_batch < 64:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def run_bootstraps(
@@ -42,49 +85,178 @@ def run_bootstraps(
     rows_m, cols_m, vals_m = [], [], []
     rows_v, cols_v, vals_v = [], [], []
     C = len(eqc.cell_ids)
+    Rp = int(num_bootstraps)
+    R = int(num_rows)
+    lens_all = np.diff(label_offsets)
+
+    # --- per-cell resampling + padded row templates -------------------------
+    # bucket cells by padded class count exactly like em_cells_batched;
+    # giant cells (> max ladder) run the per-cell NumPy loop instead
+    buckets: dict = {}
     for k in range(C):
-        ci = int(eqc.cell_ids[k])
-        # splitmix-style per-cell stream: independent of block layout
-        rng = np.random.RandomState(
-            (seed + 0x9E3779B9 * (ci + cell_offset + 1)) & 0xFFFFFFFF
-        )
-        s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
+        s, e = int(eqc.cell_eq_offsets[k]), int(eqc.cell_eq_offsets[k + 1])
         if s == e:
             continue
-        cts = eqc.counts[s:e].astype(np.int64)
-        total = int(cts.sum())
-        assert total > 0, "Cannot bootstrap from a sample with 0 counts."
-        p = cts / total
-        offs = label_offsets[s : e + 1] - label_offsets[s]
-        labs = labels[label_offsets[s] : label_offsets[e]]
-
-        asum = np.zeros(num_rows, np.float64)
-        asq = np.zeros(num_rows, np.float64)
-        for _ in range(num_bootstraps):
-            resampled = rng.multinomial(total, p).astype(np.uint32)
-            # Random init matching EmInitType::Random (em.rs:225-228)
-            init = (rng.random_sample(num_rows) + 1e-5).astype(np.float32)
-            alphas = em_optimize_cell_np(
-                offs, labs, resampled, num_rows, None, False,
-                with_last_round=True, init_alphas=init,
+        ne = e - s
+        for ep in _EP_LADDER:
+            if ne <= ep:
+                buckets.setdefault(ep, []).append(k)
+                break
+        else:
+            _bootstrap_cell_outlier(
+                eqc, label_offsets, labels, R, Rp, seed, cell_offset, k,
+                rows_m, cols_m, vals_m, rows_v, cols_v, vals_v,
             )
-            est = float(alphas.sum())
-            assert est > 0.0, "Alpha sum is too small"
-            asum += alphas
-            asq += alphas.astype(np.float64) ** 2
-        mean = (asum / num_bootstraps).astype(np.float32)
-        var = (asq / num_bootstraps - (asum / num_bootstraps) ** 2).astype(np.float32)
-        nzm = np.flatnonzero(mean != 0)
-        rows_m.extend([ci] * len(nzm))
-        cols_m.extend(nzm.tolist())
-        vals_m.extend(mean[nzm].tolist())
-        nzv = np.flatnonzero(var != 0)
-        rows_v.extend([ci] * len(nzv))
-        cols_v.extend(nzv.tolist())
-        vals_v.extend(var[nzv].tolist())
-    return (
-        (np.asarray(rows_m, np.int64), np.asarray(cols_m, np.int64),
-         np.asarray(vals_m, np.float32)),
-        (np.asarray(rows_v, np.int64), np.asarray(cols_v, np.int64),
-         np.asarray(vals_v, np.float32)),
-    )
+
+    for Ep, cells in sorted(buckets.items()):
+        # per-bucket label-width pad
+        max_l = 1
+        for k in cells:
+            s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
+            ml = int(lens_all[s:e].max())
+            if ml > max_l:
+                max_l = ml
+        Lp = _pad_pow2(max_l, 2)
+
+        # memory-bounded row batches, whole cells per batch (host batches
+        # are smaller: each EM round materializes dense (B, R+1) copies)
+        use_dev = _use_device(len(cells) * Rp)
+        per_row = (R + 1) * 3 + Ep * Lp * 2
+        max_batch_elems = (1 << 27) if use_dev else (1 << 25)
+        rows_cap = max(Rp, max_batch_elems // max(per_row, 1))
+        cells_per_batch = max(1, rows_cap // Rp)
+
+        for c0 in range(0, len(cells), cells_per_batch):
+            group = cells[c0 : c0 + cells_per_batch]
+            nrows = len(group) * Rp
+            lab_pad = np.full((nrows, Ep, Lp), R, np.int32)
+            len_pad = np.zeros((nrows, Ep), np.int32)
+            ct_pad = np.zeros((nrows, Ep), np.float32)
+            seeds = np.zeros(nrows, np.uint32)
+
+            for gi, k in enumerate(group):
+                ci = int(eqc.cell_ids[k])
+                gci = ci + cell_offset
+                s, e = int(eqc.cell_eq_offsets[k]), int(eqc.cell_eq_offsets[k + 1])
+                ne = e - s
+                cts = eqc.counts[s:e].astype(np.int64)
+                total = int(cts.sum())
+                assert total > 0, "Cannot bootstrap from a sample with 0 counts."
+                rng = _cell_rng(seed, gci)
+                resampled = rng.multinomial(total, cts / total, size=Rp)
+
+                # one label template per cell, shared across replicates
+                lab_t = np.full((Ep, Lp), R, np.int32)
+                len_t = np.zeros(Ep, np.int32)
+                for j in range(ne):
+                    lo, hi = label_offsets[s + j], label_offsets[s + j + 1]
+                    ll = hi - lo
+                    lab_t[j, :ll] = labels[lo:hi]
+                    len_t[j] = ll
+                r0 = gi * Rp
+                lab_pad[r0 : r0 + Rp] = lab_t[None]
+                len_pad[r0 : r0 + Rp] = len_t[None]
+                ct_pad[r0 : r0 + Rp, :ne] = resampled.astype(np.float32)
+                for r in range(Rp):
+                    seeds[r0 + r] = _init_seed(seed, gci, r)
+
+            if use_dev:
+                import jax.numpy as jnp
+
+                kern = _get_em_kernel(False, True, init_random=True)
+                out = np.asarray(kern(
+                    jnp.asarray(lab_pad), jnp.asarray(len_pad),
+                    jnp.asarray(ct_pad), jnp.asarray(seeds),
+                    0, 0, R, False,
+                ))
+            else:
+                init = np.empty((nrows, R + 1), np.float32)
+                for i in range(nrows):
+                    init[i] = np.random.RandomState(
+                        int(seeds[i])
+                    ).random_sample(R + 1).astype(np.float32) + 1e-5
+                out = em_batch_np(
+                    lab_pad, len_pad, ct_pad, init, R, with_last_round=True
+                )
+
+            # reduce mean/var per cell over the replicate axis
+            for gi, k in enumerate(group):
+                ci = int(eqc.cell_ids[k])
+                r0 = gi * Rp
+                vals = out[r0 : r0 + Rp].reshape(Rp, -1)  # (Rp, Ep*Lp)
+                flat_lab = lab_pad[r0].reshape(-1)
+                valid = flat_lab != R
+                genes, first_idx = np.unique(
+                    flat_lab[valid], return_index=True
+                )
+                vv = vals[:, np.flatnonzero(valid)[first_idx]].astype(np.float64)
+                mean = (vv.sum(0) / Rp).astype(np.float32)
+                var = (
+                    (vv ** 2).sum(0) / Rp - (vv.sum(0) / Rp) ** 2
+                ).astype(np.float32)
+                nzm = mean != 0
+                rows_m.append(np.full(int(nzm.sum()), ci, np.int64))
+                cols_m.append(genes[nzm].astype(np.int64))
+                vals_m.append(mean[nzm])
+                nzv = var != 0
+                rows_v.append(np.full(int(nzv.sum()), ci, np.int64))
+                cols_v.append(genes[nzv].astype(np.int64))
+                vals_v.append(var[nzv])
+
+    return _coo_sorted(rows_m, cols_m, vals_m), _coo_sorted(rows_v, cols_v, vals_v)
+
+
+def _coo_sorted(rows: List[np.ndarray], cols: List[np.ndarray], vals):
+    if not rows:
+        return (
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.float32),
+        )
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    v = np.concatenate(vals).astype(np.float32)
+    order = np.lexsort((c, r))
+    return r[order], c[order], v[order]
+
+
+def _bootstrap_cell_outlier(
+    eqc, label_offsets, labels, num_rows, Rp, seed, cell_offset, k,
+    rows_m, cols_m, vals_m, rows_v, cols_v, vals_v,
+):
+    """Per-cell loop for cells beyond the padded ladder (rare, giant
+    class counts): the replicate EMs still run through the batched host
+    kernel with the cell's exact (unpadded-to-ladder) shape."""
+    from .em import em_optimize_cell_np
+
+    ci = int(eqc.cell_ids[k])
+    gci = ci + cell_offset
+    s, e = int(eqc.cell_eq_offsets[k]), int(eqc.cell_eq_offsets[k + 1])
+    cts = eqc.counts[s:e].astype(np.int64)
+    total = int(cts.sum())
+    assert total > 0, "Cannot bootstrap from a sample with 0 counts."
+    rng = _cell_rng(seed, gci)
+    resampled = rng.multinomial(total, cts / total, size=Rp)
+    offs = label_offsets[s : e + 1] - label_offsets[s]
+    labs = labels[label_offsets[s] : label_offsets[e]]
+    asum = np.zeros(num_rows, np.float64)
+    asq = np.zeros(num_rows, np.float64)
+    for r in range(Rp):
+        init = np.random.RandomState(
+            _init_seed(seed, gci, r)
+        ).random_sample(num_rows).astype(np.float32) + 1e-5
+        alphas = em_optimize_cell_np(
+            offs, labs, resampled[r].astype(np.uint32), num_rows, None,
+            False, with_last_round=True, init_alphas=init,
+        )
+        asum += alphas
+        asq += alphas.astype(np.float64) ** 2
+    mean = (asum / Rp).astype(np.float32)
+    var = (asq / Rp - (asum / Rp) ** 2).astype(np.float32)
+    nzm = np.flatnonzero(mean != 0)
+    rows_m.append(np.full(len(nzm), ci, np.int64))
+    cols_m.append(nzm.astype(np.int64))
+    vals_m.append(mean[nzm])
+    nzv = np.flatnonzero(var != 0)
+    rows_v.append(np.full(len(nzv), ci, np.int64))
+    cols_v.append(nzv.astype(np.int64))
+    vals_v.append(var[nzv])

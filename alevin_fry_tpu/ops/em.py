@@ -193,6 +193,14 @@ def em_optimize_long_read_cell_np(
 
 # --- batched JAX kernel ------------------------------------------------------
 
+# Shape economics on a (possibly tunneled) device: every distinct XLA
+# program costs a compile and a per-process program load, while transfer
+# cost scales with the PADDED label arrays.  We use a fixed ladder of
+# class-count pads {64, 256, 1024} (at most 3 programs per label width)
+# and route the rare giant cells (> 1024 classes, ~p99+) to the NumPy
+# path where per-cell work is trivial anyway.
+_EP_LADDER = (64, 256, 1024)
+
 _jit_cache = {}
 _cache_configured = False
 
@@ -220,12 +228,12 @@ def _configure_compile_cache():
         pass
 
 
-def _get_em_kernel(usa: bool, with_last_round: bool):
+def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False):
     import jax
     import jax.numpy as jnp
 
     _configure_compile_cache()
-    key = (usa, with_last_round)
+    key = (usa, with_last_round, init_random)
     if key in _jit_cache:
         return _jit_cache[key]
 
@@ -246,13 +254,15 @@ def _get_em_kernel(usa: bool, with_last_round: bool):
         extra2 = jnp.where(amb, p2, 0.0)
         return a_self + p1 + extra2
 
-    def kernel(labels, lens, counts, uoff, aoff, R, init_uniform):
+    def kernel(labels, lens, counts, rng_seeds, uoff, aoff, R, init_uniform):
         # labels: (B,E,L) int32 (pad -> R); lens: (B,E); counts: (B,E) f32
         # The dense (B, R+1) alpha state lives entirely on device: the
         # init is computed here and the result is returned gathered at
         # the label positions (the support of the EM output is contained
         # in the label set), so host<->device traffic is O(B*E*L), not
-        # O(B*R).
+        # O(B*R).  With ``init_random`` the Random init of the bootstrap
+        # EM (em.rs:225-228) is also generated ON DEVICE from the per-row
+        # ``rng_seeds`` — O(B) transfer instead of O(B*R).
         B, E, L = labels.shape
         single = lens == 1
         valid = lens > 0
@@ -269,7 +279,14 @@ def _get_em_kernel(usa: bool, with_last_round: bool):
         seeds = seeds.at[jnp.arange(B)[:, None], jnp.where(single, s_label, R)].add(
             s_contrib
         )
-        if init_uniform:
+        if init_random:
+            bits = jax.vmap(
+                lambda s: jax.random.uniform(
+                    jax.random.PRNGKey(s), (R + 1,), jnp.float32
+                )
+            )(rng_seeds)
+            init_alphas = bits + 1e-5
+        elif init_uniform:
             init_alphas = jnp.full((B, R + 1), 1.0 / R, jnp.float32)
         else:
             init_alphas = (seeds + 0.5) * 1e-3
@@ -351,13 +368,99 @@ def _get_em_kernel(usa: bool, with_last_round: bool):
         ).reshape(labels.shape)
         return jnp.where(lmask, gathered, 0.0)
 
-    fn = jax.jit(kernel, static_argnums=(3, 4, 5, 6))
+    fn = jax.jit(kernel, static_argnums=(4, 5, 6, 7))
     _jit_cache[key] = fn
     return fn
 
 
 def _pad_pow2(x: int, lo: int = 1) -> int:
     return max(lo, 1 << (max(x, 1) - 1).bit_length())
+
+
+def em_batch_np(
+    lab_pad: np.ndarray,
+    len_pad: np.ndarray,
+    ct_pad: np.ndarray,
+    init_alphas: np.ndarray,
+    R: int,
+    with_last_round: bool = True,
+) -> np.ndarray:
+    """Batched padded EM on the host, non-USA: mirrors the JAX kernel's
+    per-row convergence/last-round state machine over (B, R+1) dense
+    alphas with an explicit init (the bootstrap Random init).  Each
+    round computes only the still-active rows (host arrays support
+    compaction, unlike the fixed-shape device kernel), so the
+    convergence tail costs O(active), not O(B).  Returns the final
+    alphas gathered at the label positions, (B, E, L) f32 with pad
+    slots 0."""
+    B, E, L = lab_pad.shape
+    lmask_all = np.arange(L)[None, None, :] < len_pad[:, :, None]
+
+    alphas = init_alphas.astype(np.float32).copy()
+    alphas[:, R] = 0.0
+    active = np.ones(B, bool)
+    last = np.zeros(B, bool)
+    it = 0
+    while active.any() and it < EM_MAX_ITER + 2:
+        act = np.flatnonzero(active)
+        n = len(act)
+        lab = lab_pad[act]
+        lens = len_pad[act]
+        cts = ct_pad[act]
+        al = alphas[act]
+        lmask = lmask_all[act]
+        single = lens == 1
+        valid = lens > 0
+        multi = valid & ~single
+
+        ab = np.take_along_axis(al, lab.reshape(n, -1), axis=1).reshape(lab.shape)
+        ab = np.where(lmask, ab, 0.0)
+        denom = ab.sum(axis=2)
+        inv = np.where(
+            (denom > 0) & multi, cts / np.maximum(denom, 1e-30), 0.0
+        ).astype(np.float32)
+        contrib = np.where(multi[:, :, None], ab * inv[:, :, None], 0.0)
+        out = np.zeros_like(al)
+        np.add.at(
+            out,
+            (np.arange(n)[:, None], np.where(single, lab[:, :, 0], R)),
+            np.where(single & valid, cts, 0.0).astype(np.float32),
+        )
+        np.add.at(
+            out,
+            (
+                np.broadcast_to(np.arange(n)[:, None, None], lab.shape).reshape(-1),
+                np.where(lmask, lab, R).reshape(-1),
+            ),
+            contrib.reshape(-1),
+        )
+        out[:, R] = 0.0
+
+        check = out > ALPHA_CHECK_CUTOFF
+        rel = np.abs(al - out)
+        not_conv = (check & (rel > EM_REL_DIFF_TOLERANCE)).any(axis=1)
+        it += 1
+        conv = ~not_conv
+        if with_last_round:
+            l_act = last[act]
+            stop = l_act
+            enter_last = ~l_act & conv & (it >= EM_MIN_ITER)
+            timeout = ~l_act & ~enter_last & (it >= EM_MAX_ITER)
+            out = np.where(
+                enter_last[:, None] & (out < MIN_OUTPUT_ALPHA), 0.0, out
+            )
+            last[act] = enter_last
+            alphas[act] = out
+            active[act[stop | timeout]] = False
+        else:
+            done = (conv & (it >= EM_MIN_ITER)) | (it >= EM_MAX_ITER)
+            alphas[act] = out
+            active[act[done]] = False
+    alphas = np.where(alphas < MIN_OUTPUT_ALPHA, 0.0, alphas).astype(np.float32)
+    gathered = np.take_along_axis(
+        alphas, lab_pad.reshape(B, -1), axis=1
+    ).reshape(lab_pad.shape)
+    return np.where(lmask_all, gathered, 0.0)
 
 
 def em_cells_batched(
@@ -426,13 +529,6 @@ def em_cells_batched(
 
     R = num_rows
     uoff, aoff = usa_offsets if usa_offsets is not None else (0, 0)
-    # Shape economics on a (possibly tunneled) device: every distinct
-    # XLA program costs a compile and a per-process program load, while
-    # transfer cost scales with the PADDED label arrays.  We use a fixed
-    # ladder of class-count pads {64, 256, 1024} (at most 3 programs per
-    # label width) and route the rare giant cells (> 1024 classes,
-    # ~p99+) to the NumPy path where per-cell work is trivial anyway.
-    _EP_LADDER = (64, 256, 1024)
     nE = np.diff(cell_eq_offsets)[em_cells]
     Lp_global = _pad_pow2(int(lens_all.max()) if len(lens_all) else 1, 2)
     buckets = {}
@@ -514,7 +610,8 @@ def em_cells_batched(
                     jnp.asarray(ct_pad),
                 )
             out = np.asarray(
-                kern(*args, uoff, aoff, R, bool(init_uniform))
+                kern(*args, jnp.zeros(B, jnp.uint32), uoff, aoff, R,
+                     bool(init_uniform))
             )
             # out holds final alphas gathered at the label positions;
             # dedupe (cell, label) pairs in one sort and drop zeros
