@@ -250,3 +250,61 @@ def find_neighbors_batch(
         reps = cand_sorted[np.arange(len(q)), firstcol]
         rep[s : s + block] = np.where(any_hit, reps, np.uint64(0))
     return counts, rep
+
+
+def _accelerator_present() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def find_neighbors(
+    queries: np.ndarray, kept_sorted: np.ndarray, length: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Backend-dispatched Hamming<=1 rescue search — the production
+    entry point for the unfiltered-permit-list rescue
+    (src/cellfilter.rs:190-233).
+
+    ``AFT_RESCUE_BACKEND`` selects the engine:
+
+    * ``host``   — native C++/NumPy variant expansion + binary search;
+    * ``jax``    — the device searchsorted kernel (same asymptotics as
+      the host path, runs as one XLA program over the query batch);
+    * ``pallas`` — the brute-force XOR-popcount Pallas kernel (O(Q*K),
+      only competitive for small kept tables or barcodes > 16 bases);
+    * ``auto`` (default) — the device searchsorted kernel when a real
+      accelerator backend is up, barcodes fit u32 (<= 16 bases) and the
+      query batch is large enough to amortize dispatch; the host path
+      otherwise.
+
+    All backends implement the same contract and are identity-tested
+    against each other (tests/test_pallas_hamming.py)."""
+    import os
+
+    mode = os.environ.get("AFT_RESCUE_BACKEND", "auto")
+    nq, nk = len(queries), len(kept_sorted)
+    if mode != "host" and nq and nk:
+        use_dev = mode in ("jax", "pallas") or (
+            mode == "auto"
+            and length <= 16
+            and nq >= (1 << 15)
+            and _accelerator_present()
+        )
+        if use_dev:
+            try:
+                from . import pallas_hamming as ph
+
+                if mode == "pallas" or length > 16:
+                    return ph.find_neighbors_pallas(queries, kept_sorted, length)
+                return ph.find_neighbors_searchsorted(queries, kept_sorted, length)
+            except Exception:  # pragma: no cover - device fallback
+                import logging
+
+                logging.getLogger("aft.gpl").warning(
+                    "device rescue backend failed; falling back to host",
+                    exc_info=True,
+                )
+    return find_neighbors_batch(queries, kept_sorted, length)

@@ -131,6 +131,82 @@ def _build_kernel():
 
 
 _RUN = None
+_SS_RUN = None
+
+
+def _build_searchsorted_kernel():
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(3,))
+    def run(qp, kept_pad, nk_real, length):
+        # qp: (Qp,) uint32 packed queries; kept_pad: (Kp,) uint32 sorted
+        # kept barcodes padded at the high end with 0xFFFFFFFF; nk_real
+        # marks the number of real entries (pad slots never count: a
+        # variant can legitimately be all-T == 0xFFFFFFFF, so hits are
+        # masked to idx < nk_real).
+        Q = qp.shape[0]
+        L = length
+        shifts = (jnp.arange(L, dtype=jnp.uint32) * 2).astype(jnp.uint32)
+        cur = (qp[:, None] >> shifts[None, :]) & jnp.uint32(3)
+        bases = jnp.arange(4, dtype=jnp.uint32)
+        # substitute every base at every position; the original base
+        # reproduces the query itself (distance 0 counts as a hit,
+        # matching BarcodeLookupMap semantics)
+        var = qp[:, None, None] ^ (
+            (cur[:, :, None] ^ bases[None, None, :]) << shifts[None, :, None]
+        )
+        var = jnp.sort(var.reshape(Q, L * 4), axis=1)
+        uniqm = jnp.concatenate(
+            [jnp.ones((Q, 1), bool), var[:, 1:] != var[:, :-1]], axis=1
+        )
+        idx = jnp.searchsorted(kept_pad, var)
+        idx_c = jnp.minimum(idx, kept_pad.shape[0] - 1)
+        hit = (idx < nk_real) & (kept_pad[idx_c] == var) & uniqm
+        counts = hit.sum(axis=1).astype(jnp.int32)
+        first = jnp.argmax(hit, axis=1)
+        rep = jnp.where(
+            hit.any(axis=1), var[jnp.arange(Q), first], jnp.uint32(0)
+        )
+        return counts, rep
+
+    return run
+
+
+def find_neighbors_searchsorted(
+    queries: np.ndarray, kept_sorted: np.ndarray, length: int
+):
+    """Device Hamming<=1 search with host-path asymptotics: expand the
+    3L+1 substitution variants per query on device and binary-search the
+    (replicated) sorted kept table — O(Q * L * log K) instead of the
+    brute-force kernel's O(Q * K).  Requires length <= 16 so barcodes
+    fit u32 (TPU jax defaults to 32-bit; the XOR-popcount kernel covers
+    longer barcodes via an explicit lo/hi split).  Same contract as
+    ops.barcodes.find_neighbors_batch."""
+    assert length <= 16, "searchsorted device path needs barcodes <= 16 bases"
+    global _SS_RUN
+    if _SS_RUN is None:
+        _SS_RUN = _build_searchsorted_kernel()
+    import jax.numpy as jnp
+
+    queries = np.asarray(queries, np.uint64)
+    kept_sorted = np.asarray(kept_sorted, np.uint64)
+    nq, nk = len(queries), len(kept_sorted)
+    if nq == 0 or nk == 0:
+        return np.zeros(nq, np.int64), np.zeros(nq, np.uint64)
+
+    # bound the program count: pad both axes to powers of two
+    qcap = max(1024, 1 << (nq - 1).bit_length())
+    kcap = max(1024, 1 << (nk - 1).bit_length())
+    qp = np.zeros(qcap, np.uint32)
+    qp[:nq] = queries.astype(np.uint32)
+    kp = np.full(kcap, 0xFFFFFFFF, np.uint32)
+    kp[:nk] = kept_sorted.astype(np.uint32)
+
+    cnt, rep = _SS_RUN(jnp.asarray(qp), jnp.asarray(kp), nk, length)
+    cnt = np.asarray(cnt)[:nq].astype(np.int64)
+    rep = np.asarray(rep)[:nq].astype(np.uint64)
+    return cnt, np.where(cnt > 0, rep, np.uint64(0))
 
 
 def find_neighbors_pallas(

@@ -322,7 +322,7 @@ def _process_unfiltered(
     rescue_bc, rescue_ct = rescue_bc[order], rescue_ct[order]
 
     kept_sorted = kept_bc  # already sorted (np.unique order)
-    ncounts, reps = bcops.find_neighbors_batch(rescue_bc, kept_sorted, bclen)
+    ncounts, reps = bcops.find_neighbors(rescue_bc, kept_sorted, bclen)
     # unique single-mismatch neighbor that isn't the barcode itself
     rescued = (ncounts == 1) & (reps != rescue_bc)
     found_approx = int(rescue_ct[rescued].sum())

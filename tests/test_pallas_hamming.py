@@ -31,6 +31,49 @@ def test_pallas_matches_host_reference():
     np.testing.assert_array_equal(dev_rep[uniq], ref_rep[uniq])
 
 
+def test_searchsorted_device_matches_host_reference():
+    from alevin_fry_tpu.ops.pallas_hamming import find_neighbors_searchsorted
+
+    rng = np.random.RandomState(23)
+    length = 16
+    kept = np.sort(
+        np.unique(rng.randint(0, 1 << 32, size=2000).astype(np.uint64))
+    )
+    exact = rng.choice(kept, 60)
+    muts = bcops.snp_neighbors(rng.choice(kept, 90), length)
+    mutants = muts[np.arange(90), rng.randint(0, muts.shape[1], 90)]
+    randoms = rng.randint(0, 1 << 32, size=200).astype(np.uint64)
+    # include the all-T barcode: its padded-table collision case
+    allt = np.array([0xFFFFFFFF], np.uint64)
+    queries = np.concatenate([exact, mutants, randoms, allt])
+
+    ref_cnt, ref_rep = bcops.find_neighbors_batch(queries, kept, length)
+    dev_cnt, dev_rep = find_neighbors_searchsorted(queries, kept, length)
+
+    np.testing.assert_array_equal(dev_cnt, ref_cnt)
+    uniq = ref_cnt == 1
+    np.testing.assert_array_equal(dev_rep[uniq], ref_rep[uniq])
+
+
+def test_find_neighbors_dispatcher_backends(monkeypatch):
+    rng = np.random.RandomState(7)
+    length = 12
+    kept = np.sort(
+        np.unique(rng.randint(0, 1 << 24, size=500).astype(np.uint64))
+    )
+    queries = np.concatenate([
+        rng.choice(kept, 40),
+        rng.randint(0, 1 << 24, size=100).astype(np.uint64),
+    ])
+    ref = bcops.find_neighbors_batch(queries, kept, length)
+    for mode in ("host", "jax", "auto"):
+        monkeypatch.setenv("AFT_RESCUE_BACKEND", mode)
+        cnt, rep = bcops.find_neighbors(queries, kept, length)
+        np.testing.assert_array_equal(cnt, ref[0])
+        uniq = ref[0] == 1
+        np.testing.assert_array_equal(rep[uniq], ref[1][uniq])
+
+
 def test_pallas_empty_inputs():
     cnt, rep = find_neighbors_pallas(
         np.zeros(0, np.uint64), np.zeros(5, np.uint64), 8, interpret=True

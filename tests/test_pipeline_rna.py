@@ -108,6 +108,26 @@ def test_gpl_unfiltered(tmp_path):
     assert meta["expected_ori"] == "+"
 
 
+def test_gpl_unfiltered_device_rescue_identity(tmp_path, monkeypatch):
+    """The device rescue backend produces byte-identical permit
+    artifacts to the host path (VERDICT round-1 item 2)."""
+    rad_dir, wl, _ = make_dataset(tmp_path)
+    outs = {}
+    for mode in ("host", "jax"):
+        monkeypatch.setenv("AFT_RESCUE_BACKEND", mode)
+        out = tmp_path / f"gpl_{mode}"
+        generate_permit_list(GenPermitListOpts(
+            input_dir=rad_dir, output_dir=out,
+            fmeth=CellFilterMethod("unfiltered", path=wl, min_reads=2),
+            expected_ori="fw", cmdline="test",
+        ))
+        outs[mode] = out
+    for name in ("permit_freq.bin", "permit_map.bin"):
+        assert (
+            (outs["host"] / name).read_bytes() == (outs["jax"] / name).read_bytes()
+        ), name
+
+
 @pytest.fixture()
 def quant_ready(tmp_path):
     rad_dir, wl, t2g = make_dataset(tmp_path)
