@@ -6,11 +6,23 @@ file; collate corrects its barcodes and writes
 per-cell mapping rate (reference: src/collate.rs:344-393 via
 libradicl's unmapped module; quant.rs:1444-1454).
 
-Input side we support the legacy raw format (repeated little-endian
-``bc:u64 | count:u32`` pairs, cf. the legacy fallback at
-src/collate.rs:372-384).  For the collated output we use a
-self-describing container: magic ``AFUC``, version byte, number of key
-fields, per-field int-type ids, then records (key fields + u32 count).
+Layouts (all little-endian):
+
+* mapper input, legacy: repeated raw ``bc:u64 | count:u32`` pairs
+  (the fallback the reference decodes at src/collate.rs:372-384).
+* collated single-barcode output: bincode(1.x, fixint)
+  ``HashMap<u64, u32>`` — ``n:u64`` then ``n`` × ``(key:u64, val:u32)``
+  entries.  This is byte-compatible with what the reference's own ATAC
+  collate writes for the *same* filename (src/atac/collate.rs:255-260)
+  and with the historical alevin-fry single-barcode layout; we emit
+  entries sorted by key for determinism (bincode map decoding is
+  order-insensitive).
+* collated multi-barcode output: bincode ``HashMap<(u64, u64), u32>``
+  keyed ``(corrected_sample, corrected_cell)`` (src/collate.rs:264-331
+  semantics) — ``n:u64`` then ``n`` × 20-byte entries.
+
+Readers sniff the layout from the length prefix: a single map is
+``8 + 12n`` bytes, a multi map ``8 + 20n``, raw legacy pairs ``12n``.
 A missing or unreadable file degrades to empty counts, matching the
 reference's unwrap_or_else fallback at quant.rs:1448-1453.
 """
@@ -23,63 +35,64 @@ from typing import Tuple
 
 import numpy as np
 
-from .types import _INT_SIZES, U64
 
-_MAGIC = b"AFUC"
-_VERSION = 1
+def _split_pairs(raw: bytes, n: int, key_w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """View ``n`` records of (key bytes, u32 count); key little-endian."""
+    recsz = key_w + 4
+    arr = np.frombuffer(raw, np.uint8, count=n * recsz).reshape(n, recsz)
+    key = np.zeros(n, np.uint64)
+    for k in range(key_w):
+        key |= arr[:, k].astype(np.uint64) << np.uint64(8 * k)
+    cts = arr[:, key_w:].copy().view(np.uint32).ravel()
+    return key, cts
 
 
 def read_raw_unmapped(path: Path) -> Tuple[np.ndarray, np.ndarray]:
-    """Read a legacy (u64 barcode, u32 count) pair file; returns
-    (bcs, counts).  Missing/odd-sized files yield empty arrays."""
+    """Read the mapper's unmapped-count file: legacy (u64, u32) raw
+    pairs, or an already-bincode map.  Missing/odd files yield empty."""
     p = Path(path)
     if not p.exists():
         return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
     raw = p.read_bytes()
-    if raw[:4] == _MAGIC:
-        return read_collated(p)[:2]
-    if len(raw) % 12 != 0:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
-    n = len(raw) // 12
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(n, 12)
-    bcs = arr[:, :8].copy().view(np.uint64).ravel()
-    cts = arr[:, 8:].copy().view(np.uint32).ravel()
-    return bcs, cts
+    if len(raw) >= 8:
+        (n,) = struct.unpack_from("<Q", raw)
+        if len(raw) == 8 + 12 * n:  # bincode HashMap<u64,u32>
+            return _split_pairs(raw[8:], n, 8)
+    if len(raw) % 12 == 0 and len(raw) > 0:
+        n = len(raw) // 12
+        return _split_pairs(raw, n, 8)
+    return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
 
 
 def write_collated_single(path: Path, bcs: np.ndarray, counts: np.ndarray) -> None:
+    """bincode HashMap<u64,u32>, entries sorted by key."""
     bcs = np.asarray(bcs, np.uint64)
     counts = np.asarray(counts, np.uint32)
     order = np.argsort(bcs, kind="stable")
     bcs, counts = bcs[order], counts[order]
+    rec = np.zeros((len(bcs), 12), np.uint8)
+    rec[:, :8] = bcs.view(np.uint8).reshape(-1, 8)
+    rec[:, 8:] = counts.view(np.uint8).reshape(-1, 4)
     with open(path, "wb") as fh:
-        fh.write(_MAGIC)
-        fh.write(struct.pack("<BB", _VERSION, 1))
-        fh.write(struct.pack("<B", U64))
         fh.write(struct.pack("<Q", len(bcs)))
-        rec = np.zeros((len(bcs), 12), np.uint8)
-        rec[:, :8] = bcs.view(np.uint8).reshape(-1, 8)
-        rec[:, 8:] = counts.view(np.uint8).reshape(-1, 4)
         fh.write(rec.tobytes())
 
 
 def write_collated_multi(
     path: Path, sample_bcs: np.ndarray, cell_bcs: np.ndarray, counts: np.ndarray
 ) -> None:
+    """bincode HashMap<(u64,u64),u32> keyed (sample, cell), sorted."""
     sample_bcs = np.asarray(sample_bcs, np.uint64)
     cell_bcs = np.asarray(cell_bcs, np.uint64)
     counts = np.asarray(counts, np.uint32)
     order = np.lexsort((cell_bcs, sample_bcs))
     sample_bcs, cell_bcs, counts = sample_bcs[order], cell_bcs[order], counts[order]
+    rec = np.zeros((len(counts), 20), np.uint8)
+    rec[:, :8] = sample_bcs.view(np.uint8).reshape(-1, 8)
+    rec[:, 8:16] = cell_bcs.view(np.uint8).reshape(-1, 8)
+    rec[:, 16:] = counts.view(np.uint8).reshape(-1, 4)
     with open(path, "wb") as fh:
-        fh.write(_MAGIC)
-        fh.write(struct.pack("<BB", _VERSION, 2))
-        fh.write(struct.pack("<BB", U64, U64))
         fh.write(struct.pack("<Q", len(counts)))
-        rec = np.zeros((len(counts), 20), np.uint8)
-        rec[:, :8] = sample_bcs.view(np.uint8).reshape(-1, 8)
-        rec[:, 8:16] = cell_bcs.view(np.uint8).reshape(-1, 8)
-        rec[:, 16:] = counts.view(np.uint8).reshape(-1, 4)
         fh.write(rec.tobytes())
 
 
@@ -90,26 +103,22 @@ def read_collated(path: Path):
     if not p.exists():
         return np.zeros(0, np.uint64), np.zeros(0, np.uint32), 1
     raw = p.read_bytes()
-    if raw[:4] != _MAGIC:
-        bcs, cts = read_raw_unmapped(p)
+    if len(raw) >= 8:
+        (n,) = struct.unpack_from("<Q", raw)
+        if len(raw) == 8 + 12 * n:  # single: HashMap<u64,u32>
+            bcs, cts = _split_pairs(raw[8:], n, 8)
+            return bcs, cts, 1
+        if len(raw) == 8 + 20 * n:  # multi: HashMap<(u64,u64),u32>
+            arr = np.frombuffer(raw[8:], np.uint8, count=n * 20).reshape(n, 20)
+            cell = np.zeros(n, np.uint64)
+            for k in range(8):
+                cell |= arr[:, 8 + k].astype(np.uint64) << np.uint64(8 * k)
+            cts = arr[:, 16:].copy().view(np.uint32).ravel()
+            return cell, cts, 2
+    if len(raw) % 12 == 0 and len(raw) > 0:  # legacy raw pairs
+        bcs, cts = _split_pairs(raw, len(raw) // 12, 8)
         return bcs, cts, 1
-    ver, nf = struct.unpack("<BB", raw[4:6])
-    del ver
-    field_ids = struct.unpack(f"<{nf}B", raw[6 : 6 + nf])
-    off = 6 + nf
-    (n,) = struct.unpack("<Q", raw[off : off + 8])
-    off += 8
-    key_bytes = sum(_INT_SIZES[f] for f in field_ids)
-    recsz = key_bytes + 4
-    arr = np.frombuffer(raw[off : off + n * recsz], np.uint8).reshape(n, recsz)
-    # last key field is the cell barcode
-    last_w = _INT_SIZES[field_ids[-1]]
-    last_off = key_bytes - last_w
-    key = np.zeros(n, np.uint64)
-    for k in range(last_w):
-        key |= arr[:, last_off + k].astype(np.uint64) << np.uint64(8 * k)
-    cts = arr[:, key_bytes:].copy().view(np.uint32).ravel()
-    return key, cts, nf
+    return np.zeros(0, np.uint64), np.zeros(0, np.uint32), 1
 
 
 class UnmappedLookup:

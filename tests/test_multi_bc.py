@@ -158,6 +158,73 @@ def test_collation_manifest_roundtrip(tmp_path):
     assert r.total_chunks() == 180
     assert r.total_records() == 90000
 
+    # Exact bincode-1.x fixint byte layout (libradicl serializes its
+    # sidecars with bincode's default config; struct field order from
+    # collate.rs:1908-1914).
+    import struct
+
+    expect = b"".join(
+        [
+            struct.pack("<Q", 2),
+            struct.pack("<Q", 6), b"sample",
+            struct.pack("<Q", 4), b"cell",
+            struct.pack("<Q", 2),
+            struct.pack("<Q", 0x1234), b"\x01",
+            struct.pack("<Q", 8), b"sample_A",
+            struct.pack("<QQQ", 0, 100, 50000),
+            struct.pack("<Q", 0x5678), b"\x01",
+            struct.pack("<Q", 8), b"sample_B",
+            struct.pack("<QQQ", 100, 80, 40000),
+        ]
+    )
+    assert p.read_bytes() == expect
+
+
+def test_unmapped_sidecar_bincode_layout(tmp_path):
+    """unmapped_bc_count_collated.bin is bincode HashMap<u64,u32> for
+    single-barcode data — the layout the reference's own ATAC collate
+    writes for the same filename (atac/collate.rs:255-260) — and
+    bincode HashMap<(u64,u64),u32> for multi-barcode keys."""
+    import struct
+
+    import numpy as np
+
+    from alevin_fry_tpu.radz import unmapped as unmappedio
+
+    p = tmp_path / "unmapped_bc_count_collated.bin"
+    unmappedio.write_collated_single(
+        p, np.array([7, 3], np.uint64), np.array([10, 20], np.uint32)
+    )
+    # sorted by key: (3,20), (7,10)
+    assert p.read_bytes() == (
+        struct.pack("<Q", 2)
+        + struct.pack("<QI", 3, 20)
+        + struct.pack("<QI", 7, 10)
+    )
+    bcs, cts, nf = unmappedio.read_collated(p)
+    assert nf == 1 and list(bcs) == [3, 7] and list(cts) == [20, 10]
+
+    pm = tmp_path / "multi.bin"
+    unmappedio.write_collated_multi(
+        pm,
+        np.array([1, 1], np.uint64),
+        np.array([9, 4], np.uint64),
+        np.array([5, 6], np.uint32),
+    )
+    assert pm.read_bytes() == (
+        struct.pack("<Q", 2)
+        + struct.pack("<QQI", 1, 4, 6)
+        + struct.pack("<QQI", 1, 9, 5)
+    )
+    bcs, cts, nf = unmappedio.read_collated(pm)
+    assert nf == 2 and list(bcs) == [4, 9] and list(cts) == [6, 5]
+
+    # legacy raw pairs (no length prefix) still sniffed correctly
+    pl = tmp_path / "legacy.bin"
+    pl.write_bytes(struct.pack("<QI", 11, 2) + struct.pack("<QI", 12, 3))
+    bcs, cts = unmappedio.read_raw_unmapped(pl)
+    assert list(bcs) == [11, 12] and list(cts) == [2, 3]
+
 
 def test_sample_names_file_override(tmp_path):
     """--sample-names maps barcodes to human-readable names
