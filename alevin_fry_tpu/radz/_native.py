@@ -180,6 +180,20 @@ def _load():
             ctypes.c_int64,                    # bc_len
             ctypes.c_void_p, ctypes.c_void_p,  # counts_out, rep_out
         ]
+        lib.radc_crc32c.restype = ctypes.c_uint32
+        lib.radc_crc32c.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,
+        ]
+        lib.radc_snappy_max_compressed.restype = ctypes.c_int64
+        lib.radc_snappy_max_compressed.argtypes = [ctypes.c_int64]
+        lib.radc_snappy_compress.restype = ctypes.c_int64
+        lib.radc_snappy_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.radc_snappy_uncompress.restype = ctypes.c_int64
+        lib.radc_snappy_uncompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
         for name in ("radc_extract_fields", "radc_encode_records"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
@@ -711,3 +725,31 @@ def encode_records_native(
     )
     if rc < 0:
         raise ValueError("record encoding overran the buffer")
+
+
+def crc32c(data, init: int = 0) -> int:
+    lib = _load()
+    arr = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+    arr = np.ascontiguousarray(arr, np.uint8)
+    return int(lib.radc_crc32c(arr.ctypes.data, arr.nbytes, init))
+
+
+def snappy_compress(data) -> bytes:
+    """Compress one snappy block (callers frame <=64KiB chunks)."""
+    lib = _load()
+    arr = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+    arr = np.ascontiguousarray(arr, np.uint8)
+    out = np.empty(int(lib.radc_snappy_max_compressed(arr.nbytes)), np.uint8)
+    n = lib.radc_snappy_compress(arr.ctypes.data, arr.nbytes, out.ctypes.data)
+    return out[:n].tobytes()
+
+
+def snappy_uncompress(data, max_out: int) -> bytes:
+    lib = _load()
+    arr = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+    arr = np.ascontiguousarray(arr, np.uint8)
+    out = np.empty(max_out, np.uint8)
+    n = lib.radc_snappy_uncompress(arr.ctypes.data, arr.nbytes, out.ctypes.data, max_out)
+    if n < 0:
+        raise ValueError("malformed snappy block")
+    return out[:n].tobytes()

@@ -2,15 +2,15 @@
 
 The reference optionally compresses the collated RAD file with Snappy
 frames (``snap::write::FrameEncoder`` at src/collate.rs:564-575, read
-back with ``FrameDecoder`` at src/quant.rs:372-382).  No snappy binding
-is available in this environment, so:
+back with ``FrameDecoder`` at src/quant.rs:372-382).  Both directions
+implement the full Snappy block format (literals and all three copy
+element kinds):
 
-* decompression implements the full Snappy block format (literals and
-  all three copy element kinds), so we can read files produced by the
-  reference;
-* compression emits valid *uncompressed* frame chunks (type 0x01) —
-  a legal snappy framing stream any decoder accepts; we trade
-  compression ratio for zero dependency.
+* the hot codec paths (block compress/uncompress, CRC-32C) run in the
+  native library (csrc/radc.cpp) when built;
+* without the native library, decompression falls back to the pure
+  Python decoder and compression to valid *uncompressed* frame chunks
+  (type 0x01) — still a legal snappy framing stream.
 
 Framing spec: https://github.com/google/snappy/blob/main/framing_format.txt
 """
@@ -21,6 +21,8 @@ import struct
 from typing import BinaryIO
 
 import numpy as np
+
+from . import _native
 
 _STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
 _MAX_CHUNK = 65536
@@ -36,6 +38,8 @@ for _i in range(256):
 
 
 def crc32c(data: bytes) -> int:
+    if _native.available():
+        return _native.crc32c(data)
     crc = 0xFFFFFFFF
     arr = np.frombuffer(data, np.uint8)
     table = _TABLE
@@ -66,6 +70,8 @@ def _read_varint(buf: bytes, pos: int):
 def block_decompress(buf: bytes) -> bytes:
     """Decode one Snappy block."""
     ulen, pos = _read_varint(buf, 0)
+    if _native.available():
+        return _native.snappy_uncompress(buf, ulen)
     out = bytearray(ulen)
     opos = 0
     n = len(buf)
@@ -149,7 +155,10 @@ def block_compress_literal(data: bytes) -> bytes:
 # --- framing -----------------------------------------------------------------
 
 class SnappyFrameWriter:
-    """Incremental snappy framing writer (uncompressed chunks)."""
+    """Incremental snappy framing writer.  Each <=64KiB chunk is
+    block-compressed by the native codec; a chunk that does not shrink
+    (or when the native library is absent) is stored uncompressed —
+    exactly the framing-spec rule reference encoders follow."""
 
     def __init__(self, fh: BinaryIO):
         self.fh = fh
@@ -163,7 +172,15 @@ class SnappyFrameWriter:
             del self._pend[:_MAX_CHUNK]
 
     def _emit(self, chunk: bytes) -> None:
-        body = struct.pack("<I", _masked_crc(chunk)) + chunk
+        crc = struct.pack("<I", _masked_crc(chunk))
+        if _native.available():
+            comp = _native.snappy_compress(chunk)
+            if len(comp) < len(chunk):
+                body = crc + comp
+                self.fh.write(struct.pack("<I", (len(body) << 8) | 0x00))
+                self.fh.write(body)
+                return
+        body = crc + chunk
         self.fh.write(struct.pack("<I", (len(body) << 8) | 0x01))
         self.fh.write(body)
 

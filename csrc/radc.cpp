@@ -1512,3 +1512,246 @@ extern "C" int64_t radc_pug_resolve(
   for (auto& th : ts) th.join();
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Snappy block codec + CRC32C (for the snappy framing format used by
+// `collate --compress`; spec: google/snappy format_description.txt).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// CRC-32C (Castagnoli), slice-by-8.
+struct Crc32cTables {
+  uint32_t t[8][256];
+  Crc32cTables() {
+    const uint32_t poly = 0x82f63b78u;
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ poly : c >> 1;
+      t[0][i] = c;
+    }
+    for (uint32_t i = 0; i < 256; ++i)
+      for (int s = 1; s < 8; ++s)
+        t[s][i] = (t[s - 1][i] >> 8) ^ t[0][t[s - 1][i] & 0xff];
+  }
+};
+
+inline uint32_t load32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+inline uint64_t load64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+inline uint8_t* emit_literal(uint8_t* dst, const uint8_t* src, int64_t len) {
+  const int64_t n = len - 1;
+  if (n < 60) {
+    *dst++ = static_cast<uint8_t>(n << 2);
+  } else if (n < (1 << 8)) {
+    *dst++ = 60 << 2;
+    *dst++ = static_cast<uint8_t>(n);
+  } else if (n < (1 << 16)) {
+    *dst++ = 61 << 2;
+    *dst++ = static_cast<uint8_t>(n);
+    *dst++ = static_cast<uint8_t>(n >> 8);
+  } else if (n < (1 << 24)) {
+    *dst++ = 62 << 2;
+    *dst++ = static_cast<uint8_t>(n);
+    *dst++ = static_cast<uint8_t>(n >> 8);
+    *dst++ = static_cast<uint8_t>(n >> 16);
+  } else {
+    *dst++ = 63 << 2;
+    std::memcpy(dst, &n, 4);
+    dst += 4;
+  }
+  std::memcpy(dst, src, static_cast<size_t>(len));
+  return dst + len;
+}
+
+inline uint8_t* emit_copy2(uint8_t* dst, int64_t offset, int64_t len) {
+  *dst++ = static_cast<uint8_t>(((len - 1) << 2) | 2);
+  *dst++ = static_cast<uint8_t>(offset);
+  *dst++ = static_cast<uint8_t>(offset >> 8);
+  return dst;
+}
+
+inline uint8_t* emit_copy(uint8_t* dst, int64_t offset, int64_t len) {
+  while (len >= 68) {
+    dst = emit_copy2(dst, offset, 64);
+    len -= 64;
+  }
+  if (len > 64) {
+    dst = emit_copy2(dst, offset, 60);
+    len -= 60;
+  }
+  if (len < 12 && offset < 2048) {
+    *dst++ = static_cast<uint8_t>(((offset >> 8) << 5) | ((len - 4) << 2) | 1);
+    *dst++ = static_cast<uint8_t>(offset);
+    return dst;
+  }
+  return emit_copy2(dst, offset, len);
+}
+
+}  // namespace
+
+extern "C" uint32_t radc_crc32c(const uint8_t* p, int64_t n, uint32_t init) {
+  static const Crc32cTables tbl;
+  uint32_t crc = init ^ 0xffffffffu;
+  while (n >= 8) {
+    crc ^= load32(p);
+    const uint32_t hi = load32(p + 4);
+    crc = tbl.t[7][crc & 0xff] ^ tbl.t[6][(crc >> 8) & 0xff] ^
+          tbl.t[5][(crc >> 16) & 0xff] ^ tbl.t[4][crc >> 24] ^
+          tbl.t[3][hi & 0xff] ^ tbl.t[2][(hi >> 8) & 0xff] ^
+          tbl.t[1][(hi >> 16) & 0xff] ^ tbl.t[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n-- > 0) crc = (crc >> 8) ^ tbl.t[0][(crc ^ *p++) & 0xff];
+  return crc ^ 0xffffffffu;
+}
+
+// Greedy hash-table match finder over one block (callers frame <=64KiB
+// chunks).  dst must hold >= radc_snappy_max_compressed(n) bytes.
+// Returns bytes written.
+extern "C" int64_t radc_snappy_max_compressed(int64_t n) {
+  return 32 + n + n / 6;
+}
+
+extern "C" int64_t radc_snappy_compress(const uint8_t* src, int64_t n,
+                                        uint8_t* dst) {
+  uint8_t* d = dst;
+  // varint uncompressed length
+  uint64_t v = static_cast<uint64_t>(n);
+  while (v >= 0x80) {
+    *d++ = static_cast<uint8_t>(v) | 0x80;
+    v >>= 7;
+  }
+  *d++ = static_cast<uint8_t>(v);
+  if (n == 0) return d - dst;
+  if (n < 16) return emit_literal(d, src, n) - dst;
+
+  constexpr int kHashBits = 14;
+  uint16_t table[1 << kHashBits] = {0};
+  auto hash = [&](uint32_t x) -> uint32_t {
+    return (x * 0x1e35a7bdu) >> (32 - kHashBits);
+  };
+
+  const int64_t limit = n - 4;  // last position a 4-byte match can start
+  int64_t ip = 0;               // next position to examine
+  int64_t lit_start = 0;        // start of pending literal run
+  while (ip < limit) {
+    // skip ahead faster through incompressible regions (snappy's 1/32
+    // per-miss acceleration)
+    uint32_t skip = 32;
+    int64_t cand = -1;
+    int64_t pos = ip;
+    while (true) {
+      if (pos > limit) {
+        pos = -1;
+        break;
+      }
+      const uint32_t cur = load32(src + pos);
+      const uint32_t h = hash(cur);
+      cand = table[h];
+      table[h] = static_cast<uint16_t>(pos);
+      if (cand < pos && load32(src + cand) == cur) break;
+      pos += (skip++ >> 5);
+    }
+    if (pos < 0) break;
+    // emit pending literal
+    if (pos > lit_start) d = emit_literal(d, src + lit_start, pos - lit_start);
+    // extend the match
+    int64_t mlen = 4;
+    while (pos + mlen + 8 <= n) {
+      const uint64_t x = load64(src + cand + mlen) ^ load64(src + pos + mlen);
+      if (x) {
+        mlen += __builtin_ctzll(x) >> 3;
+        goto matched;
+      }
+      mlen += 8;
+    }
+    while (pos + mlen < n && src[cand + mlen] == src[pos + mlen]) ++mlen;
+  matched:
+    d = emit_copy(d, pos - cand, mlen);
+    ip = pos + mlen;
+    lit_start = ip;
+    if (ip < limit) {
+      // re-prime the table at the end of the match
+      table[hash(load32(src + ip - 1))] = static_cast<uint16_t>(ip - 1);
+    }
+  }
+  if (lit_start < n) d = emit_literal(d, src + lit_start, n - lit_start);
+  return d - dst;
+}
+
+// Decode one snappy block.  Returns bytes written, or -1 on malformed
+// input / dst overflow.
+extern "C" int64_t radc_snappy_uncompress(const uint8_t* src, int64_t n,
+                                          uint8_t* dst, int64_t dst_cap) {
+  int64_t pos = 0;
+  // varint uncompressed length (validated against dst_cap)
+  uint64_t ulen = 0;
+  int shift = 0;
+  while (true) {
+    if (pos >= n || shift > 63) return -1;
+    const uint8_t b = src[pos++];
+    ulen |= static_cast<uint64_t>(b & 0x7f) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+  }
+  if (static_cast<int64_t>(ulen) > dst_cap) return -1;
+  int64_t o = 0;
+  while (pos < n) {
+    const uint8_t tag = src[pos++];
+    const int kind = tag & 3;
+    if (kind == 0) {
+      int64_t len = tag >> 2;
+      if (len >= 60) {
+        const int nb = static_cast<int>(len) - 59;
+        if (pos + nb > n) return -1;
+        len = 0;
+        std::memcpy(&len, src + pos, nb);
+        pos += nb;
+      }
+      ++len;
+      if (pos + len > n || o + len > dst_cap) return -1;
+      std::memcpy(dst + o, src + pos, static_cast<size_t>(len));
+      pos += len;
+      o += len;
+    } else {
+      int64_t len, off;
+      if (kind == 1) {
+        if (pos + 1 > n) return -1;
+        len = ((tag >> 2) & 0x7) + 4;
+        off = (static_cast<int64_t>(tag >> 5) << 8) | src[pos];
+        pos += 1;
+      } else if (kind == 2) {
+        if (pos + 2 > n) return -1;
+        len = (tag >> 2) + 1;
+        off = src[pos] | (static_cast<int64_t>(src[pos + 1]) << 8);
+        pos += 2;
+      } else {
+        if (pos + 4 > n) return -1;
+        len = (tag >> 2) + 1;
+        uint32_t o32;
+        std::memcpy(&o32, src + pos, 4);
+        off = o32;
+        pos += 4;
+      }
+      if (off <= 0 || off > o || o + len > dst_cap) return -1;
+      if (off >= len) {
+        std::memcpy(dst + o, dst + o - off, static_cast<size_t>(len));
+      } else {
+        for (int64_t k = 0; k < len; ++k) dst[o + k] = dst[o - off + k];
+      }
+      o += len;
+    }
+  }
+  return o;
+}
