@@ -19,7 +19,7 @@ from ..constants import MAX_ATAC_FRAG_LEN
 from ..radz import read_prelude
 from ..radz.chunkio import decode_all_chunks
 from ..radz.records import RecordSchema
-from .sort import write_bed_rows
+from .sort import format_bed_rows
 from ..pipeline.logging_ import get_logger
 
 log = get_logger("atac.dedup")
@@ -88,11 +88,12 @@ def deduplicate(
     num_dedup = int((counts > 1).sum())
     num_long = int((flens[si] >= MAX_ATAC_FRAG_LEN).sum())
 
-    with open(input_dir / "map.bed", "w") as fh:
-        write_bed_rows(
-            fh, prelude.hdr.ref_names,
+    with open(input_dir / "map.bed", "wb") as fh:
+        fh.write(format_bed_rows(
+            prelude.hdr.ref_names,
             chrs[si], starts[si], flens[si], bcs[si], counts, bc_len, rev,
-        )
+            num_threads,
+        ))
 
     stats = {
         "num_multimapped": int(multimapped.sum()),

@@ -180,6 +180,14 @@ def _load():
             ctypes.c_int64,                    # bc_len
             ctypes.c_void_p, ctypes.c_void_p,  # counts_out, rep_out
         ]
+        lib.radc_format_bed.restype = ctypes.c_int64
+        lib.radc_format_bed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,  # name_bytes, name_offs
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # chrs, starts, ends
+            ctypes.c_void_p, ctypes.c_int64,   # bcs, bc_len
+            ctypes.c_void_p, ctypes.c_int64,   # counts, n
+            ctypes.c_void_p, ctypes.c_int32,   # out, n_threads
+        ]
         lib.radc_crc32c.restype = ctypes.c_uint32
         lib.radc_crc32c.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,
@@ -753,3 +761,29 @@ def snappy_uncompress(data, max_out: int) -> bytes:
     if n < 0:
         raise ValueError("malformed snappy block")
     return out[:n].tobytes()
+
+
+def format_bed(
+    ref_names, chrs, starts, ends, bcs, bc_len: int, counts, n_threads: int = 1
+) -> bytes:
+    """Render BED rows natively; ref_names is a sequence of str."""
+    lib = _load()
+    name_bytes = b"".join(s.encode() for s in ref_names)
+    name_offs = np.zeros(len(ref_names) + 1, np.int64)
+    np.cumsum([len(s.encode()) for s in ref_names], out=name_offs[1:])
+    nb = np.frombuffer(name_bytes, np.uint8) if name_bytes else np.zeros(1, np.uint8)
+    chrs = np.ascontiguousarray(chrs, np.int64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    bcs = np.ascontiguousarray(bcs, np.uint64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    n = len(chrs)
+    max_name = int((name_offs[1:] - name_offs[:-1]).max()) if len(ref_names) else 0
+    out = np.empty(n * (max_name + bc_len + 65), np.uint8)
+    w = lib.radc_format_bed(
+        nb.ctypes.data, name_offs.ctypes.data,
+        chrs.ctypes.data, starts.ctypes.data, ends.ctypes.data,
+        bcs.ctypes.data, bc_len, counts.ctypes.data, n,
+        out.ctypes.data, n_threads,
+    )
+    return out[:w].tobytes()

@@ -1755,3 +1755,72 @@ extern "C" int64_t radc_snappy_uncompress(const uint8_t* src, int64_t n,
   }
   return o;
 }
+
+// Format BED rows: "<chr>\t<start>\t<end>\t<barcode>\t<count>\n".
+// name_bytes/name_offs hold the concatenated reference names; bcs are
+// 2-bit packed (first base in the high bits, A=0 C=1 G=2 T=3).
+// Returns bytes written (caller sizes `out` for the worst case).
+extern "C" int64_t radc_format_bed(
+    const uint8_t* name_bytes, const int64_t* name_offs,
+    const int64_t* chrs, const int64_t* starts, const int64_t* ends,
+    const uint64_t* bcs, int64_t bc_len,
+    const int64_t* counts, int64_t n,
+    uint8_t* out, int32_t n_threads) {
+  static const char kBases[4] = {'A', 'C', 'G', 'T'};
+  auto render = [&](int64_t lo, int64_t hi, uint8_t* dst) -> int64_t {
+    uint8_t* p = dst;
+    auto emit = [&p](int64_t v) {
+      char tmp[20];
+      int k = 0;
+      do {
+        tmp[k++] = static_cast<char>('0' + (v % 10));
+        v /= 10;
+      } while (v);
+      while (k) *p++ = static_cast<uint8_t>(tmp[--k]);
+    };
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t c = chrs[i];
+      const int64_t nb = name_offs[c + 1] - name_offs[c];
+      std::memcpy(p, name_bytes + name_offs[c], static_cast<size_t>(nb));
+      p += nb;
+      *p++ = '\t';
+      emit(starts[i]);
+      *p++ = '\t';
+      emit(ends[i]);
+      *p++ = '\t';
+      const uint64_t bc = bcs[i];
+      for (int64_t k = bc_len - 1; k >= 0; --k)
+        *p++ = static_cast<uint8_t>(kBases[(bc >> (2 * k)) & 3]);
+      *p++ = '\t';
+      emit(counts[i]);
+      *p++ = '\n';
+    }
+    return p - dst;
+  };
+  if (n_threads <= 1 || n < (1 << 16)) return render(0, n, out);
+  // parallel render into slabs, then compact
+  const int nt = std::min<int64_t>(n_threads, 16);
+  std::vector<int64_t> lo(nt + 1);
+  for (int t = 0; t <= nt; ++t) lo[t] = n * t / nt;
+  // worst-case bytes per row for slab sizing
+  int64_t max_name = 0;
+  int64_t nrefs = 0;
+  for (int64_t i = 0; i < n; ++i) nrefs = std::max(nrefs, chrs[i] + 1);
+  for (int64_t c = 0; c < nrefs; ++c)
+    max_name = std::max(max_name, name_offs[c + 1] - name_offs[c]);
+  const int64_t per_row = max_name + bc_len + 3 * 20 + 5;
+  std::vector<std::vector<uint8_t>> slabs(nt);
+  std::vector<int64_t> written(nt);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    slabs[t].resize(static_cast<size_t>((lo[t + 1] - lo[t]) * per_row));
+    ts.emplace_back([&, t] { written[t] = render(lo[t], lo[t + 1], slabs[t].data()); });
+  }
+  for (auto& th : ts) th.join();
+  uint8_t* p = out;
+  for (int t = 0; t < nt; ++t) {
+    std::memcpy(p, slabs[t].data(), static_cast<size_t>(written[t]));
+    p += written[t];
+  }
+  return p - out;
+}

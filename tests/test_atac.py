@@ -102,3 +102,91 @@ def test_atac_full_pipeline(tmp_path):
     assert cols[1][1] == "1000" and cols[1][4] == "2"
     assert cols[2][1] == "220000"
     assert cols[3][1] == "50"
+
+
+def _random_dataset(tmp_path, n_reads=3000, seed=0):
+    """Random ATAC dataset spanning many genomic bins, two cells of
+    which one needs 1-edit rescue."""
+    rng = np.random.RandomState(seed)
+    refs = ["chr1", "chr2", "chr3"]
+    ref_lens = [900_000, 500_000, 300_000]
+    CB = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG"]
+    reads = []
+    for _ in range(n_reads):
+        bc = CB[rng.randint(3)]
+        ref = rng.randint(3)
+        pos = int(rng.randint(ref_lens[ref] - 3000))
+        flen = int(rng.randint(30, 2500))
+        if rng.rand() < 0.05:  # some multimapped (dropped by sort)
+            alns = [(ref, 4, pos, flen), ((ref + 1) % 3, 4, pos + 7, flen)]
+        else:
+            alns = [(ref, 4, pos, flen)]
+        reads.append((pack_seq(bc), alns))
+    # duplicate ~10% of fragments
+    for i in rng.choice(n_reads, n_reads // 10, replace=False):
+        reads.append(reads[int(i)])
+    chunks = [reads[i : i + 500] for i in range(0, len(reads), 500)]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_atac_rad(rad_dir / "map.rad", refs, ref_lens, chunks, bc_len=BC_LEN)
+    wl = tmp_path / "wl.txt"
+    rcs = [
+        unpack_seq(int(revcomp_packed(np.asarray([pack_seq(c)], np.uint64), BC_LEN)[0]), BC_LEN)
+        for c in CB
+    ]
+    wl.write_text("".join(r + "\n" for r in rcs))
+    return rad_dir, wl
+
+
+def test_atac_sort_out_of_core_matches_in_memory(tmp_path):
+    """Sorting with max_records smaller than the dataset scatters to
+    genomic-bin spill buckets (atac/sort.rs:484-512) and produces
+    byte-identical BED output to the single-bucket in-memory path."""
+    from alevin_fry_tpu.atac.sort import sort as atac_sort
+
+    rad_dir, wl = _random_dataset(tmp_path)
+    gpl = tmp_path / "gpl"
+    assert main([
+        "atac", "generate-permit-list", "-i", str(rad_dir), "-o", str(gpl),
+        "-u", str(wl), "-m", "1", "-d", "rc",
+    ]) == 0
+
+    atac_sort(gpl, rad_dir, num_threads=2, max_records=10_000_000)
+    in_mem = (gpl / "map.bed").read_bytes()
+    assert len(in_mem) > 0
+
+    atac_sort(gpl, rad_dir, num_threads=2, max_records=300)
+    assert not (gpl / "_sort_tmp").exists()
+    assert (gpl / "map.bed").read_bytes() == in_mem
+
+    # compressed output round-trips to the same bytes
+    atac_sort(gpl, rad_dir, num_threads=2, max_records=300, compress_out=True)
+    import gzip
+
+    assert gzip.open(gpl / "map.bed.gz", "rb").read() == in_mem
+
+
+def test_format_bed_native_matches_numpy(tmp_path):
+    """Native BED renderer and the NumPy fallback emit identical bytes."""
+    import pytest
+
+    from alevin_fry_tpu.atac.sort import format_bed_rows
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        pytest.skip("native codec not built")
+    rng = np.random.RandomState(3)
+    n = 500
+    chrs = rng.randint(0, 3, n)
+    starts = rng.randint(0, 1 << 31, n)
+    flens = rng.randint(1, 2 * 2000, n)  # some beyond MAX get filtered
+    bcs = rng.randint(0, 1 << 16, n).astype(np.uint64)
+    counts = rng.randint(1, 9, n)
+    args = (["chr1", "chrMT", "x"], chrs, starts, flens, bcs, counts, BC_LEN, True)
+    nat = format_bed_rows(*args, n_threads=2)
+    lib, _native._LIB = _native._LIB, None
+    try:
+        pure = format_bed_rows(*args)
+    finally:
+        _native._LIB = lib
+    assert nat == pure
