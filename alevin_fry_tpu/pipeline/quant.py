@@ -733,8 +733,18 @@ def _write_outputs(
             fh.write("".join(f"{g}-U\n" for g in gene_names))
             fh.write("".join(f"{g}-A\n" for g in gene_names))
 
-    # quants_mat_rows.txt + featureDump.txt
-    bc_strs = unpack_seqs_to_strings(result.cell_bcs, barcode_len)
+    # quants_mat_rows.txt + featureDump.txt (barcode strings unpacked
+    # vectorized: 2-bit matrix -> fixed-width byte view -> unicode)
+    from ..ops.barcodes import unpack_seqs
+
+    bc_strs = (
+        unpack_seqs(result.cell_bcs, barcode_len)
+        .view(f"S{barcode_len}")
+        .ravel()
+        .astype(f"U{barcode_len}")
+        if n_rows_out
+        else np.zeros(0, dtype="U1")
+    )
     unmapped_cts = unmapped.get(result.cell_bcs)
 
     # per-cell stats from the COO triplets
@@ -786,31 +796,37 @@ def _write_outputs(
     s_dedup = format_f32_list(dedup_rate_v)
     s_mbm = format_f32_list(mean_by_max)
 
-    fd_lines = []
-    bc_lines = []
-    for i in range(n_rows_out):
-        bc_str = bc_strs[i]
-        sn = None
-        if sample_names is not None and result.sample_idx is not None:
-            si = int(result.sample_idx[i])
-            sn = sample_names[si] if si < len(sample_names) else None
-        if sn is not None:
-            bc_lines.append(f"{sn}_{bc_str}\n")
-            head = f"{bc_str}\t{sn}\t"
-        elif sample_names is not None:
-            # should not happen post simpleaf#195 fix; keep 10 fields
-            bc_lines.append(f"{bc_str}\n")
-            head = f"{bc_str}\tNA\t"
-        else:
-            bc_lines.append(f"{bc_str}\n")
-            head = f"{bc_str}\t"
-        fd_lines.append(
-            f"{head}{nm_v[i] + nu_v[i]}\t{nm_v[i]}\t{s_sum[i]}\t"
-            f"{s_map[i]}\t{s_dedup[i]}\t"
-            f"{s_mbm[i]}\t{num_expr[i]}\t{over_mean[i]}\n"
+    # vectorized line assembly (no per-cell Python loop)
+    bc_u = np.asarray(bc_strs, dtype="U")
+    tab = np.full(n_rows_out, "\t", dtype="U1")
+    if sample_names is not None and result.sample_idx is not None:
+        si = np.asarray(result.sample_idx, np.int64)
+        valid = si < len(sample_names)
+        names_u = np.asarray(list(sample_names) + ["NA"], dtype="U")
+        sn_u = names_u[np.where(valid, si, len(sample_names))]
+        # rows file: "<sample>_<bc>" when the sample resolves, bare bc
+        # otherwise (should not happen post simpleaf#195 fix)
+        bc_rows = np.where(
+            valid,
+            np.char.add(np.char.add(sn_u, "_"), bc_u),
+            bc_u,
         )
+        head = np.char.add(np.char.add(np.char.add(bc_u, tab), sn_u), tab)
+    else:
+        bc_rows = bc_u
+        head = np.char.add(bc_u, tab)
+    line = head
+    for piece in (
+        (nm_v + nu_v).astype("U20"), tab, nm_v.astype("U20"), tab,
+        np.asarray(s_sum, dtype="U"), tab, np.asarray(s_map, dtype="U"), tab,
+        np.asarray(s_dedup, dtype="U"), tab, np.asarray(s_mbm, dtype="U"), tab,
+        num_expr.astype("U20"), tab, over_mean.astype("U20"),
+        np.full(n_rows_out, "\n", dtype="U1"),
+    ):
+        line = np.char.add(line, piece)
+    fd_lines = line.tolist()
     with open(mat_path / "quants_mat_rows.txt", "w") as fbc:
-        fbc.write("".join(bc_lines))
+        fbc.write("\n".join(bc_rows.tolist()) + ("\n" if n_rows_out else ""))
     with open(out_path / "featureDump.txt", "w") as ffd:
         if sample_names is not None:
             ffd.write(
@@ -843,7 +859,10 @@ def _write_outputs(
             (n_rows_out, num_rows),
         )
 
-    if opts.dump_eq and result.dump_eq_data is not None:
+    if opts.dump_eq:
+        # fast-path (small) cells contribute no classes (the reference's
+        # gene_eqc map is never touched below the threshold,
+        # quant.rs:1269-1272), but the dump artifacts are still written
         _write_eqc_counts(result, num_rows, usa_mode, mat_path)
 
     meta_info = {
@@ -897,61 +916,137 @@ def _write_eqc_counts(result: CellResult, num_rows: int, usa_mode: bool, mat_pat
 
     Global eqclass ids are assigned in first-encounter order over cells
     (deterministic here since cell order is deterministic); labels are
-    written with USA relabeling when usa_mode."""
-    # global interning of label lists across cells (and across streamed
-    # blocks — dump_eq_data is a list of per-block CellEqClasses with
-    # global cell ids; first-encounter order is deterministic because
-    # blocks and cells arrive in file order)
-    key_to_id: Dict[bytes, int] = {}
-    trip_r: List[int] = []
-    trip_c: List[int] = []
-    trip_v: List[float] = []
-    id_labels: List[np.ndarray] = []
-    cell_rows = {int(c): r for r, c in enumerate(result.cells)}
-    for eqc in result.dump_eq_data:
-        for k, ci in enumerate(eqc.cell_ids):
-            s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
-            row = cell_rows.get(int(ci))
-            if row is None:
-                continue
-            for j in range(s, e):
-                lab = eqc.labels[eqc.label_offsets[j] : eqc.label_offsets[j + 1]]
-                kb = lab.tobytes()
-                gid = key_to_id.get(kb)
-                if gid is None:
-                    gid = len(key_to_id)
-                    key_to_id[kb] = gid
-                    id_labels.append(lab)
-                trip_r.append(row)
-                trip_c.append(gid)
-                trip_v.append(float(eqc.counts[j]))
+    written with USA relabeling when usa_mode.  Fully vectorized: label
+    sets are flattened across the streamed blocks, interned natively
+    (radc_intern_label_sets; first-encounter order preserved), and the
+    text file is rendered in bulk."""
+    from ..radz import _native
+
+    cells = np.asarray(result.cells, np.uint64)
+    cell_order = np.argsort(cells, kind="stable")
+    sorted_cells = cells[cell_order]
+
+    rows_parts, counts_parts, labels_parts, lens_parts = [], [], [], []
+    for eqc in result.dump_eq_data or []:
+        cid = np.asarray(eqc.cell_ids, np.uint64)
+        if len(cid) == 0:
+            continue
+        # map block cell ids -> output rows; drop unlisted cells
+        idx = np.searchsorted(sorted_cells, cid)
+        idx_c = np.minimum(idx, max(len(sorted_cells) - 1, 0))
+        ok = (
+            (len(sorted_cells) > 0)
+            & (idx < len(sorted_cells))
+            & (sorted_cells[idx_c] == cid)
+        )
+        row_of_cell = np.where(ok, cell_order[idx_c], -1)
+        class_rows = np.repeat(row_of_cell, np.diff(eqc.cell_eq_offsets))
+        keep = class_rows >= 0
+        lens = np.diff(eqc.label_offsets)
+        if keep.all():
+            labels_parts.append(eqc.labels)
+            lens_parts.append(lens)
+            rows_parts.append(class_rows)
+            counts_parts.append(eqc.counts)
+        else:
+            kidx = np.flatnonzero(keep)
+            klens = lens[kidx]
+            gather = np.repeat(
+                np.asarray(eqc.label_offsets)[kidx], klens
+            ) + (
+                np.arange(int(klens.sum()))
+                - np.repeat(np.cumsum(klens) - klens, klens)
+            )
+            labels_parts.append(np.asarray(eqc.labels)[gather])
+            lens_parts.append(klens)
+            rows_parts.append(class_rows[kidx])
+            counts_parts.append(np.asarray(eqc.counts)[kidx])
+
+    if rows_parts:
+        trip_r = np.concatenate(rows_parts).astype(np.int64)
+        trip_v = np.concatenate(counts_parts).astype(np.float32)
+        labels_flat = np.concatenate(labels_parts).astype(np.uint64)
+        set_lens = np.concatenate(lens_parts).astype(np.int64)
+    else:
+        trip_r = np.zeros(0, np.int64)
+        trip_v = np.zeros(0, np.float32)
+        labels_flat = np.zeros(0, np.uint64)
+        set_lens = np.zeros(0, np.int64)
+    offs = np.zeros(len(set_lens) + 1, np.int64)
+    np.cumsum(set_lens, out=offs[1:])
+
+    if _native.available():
+        ids, rep = _native.intern_label_sets(labels_flat, offs)
+    else:
+        key_to_id: Dict[bytes, int] = {}
+        ids = np.empty(len(set_lens), np.int64)
+        rep_l: List[int] = []
+        for i in range(len(set_lens)):
+            kb = labels_flat[offs[i] : offs[i + 1]].tobytes()
+            gid = key_to_id.get(kb)
+            if gid is None:
+                gid = len(key_to_id)
+                key_to_id[kb] = gid
+                rep_l.append(i)
+            ids[i] = gid
+        rep = np.asarray(rep_l, np.int64)
+
     write_matrix_market(
         mat_path / "geqc_counts.mtx",
-        np.asarray(trip_r, np.int64), np.asarray(trip_c, np.int64),
-        np.asarray(trip_v, np.float32),
-        (len(result.cells), len(key_to_id)),
+        trip_r, ids, trip_v,
+        (len(result.cells), len(rep)),
     )
+
+    # representative label slices, flattened in global-id order
+    rep_lens = offs[rep + 1] - offs[rep] if len(rep) else np.zeros(0, np.int64)
+    rep_off = np.zeros(len(rep) + 1, np.int64)
+    np.cumsum(rep_lens, out=rep_off[1:])
+    gidx = np.repeat(offs[rep], rep_lens) + (
+        np.arange(int(rep_off[-1])) - np.repeat(rep_off[:-1], rep_lens)
+    )
+    rl = labels_flat[gidx]
+
     unspliced_off = num_rows // 3
     ambig_off = 2 * unspliced_off
-    with gzip.open(mat_path / "gene_eqclass.txt.gz", "wt") as fh:
-        fh.write(f"{num_rows}\n")
-        fh.write(f"{len(key_to_id)}\n")
-        for eqid, lab in enumerate(id_labels):
-            if usa_mode:
-                toks = []
-                i = 0
-                while i < len(lab):
-                    cg = int(lab[i])
-                    if i + 1 < len(lab) and same_gene(cg, int(lab[i + 1]), True):
-                        toks.append((cg >> 1) + ambig_off)
-                        i += 2
-                        continue
-                    if cg % 2 == 0:
-                        toks.append(cg >> 1)
-                    else:
-                        toks.append((cg >> 1) + unspliced_off)
-                    i += 1
-                fh.write("\t".join(str(t) for t in toks))
-            else:
-                fh.write("\t".join(str(int(g)) for g in lab))
-            fh.write(f"\t{eqid}\n")
+    if usa_mode and len(rl):
+        # USA relabel (quant.rs:286-338): a (spliced 2k, unspliced 2k+1)
+        # adjacent pair inside one class collapses to one ambiguous
+        # token.  Labels are sorted+unique per class, so pairs are
+        # exactly {2k, 2k+1} and can never overlap — greedy == mask.
+        cls = np.repeat(np.arange(len(rep), dtype=np.int64), rep_lens)
+        nxt = np.zeros(len(rl), bool)
+        nxt[:-1] = (cls[1:] == cls[:-1]) & (rl[1:] == rl[:-1] + 1)
+        pair = nxt & (rl % 2 == 0)
+        consumed = np.zeros(len(rl), bool)
+        consumed[1:] = pair[:-1]
+        tok = np.where(
+            pair,
+            (rl >> np.uint64(1)) + np.uint64(ambig_off),
+            np.where(
+                rl % 2 == 0,
+                rl >> np.uint64(1),
+                (rl >> np.uint64(1)) + np.uint64(unspliced_off),
+            ),
+        )
+        keepm = ~consumed
+        tok = tok[keepm]
+        new_lens = np.add.reduceat(keepm.astype(np.int64), rep_off[:-1])
+        new_off = np.zeros(len(rep) + 1, np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+    else:
+        tok = rl
+        new_off = rep_off
+
+    if _native.available():
+        body = _native.format_eqc_rows(tok, new_off)
+    else:
+        parts = []
+        for eqid in range(len(rep)):
+            vals = tok[new_off[eqid] : new_off[eqid + 1]]
+            parts.append(
+                "\t".join(str(int(t)) for t in vals) + f"\t{eqid}\n"
+            )
+        body = "".join(parts).encode()
+    with gzip.open(mat_path / "gene_eqclass.txt.gz", "wb") as fh:
+        fh.write(f"{num_rows}\n{len(rep)}\n".encode())
+        fh.write(body)

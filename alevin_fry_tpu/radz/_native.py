@@ -188,6 +188,15 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,   # counts, n
             ctypes.c_void_p, ctypes.c_int32,   # out, n_threads
         ]
+        lib.radc_intern_label_sets.restype = ctypes.c_int64
+        lib.radc_intern_label_sets.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.radc_format_eqc_rows.restype = ctypes.c_int64
+        lib.radc_format_eqc_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.radc_crc32c.restype = ctypes.c_uint32
         lib.radc_crc32c.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,
@@ -785,5 +794,34 @@ def format_bed(
         chrs.ctypes.data, starts.ctypes.data, ends.ctypes.data,
         bcs.ctypes.data, bc_len, counts.ctypes.data, n,
         out.ctypes.data, n_threads,
+    )
+    return out[:w].tobytes()
+
+
+def intern_label_sets(labels: np.ndarray, offsets: np.ndarray):
+    """First-encounter-order interning of variable-length u64 label
+    sets.  Returns (ids per set, representative set index per id)."""
+    lib = _load()
+    labels = np.ascontiguousarray(labels, np.uint64)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n_sets = len(offsets) - 1
+    ids = np.empty(n_sets, np.int64)
+    rep = np.empty(max(n_sets, 1), np.int64)
+    n_uniq = lib.radc_intern_label_sets(
+        labels.ctypes.data, offsets.ctypes.data, n_sets,
+        ids.ctypes.data, rep.ctypes.data,
+    )
+    return ids, rep[:n_uniq]
+
+
+def format_eqc_rows(vals: np.ndarray, offsets: np.ndarray) -> bytes:
+    """Render '<v0>\\t<v1>...\\t<row>\\n' rows natively."""
+    lib = _load()
+    vals = np.ascontiguousarray(vals, np.uint64)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n_rows = len(offsets) - 1
+    out = np.empty(21 * len(vals) + 22 * max(n_rows, 1), np.uint8)
+    w = lib.radc_format_eqc_rows(
+        vals.ctypes.data, offsets.ctypes.data, n_rows, out.ctypes.data
     )
     return out[:w].tobytes()

@@ -1824,3 +1824,71 @@ extern "C" int64_t radc_format_bed(
   }
   return p - out;
 }
+
+// Intern variable-length u64 label sets in first-encounter order.
+// ids_out[i] = global id of set i; rep_out[g] = index of the first set
+// with id g.  Returns the number of unique sets.
+extern "C" int64_t radc_intern_label_sets(const uint64_t* labels,
+                                          const int64_t* offs, int64_t n_sets,
+                                          int64_t* ids_out, int64_t* rep_out) {
+  int64_t cap = 64;
+  while (cap < n_sets * 2) cap <<= 1;
+  std::vector<int64_t> slot(cap, -1);  // -> global id
+  std::vector<int64_t> rep;            // global id -> representative set
+  rep.reserve(n_sets);
+  const int64_t mask = cap - 1;
+  for (int64_t i = 0; i < n_sets; ++i) {
+    const int64_t s = offs[i], e = offs[i + 1];
+    uint64_t h = 0x243f6a8885a308d3ull;
+    for (int64_t j = s; j < e; ++j) h = mix64(h ^ labels[j]);
+    int64_t p = static_cast<int64_t>(h) & mask;
+    int64_t id = -1;
+    while (true) {
+      const int64_t g = slot[p];
+      if (g < 0) break;
+      const int64_t rs = offs[rep[g]], re = offs[rep[g] + 1];
+      if (re - rs == e - s &&
+          std::memcmp(labels + rs, labels + s,
+                      static_cast<size_t>(e - s) * 8) == 0) {
+        id = g;
+        break;
+      }
+      p = (p + 1) & mask;
+    }
+    if (id < 0) {
+      id = static_cast<int64_t>(rep.size());
+      rep.push_back(i);
+      slot[p] = id;
+    }
+    ids_out[i] = id;
+  }
+  for (size_t g = 0; g < rep.size(); ++g) rep_out[g] = rep[g];
+  return static_cast<int64_t>(rep.size());
+}
+
+// Render rows of tab-joined u64 values with a trailing row index:
+// "<v0>\t<v1>...\t<row>\n".  Returns bytes written (caller sizes out
+// for 21 bytes per value + 22 per row).
+extern "C" int64_t radc_format_eqc_rows(const uint64_t* vals,
+                                        const int64_t* offs, int64_t n_rows,
+                                        uint8_t* out) {
+  uint8_t* p = out;
+  auto emit = [&p](uint64_t v) {
+    char tmp[20];
+    int k = 0;
+    do {
+      tmp[k++] = static_cast<char>('0' + (v % 10));
+      v /= 10;
+    } while (v);
+    while (k) *p++ = static_cast<uint8_t>(tmp[--k]);
+  };
+  for (int64_t r = 0; r < n_rows; ++r) {
+    for (int64_t j = offs[r]; j < offs[r + 1]; ++j) {
+      emit(vals[j]);
+      *p++ = '\t';
+    }
+    emit(static_cast<uint64_t>(r));
+    *p++ = '\n';
+  }
+  return p - out;
+}

@@ -77,3 +77,65 @@ def test_dump_eq_infer_roundtrip(tmp_path):
     m_infer = _mat(tmp_path / "inferred" / "quants_mat.mtx")
     assert m_quant.shape == m_infer.shape
     np.testing.assert_allclose(m_infer, m_quant, rtol=5e-3, atol=5e-3)
+
+
+def test_dump_eq_native_matches_pure(tmp_path):
+    """Native interning/formatting and the pure-Python fallback write
+    byte-identical geqc_counts.mtx and gene_eqclass.txt.gz (USA mode
+    exercises the vectorized relabeling)."""
+    import gzip
+
+    import pytest
+
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        pytest.skip("native codec not built")
+
+    refs = ["t0", "t1", "t2", "t3"]
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG"]
+    reads = []
+    rng = np.random.RandomState(5)
+    for bc in bcs:
+        for i in range(150):
+            tids = sorted(set(rng.randint(0, 4, rng.randint(1, 4)).tolist()))
+            reads.append(
+                (pack_seq(bc), _pad_umi(rng.randint(500)),
+                 [(t, True) for t in tids])
+            )
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, [reads], bc_len=8, umi_len=10)
+    (tmp_path / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+    # 3-column t2g -> USA mode (t3 unspliced of g1)
+    (tmp_path / "t2g.tsv").write_text(
+        "t0\tg0\tS\nt1\tg1\tS\nt2\tg0\tU\nt3\tg1\tU\n"
+    )
+    gpl = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=tmp_path / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(gpl, rad_dir, cmdline="t")
+
+    outs = {}
+    for tag in ("native", "pure"):
+        qdir = tmp_path / f"q_{tag}"
+        if tag == "pure":
+            lib, _native._LIB = _native._LIB, None
+        try:
+            quantify(QuantOpts(
+                input_dir=gpl, tg_map=tmp_path / "t2g.tsv", output_dir=qdir,
+                resolution="cr-like", dump_eq=True, cmdline="t",
+            ))
+        finally:
+            if tag == "pure":
+                _native._LIB = lib
+        outs[tag] = (
+            (qdir / "alevin" / "geqc_counts.mtx").read_bytes(),
+            gzip.open(qdir / "alevin" / "gene_eqclass.txt.gz", "rb").read(),
+        )
+    assert outs["native"][0] == outs["pure"][0]
+    assert outs["native"][1] == outs["pure"][1]
