@@ -211,7 +211,11 @@ def sort(
         spill_dir.mkdir(exist_ok=True)
         files = [open(spill_dir / f"bin_{b}.rows", "wb") for b in range(n_buckets)]
         try:
-            for batch in iter_decoded_blocks(fh, schema, nc, max_records):
+            from ..parallel.prefetch import prefetched
+
+            for batch in prefetched(
+                iter_decoded_blocks(fh, schema, nc, max_records)
+            ):
                 rows = _extract_cols(batch, map_keys, map_vals)
                 if len(rows) == 0:
                     continue

@@ -143,9 +143,13 @@ def _collate_out_of_core(
             # ATAC gpl outputs may leave num_chunks = 0 in the header
             # (chunk count lives in the gpl JSON, atac/collate.rs:212);
             # None = stream until EOF
-            for batch in iter_decoded_blocks(
+            from ..parallel.prefetch import prefetched
+
+            # decode of block k+1 overlaps the scatter of block k
+            # (collate.rs:646-763 reader/worker pattern)
+            for batch in prefetched(iter_decoded_blocks(
                 fh, schema, prelude.hdr.num_chunks or None, max_records
-            ):
+            )):
                 corrected, keep_read, keep_aln, new_offsets, _ = (
                     correct_and_filter(batch, map_keys, map_vals, expected_ori)
                 )

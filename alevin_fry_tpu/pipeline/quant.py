@@ -183,10 +183,14 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
 
     block_records = int(os.environ.get("AFT_QUANT_BLOCK_RECORDS", 30_000_000))
     parts: List[tuple] = []
-    for batch in iter_decoded_blocks(
+    from ..parallel.prefetch import prefetched
+
+    # decode of block k+1 overlaps resolution of block k (the
+    # reference's reader-thread/worker pattern, quant.rs:1527-1743)
+    for batch in prefetched(iter_decoded_blocks(
         br, schema, hdr.num_chunks, block_records,
         skip_read_fields=set(schema.barcode_fields), want_dirs=False,
-    ):
+    )):
         first = batch.first_chunk
         batch.chunk_id = batch.chunk_id - first
         n_local = len(batch.chunk_offsets) - 1
