@@ -248,32 +248,34 @@ def _winners_prefer_ambig(tc, tu, tg, t_counts) -> UmiGroups:
     )
 
 
-def device_backend_enabled(n_pairs: int) -> bool:
-    """Whether the jitted device WTA kernel should handle this batch.
-
-    ``AFT_CRLIKE_BACKEND`` = ``jax`` forces it, ``host`` disables it;
-    ``auto`` (default) uses the device only when jax's default backend
-    is a real accelerator and the batch is large enough to amortize
-    dispatch."""
-    import os
-
-    mode = os.environ.get("AFT_CRLIKE_BACKEND", "auto")
-    if mode == "host":
-        return False
-    if mode == "jax":
-        return True
-    # the threaded native host path already resolves ~10M pairs/s; the
-    # device only wins when the batch is large enough to amortize the
-    # transfer + dispatch (and far more when the chip sits behind a
-    # network tunnel), so auto engages only for very large batches
-    if n_pairs < (1 << 23):
-        return False
+def accelerator_present() -> bool:
+    """True when jax's default backend is a real accelerator (the jax
+    import is deferred so host-only runs never pay for it)."""
     try:
         import jax
 
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False
+
+
+def device_backend_enabled(n_pairs: int) -> bool:
+    """Whether the jitted device WTA kernel should handle this batch.
+
+    ``AFT_CRLIKE_BACKEND`` = ``jax`` forces it, ``host`` disables it;
+    ``auto`` (default) resolves on the device whenever jax's default
+    backend is a real accelerator — the device path IS the pipeline
+    when a TPU is attached (quant.rs:643-1283 is the behavioral spec;
+    the host kernel remains the CPU-only fallback)."""
+    import os
+
+    del n_pairs
+    mode = os.environ.get("AFT_CRLIKE_BACKEND", "auto")
+    if mode == "host":
+        return False
+    if mode == "jax":
+        return True
+    return accelerator_present()
 
 
 def wta_counts_native(

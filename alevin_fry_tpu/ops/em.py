@@ -508,9 +508,17 @@ def em_cells_batched(
         return results
 
     if use_jax is None:
-        # below ~64 EM cells the jit compile dominates; NumPy wins —
-        # unless a mesh was explicitly requested (device execution)
-        use_jax = mesh is not None or len(em_cells) >= 64
+        # the batched device kernel is the default whenever a real
+        # accelerator backend is attached or a mesh was requested; on
+        # CPU-only hosts NumPy wins below ~64 EM cells (jit compile
+        # dominates there)
+        from .crlike import accelerator_present
+
+        use_jax = (
+            mesh is not None
+            or len(em_cells) >= 64
+            or accelerator_present()
+        )
 
     if not use_jax:
         for ci in em_cells:

@@ -31,8 +31,12 @@ def make_mesh(n_devices: int | None = None, axis: str = "cells") -> Mesh:
 
 
 def mesh_from_env() -> Mesh | None:
-    """Build the cells-axis mesh requested by ``AFT_EM_MESH`` (unset /
-    ``0`` → no mesh; ``auto`` → all devices; an integer → that many).
+    """Build the cells-axis mesh for the batched EM.  ``AFT_EM_MESH``
+    overrides (``0``/``none`` → no mesh; ``auto`` → all devices; an
+    integer → that many).  Unset = ``auto`` when jax's default backend
+    is a real accelerator (multi-chip sharding is the default on TPU
+    pods; a single attached chip yields no mesh and plain jit), no
+    mesh on CPU-only hosts.
 
     The EM batch sizes are quantized to {64, 512, 4096}
     (ops/em.py::em_cells_batched), so the device count is clamped to
@@ -41,7 +45,11 @@ def mesh_from_env() -> Mesh | None:
     import os
 
     spec = os.environ.get("AFT_EM_MESH", "").strip().lower()
-    if spec in ("", "0", "none", "off"):
+    if spec == "":
+        from ..ops.crlike import accelerator_present
+
+        spec = "auto" if accelerator_present() else "0"
+    if spec in ("0", "none", "off"):
         return None
     avail = len(jax.devices())
     want = avail if spec == "auto" else max(1, int(spec))
@@ -64,33 +72,42 @@ def sharded_histogram(mesh: Mesh, bcs: jnp.ndarray, wl_sorted: jnp.ndarray):
     (bc_len > 16 bases needs more than 32 bits)."""
     axis = mesh.axis_names[0]
 
-    def local_hist(b, wl):
+    def local_hist(b, v, wl):
         idx = jnp.searchsorted(wl, b)
         idx_c = jnp.minimum(idx, wl.shape[0] - 1)
-        hit = wl[idx_c] == b
+        hit = (wl[idx_c] == b) & v
         cnt = jnp.zeros(wl.shape[0], jnp.int32).at[jnp.where(hit, idx_c, 0)].add(
             hit.astype(jnp.int32)
         )
-        unmatched = (~hit).sum()
+        unmatched = (~hit & v).sum()
         return (
             jax.lax.psum(cnt, axis),
             jax.lax.psum(unmatched, axis),
+            hit,
         )
 
     fn = jax.shard_map(
         local_hist,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(), P(), P(axis)),
     )
+    n = len(bcs)
+    n_dev = int(np.prod(mesh.devices.shape))
+    pad = (-n) % n_dev
+    bcs_p = np.concatenate(
+        [np.asarray(bcs, np.uint64), np.zeros(pad, np.uint64)]
+    )
+    valid = np.ones(n + pad, bool)
+    valid[n:] = False
     with jax.enable_x64(True):
-        b = jax.device_put(
-            np.asarray(bcs, np.uint64), NamedSharding(mesh, P(axis))
-        )
+        b = jax.device_put(bcs_p, NamedSharding(mesh, P(axis)))
+        v = jax.device_put(valid, NamedSharding(mesh, P(axis)))
         wl = jax.device_put(
             np.asarray(wl_sorted, np.uint64), NamedSharding(mesh, P())
         )
-        return fn(b, wl)
+        cnt, unm, hit = fn(b, v, wl)
+        return cnt, unm, np.asarray(hit)[:n]
 
 
 def sharded_em_step(mesh: Mesh):

@@ -123,6 +123,36 @@ def _histogram(bcs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return uniq, counts.astype(np.uint64)
 
 
+def gpl_mesh_from_env():
+    """Device mesh for the barcode histogram.  ``AFT_GPL_MESH``
+    overrides (``0``/``none`` → host; ``auto`` → all devices; integer →
+    that many); unset = ``auto`` when jax's default backend is a real
+    accelerator.  Needs ≥ 2 devices — with one chip the host histogram
+    already saturates the decode stream, so the device path is the
+    multi-chip (pod) regime (cellfilter.rs:1762-1888 is the behavioral
+    spec: DashMap histogram + thread-local unmatched lists → psum'd
+    per-shard counts + host-side unmatched tail)."""
+    import os
+
+    spec = os.environ.get("AFT_GPL_MESH", "").strip().lower()
+    if spec == "":
+        from ..ops.crlike import accelerator_present
+
+        spec = "auto" if accelerator_present() else "0"
+    if spec in ("0", "none", "off"):
+        return None
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    avail = len(jax.devices())
+    want = avail if spec == "auto" else max(1, int(spec))
+    n = min(want, avail)
+    if n < 2:
+        return None
+    return make_mesh(n)
+
+
 def _merge_histograms(a_bc, a_ct, b_bc, b_ct):
     """Merge two sorted histograms (sorted-merge + segment sum)."""
     if len(a_bc) == 0:
@@ -238,16 +268,49 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
         max_ambig = 0
         h_bc = np.zeros(0, np.uint64)
         h_ct = np.zeros(0, np.uint64)
-        for bcs, compat, nal in _iter_block_barcodes(
+
+        # multi-device regime: matched counts accumulate on the mesh
+        # (psum'd sharded histogram); only the unmatched tail is
+        # histogrammed on host for the 1-edit rescue
+        gpl_mesh = None
+        wl_dev = None
+        wl_dev_counts = None
+        if opts.fmeth.kind == "unfiltered":
+            gpl_mesh = gpl_mesh_from_env()
+            if gpl_mesh is not None:
+                wl_pre, _wl_len = read_barcode_file(opts.fmeth.path)
+                wl_dev = np.sort(np.unique(wl_pre))
+                wl_dev_counts = np.zeros(len(wl_dev), np.int64)
+
+        from ..parallel.prefetch import prefetched
+
+        # decode/walk of block k+1 overlaps the histogram of block k
+        # (the reference's reader/worker split, cellfilter.rs:1775-1830)
+        for bcs, compat, nal in prefetched(_iter_block_barcodes(
             fh, schema, prelude.hdr.num_chunks, strand
-        ):
+        )):
             num_reads += len(bcs)
             nc = int(compat.sum())
             num_compat += nc
             if nc:
                 max_ambig = max(max_ambig, int(nal[compat].max()))
-            b_bc, b_ct = _histogram(bcs[compat] if nc < len(bcs) else bcs)
+            kept = bcs[compat] if nc < len(bcs) else bcs
+            if wl_dev is not None and len(kept):
+                from ..parallel.mesh import sharded_histogram
+
+                cnt, _unm, hit = sharded_histogram(gpl_mesh, kept, wl_dev)
+                wl_dev_counts += np.asarray(cnt, np.int64)
+                kept = kept[~hit]
+                if len(kept) == 0:
+                    continue
+            b_bc, b_ct = _histogram(kept)
             h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
+
+        if wl_dev is not None:
+            nzwl = wl_dev_counts > 0
+            h_bc, h_ct = _merge_histograms(
+                h_bc, h_ct, wl_dev[nzwl], wl_dev_counts[nzwl].astype(np.uint64)
+            )
     log.info(
         "observed %d reads (%d orientation consistent); max ambiguity %d refs",
         num_reads, num_compat, max_ambig,

@@ -29,7 +29,7 @@ def test_sharded_histogram_matches_host(mesh):
     n = 16 * len(jax.devices())
     bcs = wl[rng.choice(len(wl), size=n)]
     bcs[: n // 4] = rng.choice(1 << 20, size=n // 4).astype(np.uint64)
-    cnt, unmatched = sharded_histogram(mesh, bcs, wl)
+    cnt, unmatched, dev_hit = sharded_histogram(mesh, bcs, wl)
     cnt = np.asarray(cnt)
     # host reference
     idx = np.searchsorted(wl, bcs)
@@ -39,6 +39,16 @@ def test_sharded_histogram_matches_host(mesh):
     np.add.at(ref, idx_c[hit], 1)
     np.testing.assert_array_equal(cnt, ref)
     assert int(unmatched) == int((~hit).sum())
+    np.testing.assert_array_equal(dev_hit, hit)
+
+    # length not divisible by the mesh: padding must not leak
+    bcs_odd = bcs[: n - 3]
+    cnt2, unm2, hit2 = sharded_histogram(mesh, bcs_odd, wl)
+    ref2 = np.zeros(len(wl), np.int64)
+    np.add.at(ref2, idx_c[: n - 3][hit[: n - 3]], 1)
+    np.testing.assert_array_equal(np.asarray(cnt2), ref2)
+    assert int(unm2) == int((~hit[: n - 3]).sum())
+    np.testing.assert_array_equal(hit2, hit[: n - 3])
 
 
 def test_em_cells_batched_mesh_matches_host(mesh):
@@ -263,3 +273,154 @@ def test_device_cc_matches_union_find(mesh):
             got = {int(labels[b, v]) for v in members}
             assert got == {expect}, (b, members, got)
         assert (labels[b, n:] == nbrs.shape[1]).all()
+
+
+def test_prefetched_order_and_errors():
+    from alevin_fry_tpu.parallel.prefetch import prefetched
+
+    assert list(prefetched(iter(range(100)), depth=2)) == list(range(100))
+    assert list(prefetched(iter([]), depth=2)) == []
+    # depth<=0 is synchronous passthrough
+    assert list(prefetched(iter(range(5)), depth=0)) == list(range(5))
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer failed")
+
+    out = []
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        for x in prefetched(boom(), depth=1):
+            out.append(x)
+    assert out == [1, 2]
+
+    # early consumer exit does not hang the producer thread
+    import threading
+
+    before = threading.active_count()
+    for x in prefetched(iter(range(10_000)), depth=1):
+        break
+    import time
+
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.05)
+
+
+def test_pipeline_identical_with_and_without_prefetch(tmp_path, monkeypatch):
+    """Artifacts are byte-identical whether or not the input pipeline
+    overlaps decode with compute (AFT_PREFETCH=0 vs default)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from synth import write_rna_rad
+    from alevin_fry_tpu.ops.barcodes import pack_seq
+    from alevin_fry_tpu.pipeline.collate import collate
+    from alevin_fry_tpu.pipeline.gpl import (
+        CellFilterMethod, GenPermitListOpts, generate_permit_list,
+    )
+    from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+
+    rng = np.random.RandomState(11)
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT"]
+    reads = []
+    for i in range(800):
+        bc = bcs[rng.randint(4)]
+        umi = int(rng.randint(1 << 20))
+        tids = sorted(set(rng.randint(0, 8, rng.randint(1, 3)).tolist()))
+        reads.append((pack_seq(bc), umi, [(t, True) for t in tids]))
+    refs = [f"t{i}" for i in range(8)]
+
+    outs = {}
+    for tag, depth in (("sync", "0"), ("pre", "2")):
+        root = tmp_path / tag
+        rad_dir = root / "rad"
+        rad_dir.mkdir(parents=True)
+        write_rna_rad(rad_dir / "map.rad", refs, [reads], bc_len=8, umi_len=10)
+        (root / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+        (root / "t2g.tsv").write_text(
+            "".join(f"t{i}\tg{i//2}\n" for i in range(8))
+        )
+        monkeypatch.setenv("AFT_PREFETCH", depth)
+        # small block bound so several blocks stream through the queue
+        monkeypatch.setenv("AFT_QUANT_BLOCK_RECORDS", "100")
+        gpl = root / "gpl"
+        generate_permit_list(GenPermitListOpts(
+            input_dir=rad_dir, output_dir=gpl,
+            fmeth=CellFilterMethod("unfiltered", path=root / "wl.txt",
+                                   min_reads=1),
+            expected_ori="fw", cmdline="t",
+        ))
+        collate(gpl, rad_dir, max_records=150, cmdline="t")
+        qdir = root / "q"
+        quantify(QuantOpts(
+            input_dir=gpl, tg_map=root / "t2g.tsv", output_dir=qdir,
+            resolution="cr-like", cmdline="t",
+        ))
+        outs[tag] = {
+            p.name: p.read_bytes()
+            for p in [
+                gpl / "map.collated.rad", gpl / "permit_freq.bin",
+                qdir / "alevin" / "quants_mat.mtx",
+                qdir / "alevin" / "quants_mat_rows.txt",
+                qdir / "featureDump.txt",
+            ]
+        }
+    assert outs["sync"] == outs["pre"]
+
+
+def test_gpl_device_histogram_matches_host(tmp_path, monkeypatch):
+    """generate-permit-list with the mesh histogram (AFT_GPL_MESH=auto
+    on the virtual 8-device mesh) writes byte-identical permit
+    artifacts to the host path."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).parent))
+    from synth import write_rna_rad
+    from alevin_fry_tpu.ops.barcodes import pack_seq, snp_neighbors
+    from alevin_fry_tpu.pipeline.gpl import (
+        CellFilterMethod, GenPermitListOpts, generate_permit_list,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+
+    rng = np.random.RandomState(9)
+    wl = ["AACCGGTT", "CCAATTGG", "GGTTAACC", "TTGGCCAA"]
+    wl_packed = np.asarray([pack_seq(b) for b in wl], np.uint64)
+    reads = []
+    for i in range(400):
+        bc = wl_packed[rng.randint(4)]
+        if rng.rand() < 0.1:  # 1-edit noise for the rescue path
+            bc = snp_neighbors(np.asarray([bc], np.uint64), 8)[
+                0, rng.randint(24)
+            ]
+        reads.append((int(bc), int(rng.randint(1 << 20)),
+                      [(int(rng.randint(6)), True)]))
+    refs = [f"t{i}" for i in range(6)]
+
+    outs = {}
+    for tag, meshspec in (("host", "0"), ("mesh", "auto")):
+        root = tmp_path / tag
+        rad_dir = root / "rad"
+        rad_dir.mkdir(parents=True)
+        write_rna_rad(rad_dir / "map.rad", refs, [reads], bc_len=8, umi_len=10)
+        (root / "wl.txt").write_text("".join(b + "\n" for b in wl))
+        monkeypatch.setenv("AFT_GPL_MESH", meshspec)
+        gpl = root / "gpl"
+        generate_permit_list(GenPermitListOpts(
+            input_dir=rad_dir, output_dir=gpl,
+            fmeth=CellFilterMethod("unfiltered", path=root / "wl.txt",
+                                   min_reads=2),
+            expected_ori="fw", cmdline="t",
+        ))
+        outs[tag] = {
+            p.name: p.read_bytes()
+            for p in (gpl / "permit_freq.bin", gpl / "permit_map.bin")
+        }
+    monkeypatch.delenv("AFT_GPL_MESH")
+    assert outs["host"] == outs["mesh"]
