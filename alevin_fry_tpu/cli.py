@@ -145,6 +145,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS even when an out-of-tree platform plugin
+    # re-inserts itself after env processing (the axon plugin does) —
+    # a user who pinned the platform gets the platform they pinned
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     argv = argv if argv is not None else sys.argv[1:]
     cmdline = "alevin-fry-tpu " + " ".join(argv)
     ap = build_parser()

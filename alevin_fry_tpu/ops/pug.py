@@ -467,6 +467,113 @@ def _large_component_crlike(
             commit(best)
 
 
+def pug_cc_device_enabled() -> bool:
+    """Whether PUG connected components run on the accelerator.
+    ``AFT_PUG_CC_BACKEND`` = ``device``/``jax`` forces, ``host``
+    disables; ``auto`` (default) engages when jax's default backend is
+    a real accelerator."""
+    import os
+
+    mode = os.environ.get("AFT_PUG_CC_BACKEND", "auto")
+    if mode == "host":
+        return False
+    if mode in ("device", "jax"):
+        return True
+    from .crlike import accelerator_present
+
+    return accelerator_present()
+
+
+# (N, D) padding ladder for the batched device CC — bounds the number
+# of distinct XLA programs; cells beyond the largest rung fall back to
+# host label propagation
+_CC_N_LADDER = (16, 64, 256, 1024, 4096)
+_CC_D_LADDER = (4, 16, 64, 256)
+_CC_B_LADDER = (16, 128, 1024)
+
+
+def _host_cc_labels(n: int, deg: np.ndarray, nbr: np.ndarray) -> np.ndarray:
+    """Min-label propagation on host (NumPy) for one cell — the
+    fallback for graphs beyond the device padding ladder."""
+    lab = np.arange(n, dtype=np.int32)
+    if len(nbr) == 0:
+        return lab
+    u = np.repeat(np.arange(n, dtype=np.int64), deg)
+    v = nbr.astype(np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, u, lab[v])
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
+def _cc_labels_batched(
+    n_nodes: np.ndarray, deg: np.ndarray, nbrs_flat: np.ndarray
+) -> np.ndarray:
+    """Per-node component labels (cell-local min node index) for every
+    cell, computed by the batched device min-label-propagation kernel
+    (ops/pug_device.py), bucketed over an (N, D) padding ladder."""
+    from .pug_device import connected_components_batched
+
+    n_cells = len(n_nodes)
+    node_off = np.zeros(n_cells + 1, np.int64)
+    np.cumsum(n_nodes, out=node_off[1:])
+    adj_off = np.zeros(len(deg) + 1, np.int64)
+    np.cumsum(deg, out=adj_off[1:])
+    labels_out = np.empty(int(node_off[-1]), np.int32)
+
+    # per-cell max degree
+    max_deg = np.zeros(n_cells, np.int64)
+    for c in range(n_cells):
+        s, e = node_off[c], node_off[c + 1]
+        if e > s:
+            max_deg[c] = int(deg[s:e].max())
+
+    buckets: dict = {}
+    for c in range(n_cells):
+        n = int(n_nodes[c])
+        if n == 0:
+            continue
+        Np = next((x for x in _CC_N_LADDER if n <= x), None)
+        Dp = next(
+            (x for x in _CC_D_LADDER if max_deg[c] <= x), None
+        )
+        if Np is None or Dp is None:
+            s = node_off[c]
+            labels_out[s : s + n] = _host_cc_labels(
+                n, deg[s : s + n], nbrs_flat[adj_off[s] : adj_off[s + n]]
+            )
+            continue
+        buckets.setdefault((Np, Dp), []).append(c)
+
+    for (Np, Dp), cs in buckets.items():
+        B = len(cs)
+        Bp = next((x for x in _CC_B_LADDER if B <= x), None)
+        if Bp is None:
+            Bp = -(-B // _CC_B_LADDER[-1]) * _CC_B_LADDER[-1]
+        mat = np.full((Bp, Np, Dp), Np, np.int32)
+        valid = np.zeros((Bp, Np), bool)
+        for b, c in enumerate(cs):
+            s, e = node_off[c], node_off[c + 1]
+            n = int(e - s)
+            valid[b, :n] = True
+            dg = deg[s:e]
+            nb = nbrs_flat[adj_off[s] : adj_off[e]]
+            if len(nb):
+                pos = np.arange(len(nb)) - np.repeat(
+                    adj_off[s:e] - adj_off[s], dg
+                )
+                rows = np.repeat(np.arange(n), dg)
+                mat[b].reshape(-1)[rows * Dp + pos] = nb
+        lab = connected_components_batched(mat, valid)
+        for b, c in enumerate(cs):
+            s, e = node_off[c], node_off[c + 1]
+            labels_out[s:e] = lab[b, : e - s]
+    return labels_out
+
+
 def _resolve_parsimony_native(
     cell, umi, refs, offs, cells, tid_to_gid,
     pug_exact_umi, large_graph_thresh, gene_level,
@@ -474,17 +581,37 @@ def _resolve_parsimony_native(
     """Threaded native batch resolution (csrc/radc.cpp::radc_pug_resolve,
     same semantics as the per-cell Python path — property-tested equal).
     Returns the resolve_parsimony_cells result tuple or None when the
-    native library isn't available."""
+    native library isn't available.
+
+    When an accelerator is attached (pug_cc_device_enabled), the graph
+    build and greedy cover stay native but the per-cell connected
+    components run as one batched min-label-propagation kernel on the
+    device (pugutils.rs:278-301 is the union-find being replaced);
+    output is bit-identical either way."""
     from ..radz import _native
 
     if not _native.available():
         return None
     boundaries = np.searchsorted(cell, cells, side="left")
     cell_read_offsets = np.append(boundaries, len(cell)).astype(np.int64)
-    n_eqc, used_alt, counts, lens, labels = _native.pug_resolve(
-        cell_read_offsets, umi, refs, offs, tid_to_gid,
-        gene_level, pug_exact_umi, large_graph_thresh,
-    )
+    if pug_cc_device_enabled():
+        handle, n_nodes, deg, nbrs_flat = _native.pug_graph_build(
+            cell_read_offsets, umi, refs, offs, tid_to_gid,
+            gene_level, pug_exact_umi,
+        )
+        try:
+            comp = _cc_labels_batched(n_nodes, deg, nbrs_flat)
+            n_eqc, used_alt, counts, lens, labels = _native.pug_cover(
+                handle, cell_read_offsets, offs, tid_to_gid,
+                gene_level, large_graph_thresh, comp,
+            )
+        finally:
+            _native.pug_free(handle)
+    else:
+        n_eqc, used_alt, counts, lens, labels = _native.pug_resolve(
+            cell_read_offsets, umi, refs, offs, tid_to_gid,
+            gene_level, pug_exact_umi, large_graph_thresh,
+        )
     label_offsets = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=label_offsets[1:])
     cell_eq_offsets = np.zeros(len(cells) + 1, np.int64)

@@ -1075,17 +1075,27 @@ struct LabelKeyLess {
   }
 };
 
-static void resolve_cell(
-    const uint64_t* umi, const uint32_t* refs, const int64_t* aln_offsets,
-    int64_t r0, int64_t r1, const uint32_t* tid_to_gid, int gene_level,
-    int exact, int64_t large_thresh, CellOut& out) {
+// Per-cell eqclass/node tables (stages 1-2 of the resolver): classes
+// keyed by the refs slice / gene projection, per-class sorted UMI RLE
+// nodes, node -> class mapping.
+struct Tables {
+  std::vector<std::vector<uint32_t>> eq_sorted;  // per class: sorted label
+  std::vector<std::vector<uint64_t>> eq_u;       // per class: distinct UMIs
+  std::vector<std::vector<int64_t>> eq_c;        // per class: UMI freqs
+  std::vector<int64_t> node_base;                // class -> first node id
+  std::vector<int32_t> node_eq;                  // node -> class
+  int64_t nec = 0;
+  int64_t nv = 0;
+};
+
+static void build_tables(const uint64_t* umi, const uint32_t* refs,
+                         const int64_t* aln_offsets, int64_t r0, int64_t r1,
+                         const uint32_t* tid_to_gid, int gene_level,
+                         Tables& T) {
   const int64_t n_reads = r1 - r0;
-  // --- 1. eqclasses keyed by the raw refs slice / gene projection ---------
-  std::vector<std::vector<uint32_t>> eq_key;     // identity key
-  std::vector<std::vector<uint32_t>> eq_sorted;  // sorted label
+  std::vector<std::vector<uint32_t>> eq_key;  // identity key
   std::vector<std::vector<uint64_t>> eq_umis_raw;
   {
-    // open-addressing map over (hash of key) -> eq id
     uint64_t cap = 16;
     while (cap < static_cast<uint64_t>(n_reads) * 2) cap <<= 1;
     const uint64_t mask = cap - 1;
@@ -1119,24 +1129,27 @@ static void resolve_cell(
         e = static_cast<int32_t>(eq_key.size());
         slot[h] = e;
         eq_key.push_back(keybuf);
-        std::vector<uint32_t> s = keybuf;
-        std::sort(s.begin(), s.end());
-        eq_sorted.push_back(std::move(s));
+        auto sorted = keybuf;
+        if (!gene_level) {
+          std::sort(sorted.begin(), sorted.end());
+          sorted.erase(std::unique(sorted.begin(), sorted.end()),
+                       sorted.end());
+        }
+        T.eq_sorted.push_back(std::move(sorted));
         eq_umis_raw.emplace_back();
       }
       eq_umis_raw[static_cast<size_t>(e)].push_back(umi[r]);
     }
   }
-  const int64_t nec = static_cast<int64_t>(eq_key.size());
-  // --- 2. per class: sort UMIs, RLE -> (umi, freq) nodes -------------------
-  std::vector<std::vector<uint64_t>> eq_u(nec);
-  std::vector<std::vector<int64_t>> eq_c(nec);
-  std::vector<int64_t> node_base(nec + 1, 0);
-  for (int64_t e = 0; e < nec; ++e) {
+  T.nec = static_cast<int64_t>(eq_key.size());
+  T.eq_u.resize(static_cast<size_t>(T.nec));
+  T.eq_c.resize(static_cast<size_t>(T.nec));
+  T.node_base.assign(static_cast<size_t>(T.nec) + 1, 0);
+  for (int64_t e = 0; e < T.nec; ++e) {
     auto& raw = eq_umis_raw[static_cast<size_t>(e)];
     std::sort(raw.begin(), raw.end());
-    auto& us = eq_u[static_cast<size_t>(e)];
-    auto& cs = eq_c[static_cast<size_t>(e)];
+    auto& us = T.eq_u[static_cast<size_t>(e)];
+    auto& cs = T.eq_c[static_cast<size_t>(e)];
     for (size_t i = 0; i < raw.size();) {
       size_t j = i;
       while (j < raw.size() && raw[j] == raw[i]) ++j;
@@ -1144,21 +1157,26 @@ static void resolve_cell(
       cs.push_back(static_cast<int64_t>(j - i));
       i = j;
     }
-    node_base[e + 1] = node_base[e] + static_cast<int64_t>(us.size());
+    T.node_base[e + 1] = T.node_base[e] + static_cast<int64_t>(us.size());
   }
-  const int64_t nv = node_base[nec];
-  std::vector<int32_t> node_eq(static_cast<size_t>(nv));
-  for (int64_t e = 0; e < nec; ++e)
-    for (int64_t v = node_base[e]; v < node_base[e + 1]; ++v)
-      node_eq[static_cast<size_t>(v)] = static_cast<int32_t>(e);
+  T.nv = T.node_base[static_cast<size_t>(T.nec)];
+  T.node_eq.resize(static_cast<size_t>(T.nv));
+  for (int64_t e = 0; e < T.nec; ++e)
+    for (int64_t v = T.node_base[e]; v < T.node_base[e + 1]; ++v)
+      T.node_eq[static_cast<size_t>(v)] = static_cast<int32_t>(e);
+}
 
-  // --- 3. inverted index transcript -> classes (insertion order) ----------
-  // (hash map from label element to list of classes)
+// Stage 3-4: inverted transcript index + edges (adjacency insertion
+// order matches ops/pug.py).
+static void build_adj(const Tables& T, int exact,
+                      std::vector<std::vector<int32_t>>& adj) {
+  const int64_t nec = T.nec;
+  const int64_t nv = T.nv;
   std::vector<std::vector<int32_t>> inv_lists;
   uint64_t icap = 16;
   {
     int64_t tot = 0;
-    for (auto& s : eq_sorted) tot += static_cast<int64_t>(s.size());
+    for (auto& s : T.eq_sorted) tot += static_cast<int64_t>(s.size());
     while (icap < static_cast<uint64_t>(tot) * 2 + 2) icap <<= 1;
   }
   const uint64_t imask = icap - 1;
@@ -1170,7 +1188,7 @@ static void resolve_cell(
     return (ival[h] >= 0) ? ival[h] : -1;
   };
   for (int64_t e = 0; e < nec; ++e) {
-    for (uint32_t t : eq_sorted[static_cast<size_t>(e)]) {
+    for (uint32_t t : T.eq_sorted[static_cast<size_t>(e)]) {
       uint64_t h = mix64(t) & imask;
       while (ival[h] >= 0 && ikey[h] != t) h = (h + 1) & imask;
       if (ival[h] < 0) {
@@ -1183,8 +1201,7 @@ static void resolve_cell(
     }
   }
 
-  // --- 4. edges (adjacency insertion order matches ops/pug.py) ------------
-  std::vector<std::vector<int32_t>> adj(static_cast<size_t>(nv));
+  adj.assign(static_cast<size_t>(nv), {});
   auto add_pair = [&](int64_t x, int64_t y, int d, int64_t cx, int64_t cy) {
     if (exact) {
       if (d != 0) return;
@@ -1209,26 +1226,24 @@ static void resolve_cell(
   std::vector<uint8_t> seen(static_cast<size_t>(nec), 0);
   std::vector<int32_t> seen_touched;
   for (int64_t e = 0; e < nec; ++e) {
-    const auto& ux = eq_u[static_cast<size_t>(e)];
-    const auto& cx = eq_c[static_cast<size_t>(e)];
-    const int64_t bx = node_base[e];
-    // within class: upper-triangle pairs
+    const auto& ux = T.eq_u[static_cast<size_t>(e)];
+    const auto& cx = T.eq_c[static_cast<size_t>(e)];
+    const int64_t bx = T.node_base[e];
     for (size_t i = 0; i + 1 < ux.size(); ++i)
       for (size_t j = i + 1; j < ux.size(); ++j)
         add_pair(bx + static_cast<int64_t>(i), bx + static_cast<int64_t>(j),
                  hamming2bit(ux[i], ux[j]), cx[i], cx[j]);
-    // across classes sharing a transcript (e2 > e, first-seen dedup)
     seen_touched.clear();
-    for (uint32_t t : eq_sorted[static_cast<size_t>(e)]) {
+    for (uint32_t t : T.eq_sorted[static_cast<size_t>(e)]) {
       const int32_t li = inv_find(t);
       if (li < 0) continue;
       for (int32_t e2 : inv_lists[static_cast<size_t>(li)]) {
         if (e2 <= e || seen[static_cast<size_t>(e2)]) continue;
         seen[static_cast<size_t>(e2)] = 1;
         seen_touched.push_back(e2);
-        const auto& uy = eq_u[static_cast<size_t>(e2)];
-        const auto& cy = eq_c[static_cast<size_t>(e2)];
-        const int64_t by = node_base[e2];
+        const auto& uy = T.eq_u[static_cast<size_t>(e2)];
+        const auto& cy = T.eq_c[static_cast<size_t>(e2)];
+        const int64_t by = T.node_base[e2];
         for (size_t i = 0; i < ux.size(); ++i)
           for (size_t j = 0; j < uy.size(); ++j) {
             const int d = hamming2bit(ux[i], uy[j]);
@@ -1240,49 +1255,24 @@ static void resolve_cell(
     }
     for (int32_t e2 : seen_touched) seen[static_cast<size_t>(e2)] = 0;
   }
+}
 
-  // --- 5. connected components (union-find) -------------------------------
-  std::vector<int32_t> parent(static_cast<size_t>(nv));
-  for (int64_t v = 0; v < nv; ++v) parent[static_cast<size_t>(v)] = (int32_t)v;
-  std::function<int32_t(int32_t)> find = [&](int32_t x) {
-    while (parent[static_cast<size_t>(x)] != x) {
-      parent[static_cast<size_t>(x)] =
-          parent[static_cast<size_t>(parent[static_cast<size_t>(x)])];
-      x = parent[static_cast<size_t>(x)];
-    }
-    return x;
-  };
-  for (int64_t a = 0; a < nv; ++a)
-    for (int32_t b : adj[static_cast<size_t>(a)]) {
-      const int32_t ra = find(static_cast<int32_t>(a)), rb = find(b);
-      if (ra != rb) parent[static_cast<size_t>(rb)] = ra;
-    }
-  // group by root, preserving ascending vertex order within a component
-  std::vector<int32_t> root_of(static_cast<size_t>(nv));
-  for (int64_t v = 0; v < nv; ++v)
-    root_of[static_cast<size_t>(v)] = find(static_cast<int32_t>(v));
-  std::vector<std::vector<int32_t>> comps;
-  {
-    std::vector<int32_t> comp_of_root(static_cast<size_t>(nv), -1);
-    for (int64_t v = 0; v < nv; ++v) {
-      const int32_t r = root_of[static_cast<size_t>(v)];
-      if (comp_of_root[static_cast<size_t>(r)] < 0) {
-        comp_of_root[static_cast<size_t>(r)] =
-            static_cast<int32_t>(comps.size());
-        comps.emplace_back();
-      }
-      comps[static_cast<size_t>(comp_of_root[static_cast<size_t>(r)])]
-          .push_back(static_cast<int32_t>(v));
-    }
-  }
-
-  // --- 6. resolve each component ------------------------------------------
+// Stage 6-7: resolve each component (greedy monochromatic-arborescence
+// cover; components larger than large_thresh fall back to streaming
+// cr-like), emit gene eqclasses in (label length, bytes) order.
+static void resolve_components(const Tables& T,
+                               const std::vector<std::vector<int32_t>>& adj,
+                               const std::vector<std::vector<int32_t>>& comps,
+                               int64_t large_thresh,
+                               const uint32_t* tid_to_gid, int gene_level,
+                               CellOut& out) {
+  const int64_t nv = T.nv;
   std::map<std::vector<uint32_t>, int64_t, LabelKeyLess> gene_eqc;
   auto project = [&](const std::vector<uint32_t>& lab,
                      std::vector<uint32_t>& out_genes) {
     out_genes.clear();
     if (gene_level) {
-      out_genes = lab;  // already sorted unique genes
+      out_genes = lab;
       return;
     }
     for (uint32_t t : lab) out_genes.push_back(tid_to_gid[t]);
@@ -1299,22 +1289,21 @@ static void resolve_cell(
   for (auto& comp : comps) {
     if (comp.size() == 1) {
       const int32_t tv = comp[0];
-      const auto& tl = eq_sorted[static_cast<size_t>(node_eq[tv])];
+      const auto& tl = T.eq_sorted[static_cast<size_t>(T.node_eq[tv])];
       project(tl, genes_buf);
       ++gene_eqc[genes_buf];
       continue;
     }
     if (static_cast<int64_t>(comp.size()) > large_thresh) {
-      // streaming cr-like fallback over (umi, gene, freq) triplets
       out.used_alt = 1;
       std::vector<std::pair<uint64_t, std::pair<uint32_t, int64_t>>> trips;
       std::vector<uint32_t> gset;
       for (int32_t vtx : comp) {
-        const int32_t e = node_eq[static_cast<size_t>(vtx)];
-        const int64_t rank = vtx - node_base[e];
-        const uint64_t u = eq_u[static_cast<size_t>(e)][(size_t)rank];
-        const int64_t c = eq_c[static_cast<size_t>(e)][(size_t)rank];
-        project(eq_sorted[static_cast<size_t>(e)], gset);
+        const int32_t e = T.node_eq[static_cast<size_t>(vtx)];
+        const int64_t rank = vtx - T.node_base[e];
+        const uint64_t u = T.eq_u[static_cast<size_t>(e)][(size_t)rank];
+        const int64_t c = T.eq_c[static_cast<size_t>(e)][(size_t)rank];
+        project(T.eq_sorted[static_cast<size_t>(e)], gset);
         for (uint32_t g : gset) trips.push_back({u, {g, c}});
       }
       std::sort(trips.begin(), trips.end(),
@@ -1364,7 +1353,6 @@ static void resolve_cell(
       }
       continue;
     }
-    // greedy monochromatic-arborescence cover
     int64_t n_uncovered = static_cast<int64_t>(comp.size());
     for (int32_t v : comp) covered[static_cast<size_t>(v)] = 0;
     std::vector<int32_t> best_mcc, cand;
@@ -1372,8 +1360,8 @@ static void resolve_cell(
       best_mcc.clear();
       for (int32_t v : comp) {
         if (covered[static_cast<size_t>(v)]) continue;
-        // try each transcript of v's label
-        const auto& vlab = eq_sorted[static_cast<size_t>(node_eq[(size_t)v])];
+        const auto& vlab =
+            T.eq_sorted[static_cast<size_t>(T.node_eq[(size_t)v])];
         bool saturated = false;
         for (uint32_t t : vlab) {
           ++stamp;
@@ -1391,7 +1379,7 @@ static void resolve_cell(
                 continue;
               visited_stamp[static_cast<size_t>(nxt)] = stamp;
               const auto& lab =
-                  eq_sorted[static_cast<size_t>(node_eq[(size_t)nxt])];
+                  T.eq_sorted[static_cast<size_t>(T.node_eq[(size_t)nxt])];
               if (std::binary_search(lab.begin(), lab.end(), t))
                 bfs_q.push_back(nxt);
             }
@@ -1404,15 +1392,14 @@ static void resolve_cell(
         }
         if (saturated) break;
       }
-      // intersect labels over the cover
       const auto& lab0 =
-          eq_sorted[static_cast<size_t>(node_eq[(size_t)best_mcc[0]])];
+          T.eq_sorted[static_cast<size_t>(T.node_eq[(size_t)best_mcc[0]])];
       std::vector<uint32_t> inter(lab0.begin(), lab0.end());
       inter.erase(std::unique(inter.begin(), inter.end()), inter.end());
       std::vector<uint32_t> tmp;
       for (size_t i = 1; i < best_mcc.size() && !inter.empty(); ++i) {
         const auto& lab =
-            eq_sorted[static_cast<size_t>(node_eq[(size_t)best_mcc[i]])];
+            T.eq_sorted[static_cast<size_t>(T.node_eq[(size_t)best_mcc[i]])];
         tmp.clear();
         for (uint32_t t : inter)
           if (std::binary_search(lab.begin(), lab.end(), t))
@@ -1428,13 +1415,66 @@ static void resolve_cell(
     }
   }
 
-  // --- 7. emit in (label length, label bytes) order ------------------------
   out.n_eqc = static_cast<int64_t>(gene_eqc.size());
   for (auto& kv : gene_eqc) {
     out.counts.push_back(kv.second);
     out.lens.push_back(static_cast<int64_t>(kv.first.size()));
     out.labels.insert(out.labels.end(), kv.first.begin(), kv.first.end());
   }
+}
+
+// Group component members from per-node component labels (any
+// canonical label works; grouping is by first occurrence in ascending
+// vertex order, matching the union-find grouping below).
+static void comps_from_labels(const int32_t* labels, int64_t nv,
+                              std::vector<std::vector<int32_t>>& comps) {
+  comps.clear();
+  std::vector<int32_t> comp_of_label(static_cast<size_t>(nv), -1);
+  for (int64_t v = 0; v < nv; ++v) {
+    const int32_t l = labels[v];
+    if (comp_of_label[static_cast<size_t>(l)] < 0) {
+      comp_of_label[static_cast<size_t>(l)] =
+          static_cast<int32_t>(comps.size());
+      comps.emplace_back();
+    }
+    comps[static_cast<size_t>(comp_of_label[static_cast<size_t>(l)])]
+        .push_back(static_cast<int32_t>(v));
+  }
+}
+
+static void resolve_cell(
+    const uint64_t* umi, const uint32_t* refs, const int64_t* aln_offsets,
+    int64_t r0, int64_t r1, const uint32_t* tid_to_gid, int gene_level,
+    int exact, int64_t large_thresh, CellOut& out) {
+  Tables T;
+  build_tables(umi, refs, aln_offsets, r0, r1, tid_to_gid, gene_level, T);
+  std::vector<std::vector<int32_t>> adj;
+  build_adj(T, exact, adj);
+
+  // --- 5. connected components (union-find) -------------------------------
+  const int64_t nv = T.nv;
+  std::vector<int32_t> parent(static_cast<size_t>(nv));
+  for (int64_t v = 0; v < nv; ++v) parent[static_cast<size_t>(v)] = (int32_t)v;
+  std::function<int32_t(int32_t)> find = [&](int32_t x) {
+    while (parent[static_cast<size_t>(x)] != x) {
+      parent[static_cast<size_t>(x)] =
+          parent[static_cast<size_t>(parent[static_cast<size_t>(x)])];
+      x = parent[static_cast<size_t>(x)];
+    }
+    return x;
+  };
+  for (int64_t a = 0; a < nv; ++a)
+    for (int32_t b : adj[static_cast<size_t>(a)]) {
+      const int32_t ra = find(static_cast<int32_t>(a)), rb = find(b);
+      if (ra != rb) parent[static_cast<size_t>(rb)] = ra;
+    }
+  std::vector<int32_t> root_of(static_cast<size_t>(nv));
+  for (int64_t v = 0; v < nv; ++v)
+    root_of[static_cast<size_t>(v)] = find(static_cast<int32_t>(v));
+  std::vector<std::vector<int32_t>> comps;
+  comps_from_labels(root_of.data(), nv, comps);
+
+  resolve_components(T, adj, comps, large_thresh, tid_to_gid, gene_level, out);
 }
 
 }  // namespace pugk
@@ -1891,4 +1931,185 @@ extern "C" int64_t radc_format_eqc_rows(const uint64_t* vals,
     *p++ = '\n';
   }
   return p - out;
+}
+
+// ---------------------------------------------------------------------------
+// Split PUG resolution: native graph build -> (device) connected
+// components -> native greedy cover.  The handle keeps the per-cell
+// tables and adjacency alive between the two native calls so nothing
+// is recomputed; the caller runs batched min-label-propagation CC on
+// the accelerator in between (ops/pug_device.py) and passes per-node
+// component labels back.  Matches radc_pug_resolve bit-for-bit.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PugBatchHandle {
+  std::vector<pugk::Tables> tables;                      // per cell
+  std::vector<std::vector<std::vector<int32_t>>> adjs;   // per cell (directed)
+  std::vector<int64_t> node_offsets;                     // per cell prefix
+};
+
+}  // namespace
+
+extern "C" void* radc_pug_graph_build(
+    const int64_t* cell_read_offsets, int64_t n_cells,
+    const uint64_t* umi, const uint32_t* refs, const int64_t* aln_offsets,
+    const uint32_t* tid_to_gid, int32_t gene_level, int32_t exact,
+    int64_t* n_nodes_per_cell, int64_t* sym_entries_per_cell,
+    int32_t n_threads) {
+  auto* h = new PugBatchHandle();
+  h->tables.resize(static_cast<size_t>(n_cells));
+  h->adjs.resize(static_cast<size_t>(n_cells));
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t c0, int64_t c1) {
+    for (int64_t c = c0; c < c1; ++c) {
+      auto& T = h->tables[static_cast<size_t>(c)];
+      pugk::build_tables(umi, refs, aln_offsets, cell_read_offsets[c],
+                         cell_read_offsets[c + 1], tid_to_gid, gene_level, T);
+      auto& adj = h->adjs[static_cast<size_t>(c)];
+      pugk::build_adj(T, exact, adj);
+      n_nodes_per_cell[c] = T.nv;
+      // symmetrized degree sum (sorted-unique union of in/out edges)
+      int64_t entries = 0;
+      std::vector<std::vector<int32_t>> sym(adj.size());
+      for (size_t v = 0; v < adj.size(); ++v)
+        for (int32_t w : adj[v]) {
+          sym[v].push_back(w);
+          sym[static_cast<size_t>(w)].push_back(static_cast<int32_t>(v));
+        }
+      for (auto& s : sym) {
+        std::sort(s.begin(), s.end());
+        s.erase(std::unique(s.begin(), s.end()), s.end());
+        entries += static_cast<int64_t>(s.size());
+      }
+      sym_entries_per_cell[c] = entries;
+    }
+  };
+  if (n_threads == 1 || n_cells < 2) {
+    work(0, n_cells);
+  } else {
+    const int64_t total = cell_read_offsets[n_cells] - cell_read_offsets[0];
+    std::vector<std::thread> ts;
+    std::vector<std::pair<int64_t, int64_t>> ranges;
+    int64_t c_prev = 0;
+    for (int t = 1; t < n_threads; ++t) {
+      const int64_t target = cell_read_offsets[0] + total * t / n_threads;
+      int64_t c = c_prev;
+      while (c < n_cells && cell_read_offsets[c] < target) ++c;
+      ranges.emplace_back(c_prev, c);
+      c_prev = c;
+    }
+    ranges.emplace_back(c_prev, n_cells);
+    for (size_t t = 1; t < ranges.size(); ++t)
+      ts.emplace_back(work, ranges[t].first, ranges[t].second);
+    work(ranges[0].first, ranges[0].second);
+    for (auto& th : ts) th.join();
+  }
+  h->node_offsets.assign(static_cast<size_t>(n_cells) + 1, 0);
+  for (int64_t c = 0; c < n_cells; ++c)
+    h->node_offsets[c + 1] = h->node_offsets[c] + n_nodes_per_cell[c];
+  return h;
+}
+
+// Export the symmetrized adjacency: per-node degree (concatenated cell
+// order) and the flat neighbor list (cell-local node ids).
+extern "C" void radc_pug_graph_export(void* handle, int64_t* deg_out,
+                                      int32_t* nbr_out) {
+  auto* h = static_cast<PugBatchHandle*>(handle);
+  int64_t dpos = 0, npos = 0;
+  for (size_t c = 0; c < h->adjs.size(); ++c) {
+    const auto& adj = h->adjs[c];
+    std::vector<std::vector<int32_t>> sym(adj.size());
+    for (size_t v = 0; v < adj.size(); ++v)
+      for (int32_t w : adj[v]) {
+        sym[v].push_back(w);
+        sym[static_cast<size_t>(w)].push_back(static_cast<int32_t>(v));
+      }
+    for (auto& s : sym) {
+      std::sort(s.begin(), s.end());
+      s.erase(std::unique(s.begin(), s.end()), s.end());
+      deg_out[dpos++] = static_cast<int64_t>(s.size());
+      std::memcpy(nbr_out + npos, s.data(), s.size() * 4);
+      npos += static_cast<int64_t>(s.size());
+    }
+  }
+}
+
+// Finish resolution from per-node component labels (flat in cell
+// order, each label any canonical id within [0, nv_cell)).  Output
+// contract identical to radc_pug_resolve.
+extern "C" int64_t radc_pug_cover(
+    void* handle, const int64_t* cell_read_offsets, int64_t n_cells,
+    const int64_t* aln_offsets, const uint32_t* tid_to_gid,
+    int32_t gene_level, int64_t large_thresh, const int32_t* comp_labels,
+    int64_t* n_eqc_per_cell, uint8_t* used_alt_per_cell,
+    int64_t* counts_out, int64_t* lens_out, uint32_t* labels_out,
+    int64_t* range_info, int64_t* label_counts, int32_t n_threads) {
+  auto* h = static_cast<PugBatchHandle*>(handle);
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t c0, int64_t c1, int t) {
+    const int64_t read_base = (c0 < n_cells) ? cell_read_offsets[c0] : 0;
+    const int64_t label_base = (c0 < n_cells) ? aln_offsets[read_base] : 0;
+    int64_t w = read_base;
+    int64_t lw = label_base;
+    pugk::CellOut out;
+    std::vector<std::vector<int32_t>> comps;
+    for (int64_t c = c0; c < c1; ++c) {
+      out.counts.clear();
+      out.lens.clear();
+      out.labels.clear();
+      out.n_eqc = 0;
+      out.used_alt = 0;
+      const auto& T = h->tables[static_cast<size_t>(c)];
+      pugk::comps_from_labels(comp_labels + h->node_offsets[c], T.nv, comps);
+      pugk::resolve_components(T, h->adjs[static_cast<size_t>(c)], comps,
+                               large_thresh, tid_to_gid, gene_level, out);
+      n_eqc_per_cell[c] = out.n_eqc;
+      used_alt_per_cell[c] = static_cast<uint8_t>(out.used_alt);
+      std::memcpy(counts_out + w, out.counts.data(), out.counts.size() * 8);
+      std::memcpy(lens_out + w, out.lens.data(), out.lens.size() * 8);
+      std::memcpy(labels_out + lw, out.labels.data(), out.labels.size() * 4);
+      w += static_cast<int64_t>(out.counts.size());
+      lw += static_cast<int64_t>(out.labels.size());
+    }
+    range_info[t * 4 + 0] = c0;
+    range_info[t * 4 + 1] = read_base;
+    range_info[t * 4 + 2] = label_base;
+    range_info[t * 4 + 3] = w - read_base;
+    label_counts[t] = lw - label_base;
+  };
+  if (n_threads == 1 || n_cells < 2) {
+    work(0, n_cells, 0);
+    for (int t = 1; t < n_threads; ++t) {
+      range_info[t * 4 + 0] = n_cells;
+      range_info[t * 4 + 1] = 0;
+      range_info[t * 4 + 2] = 0;
+      range_info[t * 4 + 3] = 0;
+      label_counts[t] = 0;
+    }
+    return 0;
+  }
+  const int64_t total = cell_read_offsets[n_cells] - cell_read_offsets[0];
+  std::vector<std::thread> ts;
+  std::vector<std::pair<int64_t, int64_t>> ranges;
+  int64_t c_prev = 0;
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t target = cell_read_offsets[0] + total * t / n_threads;
+    int64_t c = c_prev;
+    while (c < n_cells && cell_read_offsets[c] < target) ++c;
+    ranges.emplace_back(c_prev, c);
+    c_prev = c;
+  }
+  ranges.emplace_back(c_prev, n_cells);
+  for (size_t t = 1; t < ranges.size(); ++t)
+    ts.emplace_back(work, ranges[t].first, ranges[t].second,
+                    static_cast<int>(t));
+  work(ranges[0].first, ranges[0].second, 0);
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
+extern "C" void radc_pug_free(void* handle) {
+  delete static_cast<PugBatchHandle*>(handle);
 }

@@ -235,3 +235,97 @@ def test_pug_native_matches_python():
         np.testing.assert_array_equal(ge.labels, we.labels, err_msg=f"t{trial}")
         np.testing.assert_array_equal(ge.counts, we.counts, err_msg=f"t{trial}")
         assert got[1] == want[1], f"t{trial} alt cells"
+
+
+def test_pug_device_cc_matches_union_find(monkeypatch):
+    """The split path — native graph build, batched device (jitted)
+    min-label-propagation CC, native greedy cover — must reproduce the
+    monolithic native resolver bit-for-bit (pugutils.rs:278-301 is the
+    union-find being replaced)."""
+    import numpy as np
+    import pytest
+    from alevin_fry_tpu.ops import pug
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        pytest.skip("native lib not built")
+    rng = np.random.RandomState(17)
+    for trial in range(6):
+        n_cells = rng.randint(1, 10)
+        n_genes = rng.randint(2, 10)
+        n_txps = n_genes * 3
+        tid_to_gid = rng.randint(0, n_genes, size=n_txps).astype(np.uint32)
+        n_reads = rng.randint(1, 300)
+        cell = np.sort(rng.randint(0, n_cells, size=n_reads)).astype(np.int64)
+        umi = rng.randint(0, 16, size=n_reads).astype(np.uint64)
+        nal = rng.randint(1, 4, size=n_reads)
+        offs = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(nal, out=offs[1:])
+        refs = rng.randint(0, n_txps, size=int(offs[-1])).astype(np.uint32)
+        gene_level = bool(trial % 2)
+        exact = trial % 3 == 0
+        thresh = 5 if trial % 2 == 0 else 1000
+        cells = np.unique(cell)
+
+        monkeypatch.setenv("AFT_PUG_CC_BACKEND", "host")
+        host = pug._resolve_parsimony_native(
+            cell, umi, refs, offs, cells, tid_to_gid, exact, thresh,
+            gene_level,
+        )
+        monkeypatch.setenv("AFT_PUG_CC_BACKEND", "device")
+        dev = pug._resolve_parsimony_native(
+            cell, umi, refs, offs, cells, tid_to_gid, exact, thresh,
+            gene_level,
+        )
+        he, de = host[0], dev[0]
+        np.testing.assert_array_equal(he.cell_ids, de.cell_ids)
+        np.testing.assert_array_equal(he.cell_eq_offsets, de.cell_eq_offsets)
+        np.testing.assert_array_equal(he.label_offsets, de.label_offsets)
+        np.testing.assert_array_equal(he.labels, de.labels)
+        np.testing.assert_array_equal(he.counts, de.counts)
+        assert host[1] == dev[1]
+    monkeypatch.delenv("AFT_PUG_CC_BACKEND")
+
+
+def test_host_cc_labels_oversized_fallback():
+    """Graphs beyond the device padding ladder use host min-label
+    propagation — same component labels as brute union-find."""
+    import numpy as np
+    from alevin_fry_tpu.ops.pug import _host_cc_labels
+
+    rng = np.random.RandomState(23)
+    n = 500
+    # random sparse undirected graph as symmetric CSR
+    edges = set()
+    for _ in range(700):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = [[] for _ in range(n)]
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = np.asarray([len(a) for a in adj], np.int64)
+    nbr = np.asarray([w for a in adj for w in sorted(a)], np.int32)
+    lab = _host_cc_labels(n, deg, nbr)
+    # brute-force union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    ref = np.zeros(n, np.int64)
+    comp_min = {}
+    for v in range(n):
+        r = find(v)
+        comp_min.setdefault(r, v)
+    for v in range(n):
+        ref[v] = comp_min[find(v)]
+    np.testing.assert_array_equal(lab, ref)
