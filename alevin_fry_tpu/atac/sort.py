@@ -212,10 +212,14 @@ def sort(
         files = [open(spill_dir / f"bin_{b}.rows", "wb") for b in range(n_buckets)]
         try:
             from ..parallel.prefetch import prefetched
+            from ..pipeline.progress import stage_timer
 
+            pb_ctx = stage_timer(log, "atac sort scatter", "reads")
+            pb = pb_ctx.__enter__()
             for batch in prefetched(
                 iter_decoded_blocks(fh, schema, nc, max_records)
             ):
+                pb.update(batch.n_reads)
                 rows = _extract_cols(batch, map_keys, map_vals)
                 if len(rows) == 0:
                     continue
@@ -228,6 +232,7 @@ def sort(
                     np.split(rows, bnds), bmask[np.append(0, bnds)]
                 ):
                     files[int(b)].write(seg.tobytes())
+            pb_ctx.__exit__(None, None, None)
             for f in files:
                 f.close()
             n_frag = 0

@@ -144,12 +144,16 @@ def _collate_out_of_core(
             # (chunk count lives in the gpl JSON, atac/collate.rs:212);
             # None = stream until EOF
             from ..parallel.prefetch import prefetched
+            from .progress import stage_timer
 
             # decode of block k+1 overlaps the scatter of block k
             # (collate.rs:646-763 reader/worker pattern)
+            pb_ctx = stage_timer(log, "collate scatter", "reads")
+            pb = pb_ctx.__enter__()
             for batch in prefetched(iter_decoded_blocks(
                 fh, schema, prelude.hdr.num_chunks or None, max_records
             )):
+                pb.update(batch.n_reads)
                 corrected, keep_read, keep_aln, new_offsets, _ = (
                     correct_and_filter(batch, map_keys, map_vals, expected_ori)
                 )

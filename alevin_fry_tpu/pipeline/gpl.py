@@ -283,28 +283,31 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
                 wl_dev_counts = np.zeros(len(wl_dev), np.int64)
 
         from ..parallel.prefetch import prefetched
+        from .progress import stage_timer
 
         # decode/walk of block k+1 overlaps the histogram of block k
         # (the reference's reader/worker split, cellfilter.rs:1775-1830)
-        for bcs, compat, nal in prefetched(_iter_block_barcodes(
-            fh, schema, prelude.hdr.num_chunks, strand
-        )):
-            num_reads += len(bcs)
-            nc = int(compat.sum())
-            num_compat += nc
-            if nc:
-                max_ambig = max(max_ambig, int(nal[compat].max()))
-            kept = bcs[compat] if nc < len(bcs) else bcs
-            if wl_dev is not None and len(kept):
-                from ..parallel.mesh import sharded_histogram
+        with stage_timer(log, "generate-permit-list histogram", "reads") as pb:
+            for bcs, compat, nal in prefetched(_iter_block_barcodes(
+                fh, schema, prelude.hdr.num_chunks, strand
+            )):
+                pb.update(len(bcs))
+                num_reads += len(bcs)
+                nc = int(compat.sum())
+                num_compat += nc
+                if nc:
+                    max_ambig = max(max_ambig, int(nal[compat].max()))
+                kept = bcs[compat] if nc < len(bcs) else bcs
+                if wl_dev is not None and len(kept):
+                    from ..parallel.mesh import sharded_histogram
 
-                cnt, _unm, hit = sharded_histogram(gpl_mesh, kept, wl_dev)
-                wl_dev_counts += np.asarray(cnt, np.int64)
-                kept = kept[~hit]
-                if len(kept) == 0:
-                    continue
-            b_bc, b_ct = _histogram(kept)
-            h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
+                    cnt, _unm, hit = sharded_histogram(gpl_mesh, kept, wl_dev)
+                    wl_dev_counts += np.asarray(cnt, np.int64)
+                    kept = kept[~hit]
+                    if len(kept) == 0:
+                        continue
+                b_bc, b_ct = _histogram(kept)
+                h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
 
         if wl_dev is not None:
             nzwl = wl_dev_counts > 0

@@ -183,14 +183,40 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
 
     block_records = int(os.environ.get("AFT_QUANT_BLOCK_RECORDS", 30_000_000))
     parts: List[tuple] = []
+    from ..parallel import dist
     from ..parallel.prefetch import prefetched
+
+    # multi-host ingest plan: each process owns a contiguous chunk
+    # (cell) range; inputs (tg-map, permit artifacts) are replicated,
+    # per-cell work stays process-local, and partial matrices merge at
+    # the end (SURVEY §2.3/§5 prescription)
+    dist.initialize()
+    rank, world = dist.rank_world()
+    chunk_range = None
+    if world > 1:
+        if opts.dump_eq or opts.num_bootstraps > 0:
+            raise NotImplementedError(
+                "dump-eq and bootstraps are not yet supported in "
+                "multi-host quant runs"
+            )
+        chunk_range = dist.host_chunk_plan(hdr.num_chunks, world, rank)
+        log.info(
+            "multi-host quant: process %d/%d owns cell chunks [%d, %d)",
+            rank, world, chunk_range[0], chunk_range[1],
+        )
 
     # decode of block k+1 overlaps resolution of block k (the
     # reference's reader-thread/worker pattern, quant.rs:1527-1743)
+    from .progress import stage_timer
+
+    pb_ctx = stage_timer(log, "quant resolve", "reads")
+    pb = pb_ctx.__enter__()
     for batch in prefetched(iter_decoded_blocks(
         br, schema, hdr.num_chunks, block_records,
         skip_read_fields=set(schema.barcode_fields), want_dirs=False,
+        chunk_range=chunk_range,
     )):
+        pb.update(batch.n_reads)
         first = batch.first_chunk
         batch.chunk_id = batch.chunk_id - first
         n_local = len(batch.chunk_offsets) - 1
@@ -210,8 +236,15 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
             usa_offsets, num_genes, num_rows, sample_names,
             cell_offset=first,
         )))
+    pb_ctx.__exit__(None, None, None)
 
     result = _merge_results(parts)
+
+    if world > 1:
+        result = _merge_hosts(result)
+        if rank != 0:
+            log.info("process %d: partial results merged to host 0", rank)
+            return
 
     _write_outputs(
         opts, parent, result, gene_names, usa_mode, num_rows, barcode_len,
@@ -233,6 +266,43 @@ class CellResult:
     dump_eq_data: Optional[list]  # list of CellEqClasses (global cell ids)
     boot_mean: Optional[tuple]
     boot_var: Optional[tuple]
+
+
+def _merge_hosts(result: CellResult) -> CellResult:
+    """Merge per-host partial CellResults across the DCN: hosts own
+    disjoint contiguous cell-chunk ranges, so the merge is a ragged
+    all-gather + concat in rank order (per SURVEY §2.3 — no reduction
+    is needed); matrix rows shift by the cells of lower ranks."""
+    from ..parallel import dist
+
+    rank, world = dist.rank_world()
+    n_local = np.asarray([len(result.cells)], np.int64)
+    row_counts = np.concatenate(dist.allgather_ragged(n_local))
+    row_off = int(row_counts[:rank].sum())
+
+    gather = lambda a, dt: np.concatenate(
+        dist.allgather_ragged(np.asarray(a, dt))
+    )
+    rows, cols, vals = dist.merge_partial_coo(
+        result.rows, result.cols, result.vals, row_off
+    )
+    mm_keys = gather(list(result.mmrate.keys()), np.int64)
+    mm_vals = gather(list(result.mmrate.values()), np.float64)
+    sample_idx = result.sample_idx
+    if sample_idx is not None:
+        sample_idx = gather(sample_idx, np.int64)
+    return CellResult(
+        cells=gather(result.cells, np.int64),
+        cell_bcs=gather(result.cell_bcs, np.uint64),
+        sample_idx=sample_idx,
+        nrec=gather(result.nrec, np.int64),
+        rows=rows, cols=cols, vals=vals,
+        mmrate={int(k): float(v) for k, v in zip(mm_keys, mm_vals)},
+        alt_res_cells=[int(c) for c in gather(result.alt_res_cells, np.int64)],
+        dump_eq_data=None,
+        boot_mean=None,
+        boot_var=None,
+    )
 
 
 def _merge_results(parts: List[tuple]) -> CellResult:

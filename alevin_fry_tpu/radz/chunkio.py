@@ -232,16 +232,35 @@ def iter_decoded_blocks(
     max_records: int,
     skip_read_fields=None,
     want_dirs: bool = True,
+    chunk_range: tuple | None = None,
 ):
     """Stream-decode chunks into ReadBatch blocks of roughly
     ``max_records`` reads each (bounded-memory ingestion; the analog of
     the reference's --max-records scatter bound).  Each block's
     ``first_chunk`` records the global index of its first chunk and
-    ``chunk_id`` is globally offset."""
+    ``chunk_id`` is globally offset.
+
+    ``chunk_range=(start, end)`` restricts to that global chunk
+    interval (the multi-host ingest plan: each host owns a contiguous
+    range; chunks before ``start`` are header-skipped without decode)."""
     chunk_bufs: List[bytes] = []
     chunk_recs: List[int] = []
-    first_chunk = 0
-    n = 0
+    start, end = chunk_range if chunk_range is not None else (0, None)
+
+    def _skip_one() -> bool:
+        hdr = fh.read(8)
+        if len(hdr) < 8:
+            return False
+        nbytes, _nrec = struct.unpack("<II", hdr)
+        fh.seek(nbytes - 8, 1)
+        return True
+
+    for _ in range(start):
+        if not _skip_one():
+            raise EOFError("hit EOF while skipping to the host chunk range")
+
+    first_chunk = start
+    n = start
     pending = 0
 
     def _emit(first):
@@ -253,7 +272,7 @@ def iter_decoded_blocks(
         batch.first_chunk = first
         return batch
 
-    while num_chunks is None or n < num_chunks:
+    while (num_chunks is None or n < num_chunks) and (end is None or n < end):
         hdr = fh.read(8)
         if len(hdr) < 8:
             if num_chunks is not None:

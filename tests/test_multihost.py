@@ -1,0 +1,110 @@
+"""Multi-host quant: two real jax.distributed processes on the CPU
+backend, each owning half the cell chunks, must reproduce the
+single-process output byte-for-byte (host 0 writes the merged
+artifacts)."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from alevin_fry_tpu.ops.barcodes import pack_seq
+from alevin_fry_tpu.pipeline.collate import collate
+from alevin_fry_tpu.pipeline.gpl import (
+    CellFilterMethod, GenPermitListOpts, generate_permit_list,
+)
+from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+from synth import write_rna_rad
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)  # 1 local device per process
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+coord = sys.argv[2]
+os.environ["AFT_COORDINATOR"] = coord
+os.environ["AFT_NUM_PROCESSES"] = "2"
+os.environ["AFT_PROCESS_ID"] = str(pid)
+sys.path.insert(0, sys.argv[5])
+from pathlib import Path
+from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+quantify(QuantOpts(
+    input_dir=Path(sys.argv[3]), tg_map=Path(sys.argv[3]) / "t2g.tsv",
+    output_dir=Path(sys.argv[4]), resolution="cr-like", cmdline="mh",
+))
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_quant_matches_single(tmp_path):
+    rng = np.random.RandomState(21)
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT", "ACACACAC"]
+    refs = [f"t{i}" for i in range(10)]
+    reads = []
+    for i in range(1200):
+        bc = bcs[rng.randint(len(bcs))]
+        tids = sorted(set(rng.randint(0, 10, rng.randint(1, 3)).tolist()))
+        reads.append((pack_seq(bc), int(rng.randint(1 << 18)),
+                      [(t, True) for t in tids]))
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, [reads], bc_len=8, umi_len=10)
+    (tmp_path / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+
+    gpl = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=tmp_path / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(gpl, rad_dir, cmdline="t")
+    (gpl / "t2g.tsv").write_text("".join(f"t{i}\tg{i//2}\n" for i in range(10)))
+
+    # single-process reference
+    ref_dir = tmp_path / "q_single"
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=gpl / "t2g.tsv", output_dir=ref_dir,
+        resolution="cr-like", cmdline="mh",
+    ))
+
+    # two real processes over jax.distributed (CPU/gloo backend)
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out = tmp_path / "q_multi"
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("AFT_", "XLA_", "JAX_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(pid), coord, str(gpl),
+             str(out), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    logs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{lg[-3000:]}"
+    assert any("owns cell chunks" in lg for lg in logs)
+
+    for name in (
+        "alevin/quants_mat.mtx", "alevin/quants_mat_rows.txt",
+        "alevin/quants_mat_cols.txt", "featureDump.txt",
+    ):
+        assert (out / name).read_bytes() == (ref_dir / name).read_bytes(), name
