@@ -511,14 +511,22 @@ def em_cells_batched(
         # the batched device kernel is the default whenever a real
         # accelerator backend is attached or a mesh was requested; on
         # CPU-only hosts NumPy wins below ~64 EM cells (jit compile
-        # dominates there)
-        from .crlike import accelerator_present
+        # dominates there).  AFT_EM_BACKEND = host|jax overrides.
+        import os
 
-        use_jax = (
-            mesh is not None
-            or len(em_cells) >= 64
-            or accelerator_present()
-        )
+        mode = os.environ.get("AFT_EM_BACKEND", "auto")
+        if mode == "host":
+            use_jax = mesh is not None
+        elif mode == "jax":
+            use_jax = True
+        else:
+            from .crlike import accelerator_present
+
+            use_jax = (
+                mesh is not None
+                or len(em_cells) >= 64
+                or accelerator_present()
+            )
 
     if not use_jax:
         for ci in em_cells:
