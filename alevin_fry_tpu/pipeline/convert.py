@@ -1,18 +1,28 @@
 """convert — BAM/SAM (transcriptomic coordinates) to RAD.
 
-Re-implements src/convert.rs:167-594 with a minimal pure-Python BAM
-reader (BGZF is a multi-member gzip stream, which zlib handles):
+Re-implements src/convert.rs:167-594 with a columnar design: the
+native scanner (csrc/radc.cpp::radc_bam_scan) walks decompressed BAM
+records and emits numpy columns (flag, tid, 2-bit packed CR/UR, AS,
+same-qname-as-previous-kept flag); read grouping, best-AS filtering
+and chunk assembly are then pure vectorized numpy.  SAM input is
+parsed per line (text format) but batched into the same columns so
+both paths share one grouping engine.
 
-* consecutive alignments sharing a qname form one read record;
+Behavioral spec (from the reference):
+
+* consecutive alignments sharing a qname form one read record
+  (grouping is evaluated between *kept* records only — skipped
+  unmapped/supplementary lines do not break a qname run);
 * barcode/UMI come from the CR/UR tags, 2-bit packed with a single
   N->A replacement (more than one N drops the read,
   convert.rs:525-531);
-* with ``--filter_best`` only alignments whose AS ties the best score
-  are kept (convert.rs:461-468);
+* with ``--filter_best`` only alignments whose AS ties the group best
+  are kept (convert.rs:461-468); a missing AS scores 1;
 * forward orientation sets the high bit of the u32 ref id
-  (convert.rs:441-444); unmapped and supplementary records are skipped;
-* records are written in chunks of ~10k with the num_chunks header
-  backpatch.
+  (convert.rs:441-444); unmapped (0x4) and supplementary (0x800)
+  records are skipped;
+* records are written in ~10k-record chunks with the num_chunks
+  header backpatch (convert.rs:584-590).
 
 Divergence note: when a read's barcode or UMI still contains an N
 after the single replacement, the reference half-skips the record in a
@@ -24,7 +34,6 @@ from __future__ import annotations
 
 import gzip
 import struct
-import zlib
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 
@@ -32,6 +41,7 @@ import numpy as np
 
 from ..radz import RadHeader, RadPrelude, RadWriter
 from ..radz import types as rt
+from ..radz import _native as native
 from ..radz.types import RadType, TagSection, SECTION_ALN, SECTION_FILE, SECTION_READ
 from ..ops.barcodes import pack_seq
 from .logging_ import get_logger
@@ -41,66 +51,29 @@ log = get_logger("convert")
 FLAG_UNMAPPED = 0x4
 FLAG_REVERSE = 0x10
 FLAG_SUPPLEMENTARY = 0x800
+FLAG_SKIP = FLAG_UNMAPPED | FLAG_SUPPLEMENTARY
 MASK_LOWER_31 = 0x8000_0000
 BUF_LIMIT = 10_000
+AS_MISSING = np.int32(np.iinfo(np.int32).min)
+_SCAN_BUF = 1 << 22
+_SAM_BATCH = 1 << 16
 
 
-def _bgzf_reader(path: Path):
-    """BGZF = concatenated gzip members; gzip.open handles it."""
-    return gzip.open(path, "rb")
+def _pack_with_n(seq: str) -> Optional[int]:
+    """Pack; replace the first N with A, drop if any N remains
+    (convert.rs:525-531)."""
+    s = seq.replace("N", "A", 1)
+    if "N" in s:
+        return None
+    return pack_seq(s)
 
 
-def _parse_bam_tags(buf: bytes):
-    """Extract CR, UR (strings) and AS (int) from a BAM aux data blob."""
-    cr = ur = None
-    as_score = None
-    pos = 0
-    n = len(buf)
-    while pos + 3 <= n:
-        tag = buf[pos : pos + 2].decode("ascii", "replace")
-        vt = chr(buf[pos + 2])
-        pos += 3
-        if vt == "A":
-            val = chr(buf[pos]); pos += 1
-        elif vt == "c":
-            val = struct.unpack_from("<b", buf, pos)[0]; pos += 1
-        elif vt == "C":
-            val = struct.unpack_from("<B", buf, pos)[0]; pos += 1
-        elif vt == "s":
-            val = struct.unpack_from("<h", buf, pos)[0]; pos += 2
-        elif vt == "S":
-            val = struct.unpack_from("<H", buf, pos)[0]; pos += 2
-        elif vt == "i":
-            val = struct.unpack_from("<i", buf, pos)[0]; pos += 4
-        elif vt == "I":
-            val = struct.unpack_from("<I", buf, pos)[0]; pos += 4
-        elif vt == "f":
-            val = struct.unpack_from("<f", buf, pos)[0]; pos += 4
-        elif vt in ("Z", "H"):
-            end = buf.index(b"\x00", pos)
-            val = buf[pos:end].decode("ascii", "replace")
-            pos = end + 1
-        elif vt == "B":
-            sub = chr(buf[pos]); cnt = struct.unpack_from("<i", buf, pos + 1)[0]
-            sz = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
-            pos += 5 + cnt * sz
-            val = None
-        else:
-            break
-        if tag == "CR" and isinstance(val, str):
-            cr = val
-        elif tag == "UR" and isinstance(val, str):
-            ur = val
-        elif tag == "AS" and isinstance(val, (int,)):
-            as_score = int(val)
-    return cr, ur, as_score
-
-
-def iter_bam(path: Path) -> Tuple[List[str], Iterator[tuple]]:
-    """Returns (ref_names, iterator of (qname, flags, tid, cr, ur, as))."""
-    fh = _bgzf_reader(path)
+def iter_bam_columns(path: Path) -> Tuple[List[str], Iterator[dict]]:
+    """Native-scanned columnar batches from a BAM file."""
+    fh = gzip.open(path, "rb")
     magic = fh.read(4)
     if magic != b"BAM\x01":
+        fh.close()
         raise ValueError(f"{path} is not a BAM file")
     (l_text,) = struct.unpack("<i", fh.read(4))
     fh.read(l_text)
@@ -112,25 +85,27 @@ def iter_bam(path: Path) -> Tuple[List[str], Iterator[tuple]]:
         fh.read(4)  # l_ref
 
     def gen():
+        qstate = np.zeros(258, np.uint8)
+        carry = b""
         while True:
-            hdr = fh.read(4)
-            if len(hdr) < 4:
+            data = fh.read(_SCAN_BUF)
+            if not data:
                 break
-            (block_size,) = struct.unpack("<i", hdr)
-            rec = fh.read(block_size)
-            (tid, _pos, l_qname, _mapq, _bin, n_cigar, flag, l_seq,
-             _ntid, _npos, _tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
-            off = 32
-            qname = rec[off : off + l_qname - 1].decode("ascii", "replace")
-            off += l_qname + n_cigar * 4 + (l_seq + 1) // 2 + l_seq
-            cr, ur, as_score = _parse_bam_tags(rec[off:])
-            yield qname, flag, tid, cr, ur, as_score
+            buf = carry + data
+            cols, consumed = native.bam_scan(buf, qstate)
+            carry = buf[consumed:]
+            if cols["flags"].size:
+                yield cols
         fh.close()
+        if carry:
+            raise ValueError("truncated BAM record at end of file")
 
     return names, gen()
 
 
-def iter_sam(path: Path) -> Tuple[List[str], Iterator[tuple]]:
+def iter_sam_columns(path: Path) -> Tuple[List[str], Iterator[dict]]:
+    """Batched columnar parse of a SAM file (same column contract as
+    the native BAM scanner)."""
     fh = open(path, "r")
     names: List[str] = []
     first_aln = None
@@ -145,81 +120,98 @@ def iter_sam(path: Path) -> Tuple[List[str], Iterator[tuple]]:
         break
     name_to_id = {n: i for i, n in enumerate(names)}
 
-    def parse(line):
-        toks = line.rstrip("\n").split("\t")
-        qname, flag, rname = toks[0], int(toks[1]), toks[2]
-        tid = name_to_id.get(rname, -1)
-        cr = ur = None
-        as_score = None
-        for t in toks[11:]:
-            if t.startswith("CR:Z:"):
-                cr = t[5:]
-            elif t.startswith("UR:Z:"):
-                ur = t[5:]
-            elif t.startswith("AS:i:"):
-                as_score = int(t[5:])
-        return qname, flag, tid, cr, ur, as_score
-
     def gen():
-        if first_aln is not None:
-            yield parse(first_aln)
+        prev_qname = None  # last *kept* record's qname, across batches
+        pending = [] if first_aln is None else [first_aln]
+
+        def emit(lines):
+            nonlocal prev_qname
+            n = len(lines)
+            flags = np.empty(n, np.uint16)
+            tid = np.empty(n, np.int32)
+            bc = np.zeros(n, np.uint64)
+            bclen = np.full(n, -1, np.int32)
+            bc_valid = np.zeros(n, bool)
+            umi = np.zeros(n, np.uint64)
+            umilen = np.full(n, -1, np.int32)
+            umi_valid = np.zeros(n, bool)
+            as_score = np.full(n, AS_MISSING, np.int32)
+            same = np.zeros(n, bool)
+            for i, line in enumerate(lines):
+                toks = line.rstrip("\n").split("\t")
+                qname, flag = toks[0], int(toks[1])
+                flags[i] = flag
+                tid[i] = name_to_id.get(toks[2], -1)
+                same[i] = qname == prev_qname
+                if not (flag & FLAG_SKIP):
+                    prev_qname = qname
+                for t in toks[11:]:
+                    if t.startswith("CR:Z:"):
+                        cr = t[5:]
+                        bclen[i] = len(cr)
+                        b = _pack_with_n(cr)
+                        if b is not None:
+                            bc[i] = b
+                            bc_valid[i] = True
+                    elif t.startswith("UR:Z:"):
+                        ur = t[5:]
+                        umilen[i] = len(ur)
+                        u = _pack_with_n(ur)
+                        if u is not None:
+                            umi[i] = u
+                            umi_valid[i] = True
+                    elif t.startswith("AS:i:"):
+                        as_score[i] = int(t[5:])
+            return {
+                "flags": flags, "tid": tid,
+                "bc": bc, "bclen": bclen, "bc_valid": bc_valid,
+                "umi": umi, "umilen": umilen, "umi_valid": umi_valid,
+                "as": as_score, "same_qname": same,
+            }
+
         for line in fh:
-            yield parse(line)
+            pending.append(line)
+            if len(pending) >= _SAM_BATCH:
+                yield emit(pending)
+                pending = []
         fh.close()
+        if pending:
+            yield emit(pending)
 
     return names, gen()
 
 
-def _pack_with_n(seq: str) -> Optional[int]:
-    """Pack; replace the first N with A, drop if any N remains
-    (convert.rs:525-531)."""
-    s = seq.replace("N", "A", 1)
-    if "N" in s:
-        return None
-    return pack_seq(s)
+class _GroupEmitter:
+    """Vectorized qname-run grouping + chunked RAD writing.
 
+    Feeds on columnar batches; a group that may continue into the next
+    batch is carried as ``pend`` and finalized when the next group
+    starts (or at close).  Mirrors the reference's streaming grouping
+    loop (convert.rs:420-560) without per-record Python work.
+    """
 
-def bam2rad(
-    input_file: Path, rad_file: Path, num_threads: int = 1,
-    filter_best: bool = False,
-) -> None:
-    input_file = Path(input_file)
-    ext = input_file.suffix.lower()
-    if ext == ".bam":
-        ref_names, it = iter_bam(input_file)
-    elif ext == ".sam":
-        ref_names, it = iter_sam(input_file)
-    else:
-        raise ValueError(
-            "unsupported input file format, must end with bam/BAM or sam/SAM"
-        )
+    def __init__(self, out_fh, ref_names: List[str], filter_best: bool):
+        self.out_fh = out_fh
+        self.ref_names = ref_names
+        self.filter_best = filter_best
+        self.writer: Optional[RadWriter] = None
+        self.total_records = 0
+        self.n_in = 0
+        # pending (possibly continuing) group
+        self._pend: Optional[dict] = None
+        # chunk accumulators: per-group bc/umi/ref-count + flat refs
+        self._g_bc: List[np.ndarray] = []
+        self._g_umi: List[np.ndarray] = []
+        self._g_cnt: List[np.ndarray] = []
+        self._refs: List[np.ndarray] = []
+        self._n_groups = 0
 
-    rad_file = Path(rad_file)
-    rad_file.parent.mkdir(parents=True, exist_ok=True)
+    # -- writer / chunk plumbing -------------------------------------
 
-    writer = None
-    schema_lens = None
-
-    # group consecutive records by qname
-    pend_bc = pend_umi = None
-    tid_list: List[int] = []
-    score_list: List[int] = []
-    cur_qname = None
-
-    chunk_bcs: List[int] = []
-    chunk_umis: List[int] = []
-    chunk_refs: List[int] = []
-    chunk_offs: List[int] = [0]
-    total_records = 0
-
-    out_fh = open(rad_file, "wb")
-
-    def ensure_writer(bclen, umilen):
-        nonlocal writer, schema_lens
-        if writer is not None:
+    def _ensure_writer(self, bclen: int, umilen: int) -> None:
+        if self.writer is not None:
             return
-        schema_lens = (bclen, umilen)
-        hdr = RadHeader(is_paired=0, ref_names=ref_names, num_chunks=0)
+        hdr = RadHeader(is_paired=0, ref_names=self.ref_names, num_chunks=0)
         ft = TagSection(SECTION_FILE)
         ft.add("cblen", RadType(rt.U16))
         ft.add("ulen", RadType(rt.U16))
@@ -229,73 +221,180 @@ def bam2rad(
         at = TagSection(SECTION_ALN)
         at.add("compressed_ori_refid", RadType(rt.U32))
         prelude = RadPrelude(hdr, ft, rtg, at)
-        writer = RadWriter(out_fh, prelude, {"cblen": bclen, "ulen": umilen})
-
-    def flush_chunk():
-        nonlocal chunk_bcs, chunk_umis, chunk_refs, chunk_offs
-        if not chunk_bcs:
-            return
-        refs_arr = np.asarray(chunk_refs, np.uint64)
-        writer.write_chunk(
-            read_cols={
-                "b": np.asarray(chunk_bcs, np.uint64),
-                "u": np.asarray(chunk_umis, np.uint64),
-            },
-            aln_offsets=np.asarray(chunk_offs, np.int64),
-            refs=(refs_arr & np.uint64(0x7FFFFFFF)).astype(np.uint32),
-            dirs=(refs_arr & np.uint64(MASK_LOWER_31)) != 0,
+        self.writer = RadWriter(
+            self.out_fh, prelude, {"cblen": bclen, "ulen": umilen}
         )
-        chunk_bcs, chunk_umis, chunk_refs, chunk_offs = [], [], [], [0]
 
-    def emit_group():
-        nonlocal total_records
-        if not tid_list or pend_bc is None:
+    def _flush_chunk(self) -> None:
+        if self._n_groups == 0:
             return
-        best = max(score_list)
-        flist = [t for t, s in zip(tid_list, score_list) if s >= best]
-        chunk_bcs.append(pend_bc)
-        chunk_umis.append(pend_umi)
-        chunk_refs.extend(flist)
-        chunk_offs.append(len(chunk_refs))
-        total_records += 1
-        if len(chunk_bcs) > BUF_LIMIT:
-            flush_chunk()
+        bcs = np.concatenate(self._g_bc)
+        umis = np.concatenate(self._g_umi)
+        cnts = np.concatenate(self._g_cnt)
+        refs = np.concatenate(self._refs) if self._refs else np.empty(0, np.uint64)
+        offs = np.zeros(cnts.size + 1, np.int64)
+        np.cumsum(cnts, out=offs[1:])
+        self.writer.write_chunk(
+            read_cols={"b": bcs, "u": umis},
+            aln_offsets=offs,
+            refs=(refs & np.uint64(0x7FFFFFFF)).astype(np.uint32),
+            dirs=(refs & np.uint64(MASK_LOWER_31)) != 0,
+        )
+        self._g_bc, self._g_umi, self._g_cnt, self._refs = [], [], [], []
+        self._n_groups = 0
 
-    n_in = 0
-    for qname, flag, tid, cr, ur, as_score in it:
-        n_in += 1
-        if flag & (FLAG_UNMAPPED | FLAG_SUPPLEMENTARY):
-            continue
-        fwd = not (flag & FLAG_REVERSE)
-        enc_tid = tid | MASK_LOWER_31 if fwd else tid
-        if qname == cur_qname:
-            tid_list.append(enc_tid)
-            score_list.append(as_score if (filter_best and as_score is not None) else 1)
-            continue
-        emit_group()
-        cur_qname = qname
-        tid_list = []
-        score_list = []
-        pend_bc = pend_umi = None
-        if cr is None or ur is None:
+    def _append_groups(self, bc, umi, cnt, refs) -> None:
+        self._g_bc.append(np.ascontiguousarray(bc, np.uint64))
+        self._g_umi.append(np.ascontiguousarray(umi, np.uint64))
+        self._g_cnt.append(np.ascontiguousarray(cnt, np.int64))
+        self._refs.append(np.ascontiguousarray(refs, np.uint64))
+        self._n_groups += int(bc.size)
+        self.total_records += int(bc.size)
+        if self._n_groups >= BUF_LIMIT:
+            self._flush_chunk()
+
+    # -- grouping ------------------------------------------------------
+
+    def _finalize_pend(self) -> None:
+        p = self._pend
+        self._pend = None
+        if p is None or not p["valid"]:
+            return
+        refs = np.concatenate(p["refs"])
+        scores = np.concatenate(p["scores"])
+        if self.filter_best:
+            keep = scores >= scores.max()
+            refs = refs[keep]
+        if refs.size == 0:
+            return
+        self._ensure_writer(p["bclen"], p["umilen"])
+        self._append_groups(
+            np.asarray([p["bc"]], np.uint64),
+            np.asarray([p["umi"]], np.uint64),
+            np.asarray([refs.size], np.int64),
+            refs,
+        )
+
+    def feed(self, cols: dict) -> None:
+        self.n_in += int(cols["flags"].size)
+        kept = (cols["flags"] & FLAG_SKIP) == 0
+        k = np.flatnonzero(kept)
+        if k.size == 0:
+            return
+        fwd = (cols["flags"][k] & FLAG_REVERSE) == 0
+        enc = cols["tid"][k].astype(np.uint64)
+        enc[fwd] |= np.uint64(MASK_LOWER_31)
+        if self.filter_best:
+            a = cols["as"][k]
+            scores = np.where(a == AS_MISSING, np.int32(1), a)
+        else:
+            scores = np.ones(k.size, np.int32)
+        same = cols["same_qname"][k]
+        starts = np.flatnonzero(~same)
+        if self._pend is None and (starts.size == 0 or starts[0] != 0):
+            # no carried group to continue: force a group start
+            starts = np.concatenate([[0], starts]).astype(np.int64)
+
+        if starts.size == 0:
+            # whole batch continues the pending group
+            self._pend["refs"].append(enc)
+            self._pend["scores"].append(scores)
+            return
+        s0 = int(starts[0])
+        if s0 > 0:
+            self._pend["refs"].append(enc[:s0])
+            self._pend["scores"].append(scores[:s0])
+        self._finalize_pend()
+
+        # complete groups: [starts[i], starts[i+1]) for i < len-1
+        if starts.size > 1:
+            self._emit_complete(
+                cols, k, enc, scores, starts[:-1].astype(np.int64),
+                int(starts[-1]),
+            )
+        # last group becomes the new pend
+        sl = int(starts[-1])
+        fi = int(k[sl])
+        bcl, uml = int(cols["bclen"][fi]), int(cols["umilen"][fi])
+        if bcl < 0 or uml < 0:
             raise ValueError("Input record missing CR or UR tag!")
-        b = _pack_with_n(cr)
-        u = _pack_with_n(ur)
-        if b is None or u is None:
-            cur_qname = qname  # reads of this group will be skipped
-            continue
-        ensure_writer(len(cr.replace("N", "A", 1)), len(ur.replace("N", "A", 1)))
-        pend_bc, pend_umi = b, u
-        tid_list.append(enc_tid)
-        score_list.append(as_score if (filter_best and as_score is not None) else 1)
-    emit_group()
-    if writer is None:
-        out_fh.close()
-        raise ValueError("bam file had no records!")
-    flush_chunk()
-    n_chunks = writer.finalize()
-    out_fh.close()
+        self._pend = {
+            "bc": int(cols["bc"][fi]), "umi": int(cols["umi"][fi]),
+            "bclen": bcl, "umilen": uml,
+            "valid": bool(cols["bc_valid"][fi]) and bool(cols["umi_valid"][fi]),
+            "refs": [enc[sl:]], "scores": [scores[sl:]],
+        }
+
+    def _emit_complete(self, cols, k, enc, scores, starts, end) -> None:
+        """Emit the fully-contained groups of this batch in one
+        vectorized pass (group g spans [starts[g], starts[g+1]),
+        bounded by ``end``)."""
+        firsts = k[starts]
+        bclen = cols["bclen"][firsts]
+        umilen = cols["umilen"][firsts]
+        if np.any(bclen < 0) or np.any(umilen < 0):
+            raise ValueError("Input record missing CR or UR tag!")
+        valid_g = cols["bc_valid"][firsts] & cols["umi_valid"][firsts]
+
+        bounds = np.concatenate([starts, [end]]).astype(np.int64)
+        counts = np.diff(bounds)
+        gid = np.repeat(np.arange(starts.size), counts)
+        seg_refs = enc[bounds[0]:end]
+        seg_scores = scores[bounds[0]:end]
+        rel = bounds - bounds[0]
+        if self.filter_best:
+            gmax = np.maximum.reduceat(seg_scores, rel[:-1])
+            keep = seg_scores >= gmax[gid]
+        else:
+            keep = np.ones(seg_scores.size, bool)
+        keep &= valid_g[gid]
+        cnt = np.add.reduceat(keep, rel[:-1]) if keep.size else np.zeros(0, np.int64)
+        cnt = np.where(valid_g, cnt, 0)
+        sel_g = valid_g & (cnt > 0)
+        if not np.any(sel_g):
+            return
+        if self.writer is None:
+            fv = int(np.flatnonzero(sel_g)[0])
+            self._ensure_writer(int(bclen[fv]), int(umilen[fv]))
+        self._append_groups(
+            cols["bc"][firsts][sel_g],
+            cols["umi"][firsts][sel_g],
+            cnt[sel_g].astype(np.int64),
+            seg_refs[keep],
+        )
+
+    def close(self) -> int:
+        self._finalize_pend()
+        if self.writer is None:
+            raise ValueError("bam file had no records!")
+        self._flush_chunk()
+        return self.writer.finalize()
+
+
+def bam2rad(
+    input_file: Path, rad_file: Path, num_threads: int = 1,
+    filter_best: bool = False,
+) -> None:
+    input_file = Path(input_file)
+    ext = input_file.suffix.lower()
+    if ext == ".bam":
+        ref_names, batches = iter_bam_columns(input_file)
+    elif ext == ".sam":
+        ref_names, batches = iter_sam_columns(input_file)
+    else:
+        raise ValueError(
+            "unsupported input file format, must end with bam/BAM or sam/SAM"
+        )
+
+    rad_file = Path(rad_file)
+    rad_file.parent.mkdir(parents=True, exist_ok=True)
+
+    with open(rad_file, "wb") as out_fh:
+        em = _GroupEmitter(out_fh, ref_names, filter_best)
+        for cols in batches:
+            em.feed(cols)
+        n_chunks = em.close()
     log.info(
         "wrote %d records in %d chunks from %d input alignments",
-        total_records, n_chunks, n_in,
+        em.total_records, n_chunks, em.n_in,
     )

@@ -216,6 +216,15 @@ def _load():
         ]
         lib.radc_pug_free.restype = None
         lib.radc_pug_free.argtypes = [ctypes.c_void_p]
+        lib.radc_bam_scan.restype = ctypes.c_int64
+        lib.radc_bam_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.radc_intern_label_sets.restype = ctypes.c_int64
         lib.radc_intern_label_sets.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -948,3 +957,39 @@ def pug_cover(
 
 def pug_free(handle) -> None:
     _load().radc_pug_free(handle)
+
+
+def bam_scan(buf, qname_state: np.ndarray):
+    """Scan complete BAM records in ``buf``; returns (columns dict,
+    bytes_consumed).  ``qname_state`` is a 258-byte uint8 array carried
+    across calls (zero-initialized before the first)."""
+    lib = _load()
+    arr = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) else buf
+    arr = np.ascontiguousarray(arr, np.uint8)
+    n_max = arr.nbytes // 36 + 1
+    flags = np.empty(n_max, np.uint16)
+    tid = np.empty(n_max, np.int32)
+    bc = np.empty(n_max, np.uint64)
+    bclen = np.empty(n_max, np.int32)
+    bc_valid = np.empty(n_max, np.uint8)
+    umi = np.empty(n_max, np.uint64)
+    umilen = np.empty(n_max, np.int32)
+    umi_valid = np.empty(n_max, np.uint8)
+    as_score = np.empty(n_max, np.int32)
+    same = np.empty(n_max, np.uint8)
+    consumed = np.zeros(1, np.int64)
+    n = lib.radc_bam_scan(
+        arr.ctypes.data, arr.nbytes, qname_state.ctypes.data,
+        flags.ctypes.data, tid.ctypes.data,
+        bc.ctypes.data, bclen.ctypes.data, bc_valid.ctypes.data,
+        umi.ctypes.data, umilen.ctypes.data, umi_valid.ctypes.data,
+        as_score.ctypes.data, same.ctypes.data, consumed.ctypes.data,
+    )
+    cols = {
+        "flags": flags[:n], "tid": tid[:n],
+        "bc": bc[:n], "bclen": bclen[:n], "bc_valid": bc_valid[:n] != 0,
+        "umi": umi[:n], "umilen": umilen[:n],
+        "umi_valid": umi_valid[:n] != 0,
+        "as": as_score[:n], "same_qname": same[:n] != 0,
+    }
+    return cols, int(consumed[0])

@@ -2113,3 +2113,159 @@ extern "C" int64_t radc_pug_cover(
 extern "C" void radc_pug_free(void* handle) {
   delete static_cast<PugBatchHandle*>(handle);
 }
+
+// ---------------------------------------------------------------------------
+// BAM record scanner (convert).  Walks decompressed BAM records and
+// extracts the columns bam2rad needs: flag, tid, 2-bit packed CR/UR
+// tags (single N->A replacement, second N invalidates — the
+// reference's rule at convert.rs:525-531), AS score, and a
+// same-qname-as-previous flag for read grouping.  Partial trailing
+// records are left for the caller to carry over; the previous call's
+// last qname is carried in a caller-owned state buffer so grouping
+// works across buffer boundaries.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// pack an ASCII sequence 2-bit with the single-N rule.
+// returns length, sets *valid, writes packed value.
+inline int pack_seq_n(const uint8_t* s, int64_t n, uint64_t* out,
+                      int* valid) {
+  uint64_t v = 0;
+  int n_seen = 0;
+  *valid = 1;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t code;
+    switch (s[i]) {
+      case 'A': case 'a': code = 0; break;
+      case 'C': case 'c': code = 1; break;
+      case 'G': case 'g': code = 2; break;
+      case 'T': case 't': code = 3; break;
+      default:
+        if (++n_seen > 1) {
+          *valid = 0;
+          code = 0;
+        } else {
+          code = 0;  // first N -> A
+        }
+        break;
+    }
+    v = (v << 2) | code;
+  }
+  *out = v;
+  return static_cast<int>(n);
+}
+
+}  // namespace
+
+// Returns the number of complete records consumed (their columns are
+// written to the output arrays) and sets *bytes_consumed.  qname_state
+// is a 256-byte caller buffer holding [len:u16][bytes...] of the last
+// record's qname (initialize len=0 before the first call).
+extern "C" int64_t radc_bam_scan(
+    const uint8_t* buf, int64_t n, uint8_t* qname_state,
+    uint16_t* flags_out, int32_t* tid_out,
+    uint64_t* bc_out, int32_t* bclen_out, uint8_t* bc_valid_out,
+    uint64_t* umi_out, int32_t* umilen_out, uint8_t* umi_valid_out,
+    int32_t* as_out, uint8_t* same_qname_out,
+    int64_t* bytes_consumed) {
+  int64_t pos = 0;
+  int64_t rec = 0;
+  uint16_t prev_len;
+  std::memcpy(&prev_len, qname_state, 2);
+  while (pos + 4 <= n) {
+    uint32_t block_size;
+    std::memcpy(&block_size, buf + pos, 4);
+    if (pos + 4 + static_cast<int64_t>(block_size) > n) break;
+    const uint8_t* r = buf + pos + 4;
+    int32_t tid, l_read;
+    std::memcpy(&tid, r, 4);
+    const uint8_t l_qname = r[8];
+    uint16_t n_cigar, flag;
+    std::memcpy(&n_cigar, r + 12, 2);
+    std::memcpy(&flag, r + 14, 2);
+    std::memcpy(&l_read, r + 16, 4);
+    const uint8_t* qname = r + 32;
+    // group chain vs the previous KEPT record: unmapped/supplementary
+    // records are skipped downstream and must not break a qname run
+    // (convert.rs grouping semantics)
+    const int64_t qn = l_qname > 0 ? l_qname - 1 : 0;  // strip NUL
+    uint8_t same = (prev_len == qn) &&
+                   (std::memcmp(qname_state + 2, qname, qn) == 0);
+    same_qname_out[rec] = same;
+    if ((flag & 0x804) == 0) {  // kept: becomes the comparison anchor
+      prev_len = static_cast<uint16_t>(qn);
+      std::memcpy(qname_state + 2, qname, prev_len);
+      std::memcpy(qname_state, &prev_len, 2);
+    }
+
+    flags_out[rec] = flag;
+    tid_out[rec] = tid;
+    // aux tags start after qname + cigar + seq + qual
+    int64_t off = 32 + l_qname + 4LL * n_cigar + (l_read + 1) / 2 + l_read;
+    const int64_t end = block_size;
+    int32_t as_score = INT32_MIN;
+    uint64_t bc = 0, umi = 0;
+    int32_t bclen = -1, umilen = -1;
+    int bc_valid = 0, umi_valid = 0;
+    while (off + 3 <= end) {
+      const uint8_t t0 = r[off], t1 = r[off + 1];
+      const uint8_t vt = r[off + 2];
+      off += 3;
+      int64_t adv = -1;
+      switch (vt) {
+        case 'A': case 'c': case 'C': adv = 1; break;
+        case 's': case 'S': adv = 2; break;
+        case 'i': case 'I': case 'f': adv = 4; break;
+        case 'Z': case 'H': {
+          int64_t e = off;
+          while (e < end && r[e] != 0) ++e;
+          if (t0 == 'C' && t1 == 'R') {
+            bclen = pack_seq_n(r + off, e - off, &bc, &bc_valid);
+          } else if (t0 == 'U' && t1 == 'R') {
+            umilen = pack_seq_n(r + off, e - off, &umi, &umi_valid);
+          }
+          adv = e - off + 1;
+          break;
+        }
+        case 'B': {
+          if (off + 5 > end) { adv = end - off; break; }
+          const uint8_t sub = r[off];
+          int32_t cnt;
+          std::memcpy(&cnt, r + off + 1, 4);
+          int sz = (sub == 'c' || sub == 'C') ? 1
+                   : (sub == 's' || sub == 'S') ? 2 : 4;
+          adv = 5 + static_cast<int64_t>(cnt) * sz;
+          break;
+        }
+        default: adv = end - off; break;  // unknown: stop scanning
+      }
+      if (t0 == 'A' && t1 == 'S' &&
+          (vt == 'c' || vt == 'C' || vt == 's' || vt == 'S' || vt == 'i' ||
+           vt == 'I')) {
+        int64_t v = 0;
+        switch (vt) {
+          case 'c': v = static_cast<int8_t>(r[off]); break;
+          case 'C': v = r[off]; break;
+          case 's': { int16_t x; std::memcpy(&x, r + off, 2); v = x; break; }
+          case 'S': { uint16_t x; std::memcpy(&x, r + off, 2); v = x; break; }
+          case 'i': { int32_t x; std::memcpy(&x, r + off, 4); v = x; break; }
+          case 'I': { uint32_t x; std::memcpy(&x, r + off, 4); v = (int64_t)x; break; }
+        }
+        as_score = static_cast<int32_t>(v);
+      }
+      off += adv;
+    }
+    bc_out[rec] = bc;
+    bclen_out[rec] = bclen;
+    bc_valid_out[rec] = static_cast<uint8_t>(bc_valid);
+    umi_out[rec] = umi;
+    umilen_out[rec] = umilen;
+    umi_valid_out[rec] = static_cast<uint8_t>(umi_valid);
+    as_out[rec] = as_score;
+    pos += 4 + block_size;
+    ++rec;
+  }
+  *bytes_consumed = pos;
+  return rec;
+}
