@@ -166,6 +166,113 @@ def test_atac_sort_out_of_core_matches_in_memory(tmp_path):
     assert gzip.open(gpl / "map.bed.gz", "rb").read() == in_mem
 
 
+def test_atac_compressed_collate_dedup_matches_uncompressed(tmp_path):
+    """collate --compress writes map.collated.rad.sz (real snappy
+    frames) and deduplicate streams it to the same BED bytes as the
+    uncompressed path (atac/collate.rs + deduplicate.rs over .sz)."""
+    rad_dir, wl = _random_dataset(tmp_path, n_reads=800, seed=5)
+
+    beds = {}
+    for label, flags in (("plain", []), ("sz", ["-c"])):
+        gpl = tmp_path / f"gpl_{label}"
+        assert main([
+            "atac", "generate-permit-list", "-i", str(rad_dir),
+            "-o", str(gpl), "-u", str(wl), "-m", "1", "-d", "rc",
+        ]) == 0
+        assert main([
+            "atac", "collate", "-i", str(gpl), "-r", str(rad_dir),
+            "-t", "2", *flags,
+        ]) == 0
+        assert main(["atac", "deduplicate", "-i", str(gpl), "-d", "rc"]) == 0
+        beds[label] = (gpl / "map.bed").read_bytes()
+
+    sz = tmp_path / "gpl_sz" / "map.collated.rad.sz"
+    assert sz.exists() and not (tmp_path / "gpl_sz" / "map.collated.rad").exists()
+    # real compression: random-but-duplicated fragments compress below
+    # the raw collated size
+    raw = (tmp_path / "gpl_plain" / "map.collated.rad").stat().st_size
+    assert sz.stat().st_size < raw
+    assert beds["sz"] == beds["plain"] and len(beds["plain"]) > 0
+
+
+def test_atac_forward_orientation(tmp_path):
+    """-d fw: the whitelist is matched as-given and BED barcodes are
+    written without reverse-complementing (atac/utils.rs:9,
+    get_bc_string rc-aware decode)."""
+    refs = ["chr1"]
+    ref_lens = [200_000]
+    CB1 = "ACGTACGT"
+    chunks = [[
+        (pack_seq(CB1), [(0, 4, 1000, 150)]),
+        (pack_seq(CB1), [(0, 4, 1000, 150)]),   # duplicate
+        (pack_seq("ACGTACGA"), [(0, 4, 2000, 90)]),  # 1-edit -> rescued
+    ]]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_atac_rad(rad_dir / "map.rad", refs, ref_lens, chunks, bc_len=BC_LEN)
+    wl = tmp_path / "wl.txt"
+    wl.write_text(f"{CB1}\n")
+
+    gpl = tmp_path / "gpl"
+    assert main([
+        "atac", "generate-permit-list", "-i", str(rad_dir), "-o", str(gpl),
+        "-u", str(wl), "-m", "1", "-d", "fw",
+    ]) == 0
+    meta = json.loads((gpl / "generate_permit_list.json").read_text())
+    assert meta["gpl_options"]["rc"] is False
+
+    assert main(["atac", "sort", "-i", str(gpl), "-r", str(rad_dir),
+                 "-t", "1"]) == 0
+    rows = [l.split("\t") for l in (gpl / "map.bed").read_text().splitlines()]
+    assert len(rows) == 2
+    # barcode emitted as-is, not reverse-complemented
+    assert all(r[3] == CB1 for r in rows)
+    assert rows[0][:3] == ["chr1", "1000", "1150"] and rows[0][4] == "2"
+    assert rows[1][1] == "2000"
+
+    assert main(["atac", "collate", "-i", str(gpl), "-r", str(rad_dir),
+                 "-t", "1"]) == 0
+    assert main(["atac", "deduplicate", "-i", str(gpl), "-d", "fw"]) == 0
+    drows = [l.split("\t") for l in (gpl / "map.bed").read_text().splitlines()]
+    assert [r[3] for r in drows] == [CB1, CB1]
+
+
+def test_atac_ambiguous_one_edit_not_rescued(tmp_path):
+    """A barcode 1 edit away from TWO whitelist entries is dropped
+    (unique-neighbor rescue rule, cellfilter.rs:198-233 shared by the
+    ATAC path); a unique 1-edit mutant is rescued."""
+    refs = ["chr1"]
+    ref_lens = [200_000]
+    W1, W2 = "AAAAAAAA", "CAAAAAAA"
+    amb = "GAAAAAAA"    # 1 edit from both W1 and W2
+    uniq = "AAAAAAAT"   # 1 edit from W1 only
+    chunks = [[
+        (pack_seq(W1), [(0, 4, 100, 50)]),
+        (pack_seq(W2), [(0, 4, 200, 50)]),
+        (pack_seq(amb), [(0, 4, 300, 50)]),
+        (pack_seq(uniq), [(0, 4, 400, 50)]),
+    ]]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_atac_rad(rad_dir / "map.rad", refs, ref_lens, chunks, bc_len=BC_LEN)
+    wl = tmp_path / "wl.txt"
+    wl.write_text(f"{W1}\n{W2}\n")
+
+    gpl = tmp_path / "gpl"
+    assert main([
+        "atac", "generate-permit-list", "-i", str(rad_dir), "-o", str(gpl),
+        "-u", str(wl), "-m", "1", "-d", "fw",
+    ]) == 0
+    assert main(["atac", "sort", "-i", str(gpl), "-r", str(rad_dir),
+                 "-t", "1"]) == 0
+    rows = [l.split("\t") for l in (gpl / "map.bed").read_text().splitlines()]
+    # W1 keeps its own read + the rescued uniq read; amb is dropped
+    starts = sorted(r[1] for r in rows)
+    assert starts == ["100", "200", "400"]
+    bcs = {r[1]: r[3] for r in rows}
+    assert bcs["400"] == W1  # corrected to the whitelist barcode
+
+
 def test_format_bed_native_matches_numpy(tmp_path):
     """Native BED renderer and the NumPy fallback emit identical bytes."""
     import pytest
