@@ -209,6 +209,21 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
     # reference's reader-thread/worker pattern, quant.rs:1527-1743)
     from .progress import stage_timer
 
+    # bounded-memory COO: per-block triplets hand off to a spill sink
+    # that streams the MTX body to disk past AFT_QUANT_SPILL_NNZ
+    # triplets (quant.rs holds all thread-local triplets in memory,
+    # quant.rs:1770-1806; we bound it).  Multi-host runs keep the COO
+    # in the result for the cross-host gather.
+    spill_nnz = int(os.environ.get("AFT_QUANT_SPILL_NNZ", 50_000_000))
+    sink = None
+    if world == 1:
+        sink = _CooSpill(
+            Path(opts.output_dir) / "alevin" / "quants_mat.mtx", spill_nnz
+        )
+    empty_coo = (
+        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.float32)
+    )
+
     pb_ctx = stage_timer(log, "quant resolve", "reads")
     pb = pb_ctx.__enter__()
     for batch in prefetched(iter_decoded_blocks(
@@ -231,14 +246,29 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
                 & (idx < len(fsorted))
                 & (fsorted[idx_c] == cell_bc_all)
             )
-        parts.append((first, _resolve_cells(
+        res = _resolve_cells(
             batch, keep_local, tid_to_gid, opts, sa_model, usa_mode,
             usa_offsets, num_genes, num_rows, sample_names,
             cell_offset=first,
-        )))
+        )
+        if sink is not None:
+            sink.add(res.rows, res.cols, res.vals, len(res.cells))
+            res.rows, res.cols, res.vals = empty_coo
+        parts.append((first, res))
     pb_ctx.__exit__(None, None, None)
 
     result = _merge_results(parts)
+    mtx_prewritten = False
+    if sink is not None:
+        if sink.spilled:
+            sink.finalize_spilled((len(result.cells), num_rows))
+            mtx_prewritten = True
+            log.info(
+                "quants_mat.mtx streamed to disk (%d triplets spilled past "
+                "the %d in-memory bound)", sink.nnz, spill_nnz,
+            )
+        else:
+            result.rows, result.cols, result.vals = sink.concatenated()
 
     if world > 1:
         result = _merge_hosts(result)
@@ -248,7 +278,7 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
 
     _write_outputs(
         opts, parent, result, gene_names, usa_mode, num_rows, barcode_len,
-        unmapped, sample_names,
+        unmapped, sample_names, mtx_prewritten=mtx_prewritten,
     )
 
 
@@ -266,6 +296,100 @@ class CellResult:
     dump_eq_data: Optional[list]  # list of CellEqClasses (global cell ids)
     boot_mean: Optional[tuple]
     boot_var: Optional[tuple]
+    # per-cell QC stats (sum_umi, max_umi, num_expr, over_mean), computed
+    # block-locally so the global COO need not be held in memory
+    cell_stats: Optional[tuple] = None
+
+
+def _coo_cell_stats(rows: np.ndarray, vals: np.ndarray, n_cells: int) -> tuple:
+    """Per-cell featureDump stats from COO triplets (rows must be
+    cell-row indices in [0, n_cells)).  Each cell's stats depend only on
+    its own triplets, so per-block results concatenate to the global
+    answer."""
+    sum_umi = np.zeros(n_cells, np.float32)
+    max_umi = np.zeros(n_cells, np.float32)
+    num_expr = np.zeros(n_cells, np.int64)
+    over_mean = np.zeros(n_cells, np.int64)
+    if len(rows):
+        rr = rows
+        if len(rr) < 2 or bool((rr[1:] >= rr[:-1]).all()):
+            # rows arrive sorted: segmented reductions (reduceat) are an
+            # order of magnitude faster than ufunc.at scatter
+            starts = np.flatnonzero(
+                np.concatenate(([True], rr[1:] != rr[:-1]))
+            )
+            ridx = rr[starts]
+            sum_umi[ridx] = np.add.reduceat(vals, starts)
+            max_umi[ridx] = np.maximum.reduceat(vals, starts)
+            num_expr[ridx] = np.add.reduceat(
+                (vals > 0).astype(np.int64), starts
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_expr_arr = sum_umi / num_expr.astype(np.float32)
+            gt = vals > mean_expr_arr[rr]
+            over_mean[ridx] = np.add.reduceat(gt.astype(np.int64), starts)
+        else:
+            np.add.at(sum_umi, rr, vals)
+            np.maximum.at(max_umi, rr, vals)
+            np.add.at(num_expr, rr, (vals > 0).astype(np.int64))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_expr_arr = sum_umi / num_expr.astype(np.float32)
+            gt = vals > mean_expr_arr[rr]
+            np.add.at(over_mean, rr, gt.astype(np.int64))
+    return sum_umi, max_umi, num_expr, over_mean
+
+
+class _CooSpill:
+    """Owns the streamed quant COO at bounded memory: blocks are held
+    in memory until ``spill_nnz`` triplets accumulate, then the MTX body
+    starts streaming to disk (MtxStreamWriter) and memory stays flat.
+    Rows arrive block-local and are shifted to global row indices here."""
+
+    def __init__(self, path, spill_nnz: int):
+        self.path = path
+        self.spill_nnz = spill_nnz
+        self.row_off = 0
+        self.nnz = 0
+        self._blocks: List[tuple] = []
+        self._writer = None
+
+    def add(self, rows, cols, vals, n_cells: int) -> None:
+        rows = rows + self.row_off
+        self.row_off += n_cells
+        self.nnz += len(vals)
+        if self._writer is not None:
+            self._writer.add(rows, cols, vals)
+            return
+        self._blocks.append((rows, cols, vals))
+        if self.nnz > self.spill_nnz:
+            from ..radz.mtx import MtxStreamWriter
+
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._writer = MtxStreamWriter(self.path)
+            for blk in self._blocks:
+                self._writer.add(*blk)
+            self._blocks = []
+
+    @property
+    def spilled(self) -> bool:
+        return self._writer is not None
+
+    def concatenated(self) -> tuple:
+        assert self._writer is None
+        if not self._blocks:
+            return (
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.float32),
+            )
+        cat = np.concatenate
+        return tuple(cat([b[i] for b in self._blocks]) for i in range(3))
+
+    def finalize_spilled(self, shape) -> None:
+        self._writer.finalize(shape)
+
+    def abort(self) -> None:
+        if self._writer is not None:
+            self._writer.abort()
 
 
 def _merge_hosts(result: CellResult) -> CellResult:
@@ -291,6 +415,13 @@ def _merge_hosts(result: CellResult) -> CellResult:
     sample_idx = result.sample_idx
     if sample_idx is not None:
         sample_idx = gather(sample_idx, np.int64)
+    cell_stats = None
+    if result.cell_stats is not None:
+        s, m, ne, om = result.cell_stats
+        cell_stats = (
+            gather(s, np.float32), gather(m, np.float32),
+            gather(ne, np.int64), gather(om, np.int64),
+        )
     return CellResult(
         cells=gather(result.cells, np.int64),
         cell_bcs=gather(result.cell_bcs, np.uint64),
@@ -302,6 +433,7 @@ def _merge_hosts(result: CellResult) -> CellResult:
         dump_eq_data=None,
         boot_mean=None,
         boot_var=None,
+        cell_stats=cell_stats,
     )
 
 
@@ -326,6 +458,7 @@ def _merge_results(parts: List[tuple]) -> CellResult:
         return r
     cells_l, bcs_l, sidx_l, nrec_l = [], [], [], []
     rows_l, cols_l, vals_l = [], [], []
+    stats_l: List[tuple] = []
     mmrate: Dict[int, float] = {}
     alt: List[int] = []
     dump: List = []
@@ -334,6 +467,8 @@ def _merge_results(parts: List[tuple]) -> CellResult:
     have_boot = have_dump = False
     rows_off = 0
     for first, r in parts:
+        if r.cell_stats is not None:
+            stats_l.append(r.cell_stats)
         cells_l.append(r.cells + first)
         bcs_l.append(r.cell_bcs)
         if r.sample_idx is not None:
@@ -369,6 +504,10 @@ def _merge_results(parts: List[tuple]) -> CellResult:
         dump_eq_data=dump if have_dump else None,
         boot_mean=tuple(cat(x) for x in bm) if have_boot else None,
         boot_var=tuple(cat(x) for x in bv) if have_boot else None,
+        cell_stats=(
+            tuple(cat([s[i] for s in stats_l]) for i in range(4))
+            if len(stats_l) == len(parts) else None
+        ),
     )
 
 
@@ -602,17 +741,19 @@ def _resolve_cells(
         order = slice(None)
     else:
         order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
     return CellResult(
         cells=processed,
         cell_bcs=cell_bcs,
         sample_idx=sample_idx,
         nrec=nrec_all[processed],
-        rows=rows[order], cols=cols[order], vals=vals[order],
+        rows=rows, cols=cols, vals=vals,
         mmrate=mmrate,
         alt_res_cells=alt_res_cells,
         dump_eq_data=dump_eq_data,
         boot_mean=boot_mean,
         boot_var=boot_var,
+        cell_stats=_coo_cell_stats(rows, vals, len(processed)),
     )
 
 
@@ -792,6 +933,7 @@ def _write_outputs(
     barcode_len: int,
     unmapped: UnmappedLookup,
     sample_names,
+    mtx_prewritten: bool = False,
 ) -> None:
     out_path = Path(opts.output_dir)
     out_path.mkdir(parents=True, exist_ok=True)
@@ -821,37 +963,15 @@ def _write_outputs(
     )
     unmapped_cts = unmapped.get(result.cell_bcs)
 
-    # per-cell stats from the COO triplets
-    sum_umi = np.zeros(n_rows_out, np.float32)
-    max_umi = np.zeros(n_rows_out, np.float32)
-    num_expr = np.zeros(n_rows_out, np.int64)
-    over_mean = np.zeros(n_rows_out, np.int64)
-    if len(result.rows):
-        rr = result.rows
-        if len(rr) < 2 or bool((rr[1:] >= rr[:-1]).all()):
-            # rows arrive sorted: segmented reductions (reduceat) are an
-            # order of magnitude faster than ufunc.at scatter
-            starts = np.flatnonzero(
-                np.concatenate(([True], rr[1:] != rr[:-1]))
-            )
-            ridx = rr[starts]
-            sum_umi[ridx] = np.add.reduceat(result.vals, starts)
-            max_umi[ridx] = np.maximum.reduceat(result.vals, starts)
-            num_expr[ridx] = np.add.reduceat(
-                (result.vals > 0).astype(np.int64), starts
-            )
-            with np.errstate(invalid="ignore", divide="ignore"):
-                mean_expr_arr = sum_umi / num_expr.astype(np.float32)
-            gt = result.vals > mean_expr_arr[rr]
-            over_mean[ridx] = np.add.reduceat(gt.astype(np.int64), starts)
-        else:
-            np.add.at(sum_umi, rr, result.vals)
-            np.maximum.at(max_umi, rr, result.vals)
-            np.add.at(num_expr, rr, (result.vals > 0).astype(np.int64))
-            with np.errstate(invalid="ignore", divide="ignore"):
-                mean_expr_arr = sum_umi / num_expr.astype(np.float32)
-            gt = result.vals > mean_expr_arr[rr]
-            np.add.at(over_mean, rr, gt.astype(np.int64))
+    # per-cell stats: computed block-locally during resolution (so the
+    # spilled-COO path never needs the global triplets); fall back to
+    # recomputing from the COO when absent
+    if result.cell_stats is not None:
+        sum_umi, max_umi, num_expr, over_mean = result.cell_stats
+    else:
+        sum_umi, max_umi, num_expr, over_mean = _coo_cell_stats(
+            result.rows, result.vals, n_rows_out
+        )
     with np.errstate(invalid="ignore", divide="ignore"):
         mean_expr = (sum_umi / num_expr.astype(np.float32)).astype(np.float32)
         mean_by_max = (mean_expr / max_umi).astype(np.float32)
@@ -915,11 +1035,12 @@ def _write_outputs(
             )
         ffd.write("".join(fd_lines))
 
-    write_matrix_market(
-        mat_path / "quants_mat.mtx",
-        result.rows, result.cols, result.vals,
-        (n_rows_out, num_rows),
-    )
+    if not mtx_prewritten:
+        write_matrix_market(
+            mat_path / "quants_mat.mtx",
+            result.rows, result.cols, result.vals,
+            (n_rows_out, num_rows),
+        )
 
     if result.boot_mean is not None:
         bm_r, bm_c, bm_v = result.boot_mean

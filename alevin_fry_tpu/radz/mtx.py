@@ -35,49 +35,94 @@ def format_f32_list(vals: np.ndarray) -> list:
     return [rust_f32_str(v) for v in np.asarray(vals, np.float32)]
 
 
+MTX_HEADER = (
+    b"%%MatrixMarket matrix coordinate real general\n"
+    b"% written by alevin-fry-tpu\n"
+)
+
+
+def format_mtx_body(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> bytes:
+    """Format coordinate triplets (0-based in, 1-based out) as MTX body
+    bytes.  A value formats identically whether or not the batch around
+    it is all-integral, so bodies can be produced block-by-block and
+    concatenated byte-identically to a single call."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals, np.float32)
+    # bulk formatting: integral values (the common case for count
+    # matrices) go through a fast vectorized integer path
+    ivals = vals.astype(np.int64)
+    is_int = (vals == ivals) & np.isfinite(vals)
+    if is_int.all():
+        # pure-integer matrix: native C formatting
+        from . import _native
+
+        if _native.available():
+            return _native.format_triplets(rows + 1, cols + 1, ivals)
+        import pandas as pd
+
+        buf = pd.DataFrame(
+            {"r": rows + 1, "c": cols + 1, "v": ivals}
+        ).to_csv(sep=" ", header=False, index=False, lineterminator="\n")
+        return buf.encode()
+    vstr = np.char.mod("%d", ivals).astype(object)
+    ni = np.flatnonzero(~is_int)
+    vstr[ni] = format_f32_list(vals[ni])
+    body = np.char.add(
+        np.char.add(
+            np.char.mod("%d ", rows + 1), np.char.mod("%d ", cols + 1)
+        ),
+        np.char.add(np.asarray(vstr, dtype=np.str_), "\n"),
+    )
+    return "".join(body.tolist()).encode()
+
+
 def write_matrix_market(
     path: Path, rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     shape: Tuple[int, int],
 ) -> None:
     """Write a coordinate-format MatrixMarket file (1-based indices)."""
-    rows = np.asarray(rows)
-    cols = np.asarray(cols)
-    vals = np.asarray(vals, np.float32)
     # binary sink: the body is pure ASCII and the native formatter
     # already produces bytes — avoid a decode + re-encode round trip
     with open(path, "wb") as fh:
-        fh.write(b"%%MatrixMarket matrix coordinate real general\n")
-        fh.write(b"% written by alevin-fry-tpu\n")
-        fh.write(f"{shape[0]} {shape[1]} {len(vals)}\n".encode())
-        # bulk formatting: integral values (the common case for count
-        # matrices) go through a fast vectorized integer path
-        ivals = vals.astype(np.int64)
-        is_int = (vals == ivals) & np.isfinite(vals)
-        if is_int.all():
-            # pure-integer matrix: native C formatting
-            from . import _native
+        fh.write(MTX_HEADER)
+        fh.write(f"{shape[0]} {shape[1]} {len(np.asarray(vals))}\n".encode())
+        fh.write(format_mtx_body(rows, cols, vals))
 
-            if _native.available():
-                fh.write(_native.format_triplets(rows + 1, cols + 1, ivals))
-            else:
-                import pandas as pd
 
-                buf = pd.DataFrame(
-                    {"r": rows + 1, "c": cols + 1, "v": ivals}
-                ).to_csv(sep=" ", header=False, index=False,
-                         lineterminator="\n")
-                fh.write(buf.encode())
-        else:
-            vstr = np.char.mod("%d", ivals).astype(object)
-            ni = np.flatnonzero(~is_int)
-            vstr[ni] = format_f32_list(vals[ni])
-            body = np.char.add(
-                np.char.add(
-                    np.char.mod("%d ", rows + 1), np.char.mod("%d ", cols + 1)
-                ),
-                np.char.add(np.asarray(vstr, dtype=np.str_), "\n"),
-            )
-            fh.write("".join(body.tolist()).encode())
+class MtxStreamWriter:
+    """Bounded-memory MatrixMarket writer: body blocks stream to a
+    sidecar temp file as they arrive (nnz is only known at the end, so
+    the final file is header + one sequential copy of the body).  The
+    bytes are identical to a single ``write_matrix_market`` call over
+    the concatenated triplets."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        self._tmp = self.path.with_suffix(self.path.suffix + ".body.tmp")
+        self._fh = open(self._tmp, "wb")
+        self.nnz = 0
+
+    def add(self, rows: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> None:
+        self._fh.write(format_mtx_body(rows, cols, vals))
+        self.nnz += int(len(np.asarray(vals)))
+
+    def finalize(self, shape: Tuple[int, int]) -> None:
+        import shutil
+
+        self._fh.close()
+        with open(self.path, "wb") as out, open(self._tmp, "rb") as body:
+            out.write(MTX_HEADER)
+            out.write(f"{shape[0]} {shape[1]} {self.nnz}\n".encode())
+            shutil.copyfileobj(body, out, 1 << 22)
+        self._tmp.unlink()
+
+    def abort(self) -> None:
+        try:
+            self._fh.close()
+        finally:
+            if self._tmp.exists():
+                self._tmp.unlink()
 
 
 def read_matrix_market(path: Path):

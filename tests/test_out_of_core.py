@@ -165,6 +165,16 @@ def test_quant_streamed_blocks_match_single_block(tmp_path, monkeypatch):
         monkeypatch.setenv("AFT_QUANT_BLOCK_RECORDS", "130")
         run(tmp_path / f"blk_{tag}", res, **kw)
         monkeypatch.delenv("AFT_QUANT_BLOCK_RECORDS")
+        # spilled-COO run: a tiny AFT_QUANT_SPILL_NNZ forces the MTX
+        # body to stream to disk mid-run (bounded output memory)
+        monkeypatch.setenv("AFT_QUANT_BLOCK_RECORDS", "130")
+        monkeypatch.setenv("AFT_QUANT_SPILL_NNZ", "5")
+        run(tmp_path / f"sp_{tag}", res, **kw)
+        monkeypatch.delenv("AFT_QUANT_BLOCK_RECORDS")
+        monkeypatch.delenv("AFT_QUANT_SPILL_NNZ")
+        assert not (
+            tmp_path / f"sp_{tag}" / "alevin" / "quants_mat.mtx.body.tmp"
+        ).exists()
         for f in [
             "alevin/quants_mat.mtx", "alevin/quants_mat_rows.txt",
             "featureDump.txt", "alevin/geqc_counts.mtx",
@@ -173,6 +183,8 @@ def test_quant_streamed_blocks_match_single_block(tmp_path, monkeypatch):
         ]:
             a = tmp_path / f"one_{tag}" / f
             b = tmp_path / f"blk_{tag}" / f
-            assert a.exists() == b.exists(), f
+            c = tmp_path / f"sp_{tag}" / f
+            assert a.exists() == b.exists() == c.exists(), f
             if a.exists():
                 assert a.read_bytes() == b.read_bytes(), (tag, f)
+                assert a.read_bytes() == c.read_bytes(), (tag, f, "spill")
