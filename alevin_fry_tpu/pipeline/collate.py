@@ -83,6 +83,70 @@ def correct_and_filter(
     return corrected, keep_read, keep_aln_final, new_offsets, stats
 
 
+def collate_device_enabled(n_reads: int) -> bool:
+    """Whether the device all-to-all shuffle computes the collation
+    order.  ``AFT_COLLATE_BACKEND`` = ``jax`` forces it, ``host``
+    disables it; ``auto`` (default) uses the device whenever jax's
+    default backend is a real accelerator — same policy as the quant
+    resolver (ops/crlike.py::device_backend_enabled)."""
+    import os
+
+    del n_reads
+    mode = os.environ.get("AFT_COLLATE_BACKEND", "auto")
+    if mode == "host":
+        return False
+    if mode == "jax":
+        return True
+    from ..ops.crlike import accelerator_present
+
+    return accelerator_present()
+
+
+def collation_order_device(ranks: np.ndarray, n_cells: int):
+    """Stable grouping order of reads by cell rank via the mesh
+    all-to-all shuffle (parallel/mesh.py::sharded_collate_shuffle — the
+    TPU analog of the reference's temp-bucket scatter/gather,
+    collate.rs:584-905).  Returns (order, per_cell_counts) or None when
+    the device path is unavailable; ``order`` equals
+    ``np.argsort(ranks, kind="stable")``."""
+    n = len(ranks)
+    if n == 0 or n_cells == 0 or n >= (1 << 31) - 1:
+        return None
+    try:
+        from ..parallel.mesh import make_mesh, sharded_collate_shuffle
+
+        mesh = make_mesh()
+    except Exception:  # no jax / no devices
+        return None
+    S = int(mesh.devices.size)
+    n_pad = -(-n // S) * S
+    r = np.full(n_pad, n_cells, np.int64)
+    r[:n] = ranks
+    payload = np.arange(n_pad, dtype=np.int64)
+    # exchange-bin capacity = largest (source shard, owner shard) bin;
+    # the kernel reports drops if this is ever violated (the analog of
+    # the reference's per-bucket record-count asserts, collate.rs:784-803)
+    cps = -(-n_cells // S)
+    owner = np.minimum(r // cps, S - 1)
+    src = np.repeat(np.arange(S, dtype=np.int64), n_pad // S)
+    cap = max(1, int(np.bincount(src * S + owner, minlength=S * S).max()))
+    r_out, p_out, dropped = sharded_collate_shuffle(
+        mesh, r, payload, n_cells, cap
+    )
+    if dropped:
+        log.warning(
+            "device collation shuffle dropped %d reads; falling back to "
+            "the host sort", dropped,
+        )
+        return None
+    fr = r_out.reshape(-1)
+    order = p_out.reshape(-1)[fr != n_cells].astype(np.int64)
+    per_cell = np.bincount(
+        np.asarray(ranks, np.int64), minlength=n_cells
+    ).astype(np.int64)
+    return order, per_cell
+
+
 def _collate_out_of_core(
     input_dir: Path,
     rad_dir: Path,
@@ -382,10 +446,18 @@ def _collate_in_memory_native(
         else np.zeros(n, np.uint64)
     )
 
-    # group kept reads by cell rank (stable, O(n) counting sort)
-    order_rel, per_cell = _native.counting_sort(
-        rank[kept_idx].astype(np.int64), len(cell_bcs)
+    # group kept reads by cell rank: device all-to-all shuffle when a
+    # TPU is attached, stable O(n) native counting sort otherwise
+    dev = (
+        collation_order_device(rank[kept_idx].astype(np.int64), len(cell_bcs))
+        if collate_device_enabled(len(kept_idx)) else None
     )
+    if dev is not None:
+        order_rel, per_cell = dev
+    else:
+        order_rel, per_cell = _native.counting_sort(
+            rank[kept_idx].astype(np.int64), len(cell_bcs)
+        )
     order = kept_idx[order_rel]
     if not np.array_equal(per_cell, cell_cts.astype(np.int64)):
         log.warning(
@@ -548,7 +620,11 @@ def collate(
     # ONE pass: compose the keep-filter and the stable rank sort into a
     # single alignment gather index over the original columns
     kept_reads = np.flatnonzero(keep_read)
-    sort_idx = np.argsort(rank, kind="stable")
+    dev = (
+        collation_order_device(rank.astype(np.int64), len(cell_bcs))
+        if collate_device_enabled(len(kept_reads)) else None
+    )
+    sort_idx = dev[0] if dev is not None else np.argsort(rank, kind="stable")
     final_reads = kept_reads[sort_idx]
     rank_sorted = rank[sort_idx]
     read_cols = {k: v[final_reads] for k, v in batch.read_cols.items()}
