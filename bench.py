@@ -42,6 +42,7 @@ DEVICE_MODE = "--device" in sys.argv or os.environ.get("AFT_BENCH_DEVICE") == "1
 # the device-resident path end-to-end and reports its own metrics.
 if DEVICE_MODE:
     os.environ["AFT_CRLIKE_BACKEND"] = "jax"
+    os.environ.setdefault("AFT_COLLATE_BACKEND", "jax")
     os.environ.setdefault("AFT_RESCUE_BACKEND", "auto")
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/aft_jax_cache"
@@ -49,6 +50,7 @@ if DEVICE_MODE:
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 else:
     os.environ.setdefault("AFT_CRLIKE_BACKEND", "host")
+    os.environ.setdefault("AFT_COLLATE_BACKEND", "host")
     os.environ.setdefault("AFT_RESCUE_BACKEND", "host")
     os.environ.setdefault("AFT_EM_MESH", "0")
     os.environ.setdefault("AFT_GPL_MESH", "0")
