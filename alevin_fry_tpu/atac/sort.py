@@ -211,13 +211,12 @@ def sort(
         spill_dir.mkdir(exist_ok=True)
         files = [open(spill_dir / f"bin_{b}.rows", "wb") for b in range(n_buckets)]
         try:
-            from ..parallel.prefetch import prefetched
             from ..pipeline.progress import stage_timer
 
             pb_ctx = stage_timer(log, "atac sort scatter", "reads")
             pb = pb_ctx.__enter__()
-            for batch in prefetched(
-                iter_decoded_blocks(fh, schema, nc, max_records)
+            for batch in iter_decoded_blocks(
+                fh, schema, nc, max_records, prefetch=True
             ):
                 pb.update(batch.n_reads)
                 rows = _extract_cols(batch, map_keys, map_vals)

@@ -207,16 +207,17 @@ def _collate_out_of_core(
             # ATAC gpl outputs may leave num_chunks = 0 in the header
             # (chunk count lives in the gpl JSON, atac/collate.rs:212);
             # None = stream until EOF
-            from ..parallel.prefetch import prefetched
             from .progress import stage_timer
 
-            # decode of block k+1 overlaps the scatter of block k
-            # (collate.rs:646-763 reader/worker pattern)
+            # file read of block k+1 overlaps the scatter of block k
+            # (collate.rs:646-763 reader/worker pattern; only the raw
+            # IO runs on the producer thread — see chunkio)
             pb_ctx = stage_timer(log, "collate scatter", "reads")
             pb = pb_ctx.__enter__()
-            for batch in prefetched(iter_decoded_blocks(
-                fh, schema, prelude.hdr.num_chunks or None, max_records
-            )):
+            for batch in iter_decoded_blocks(
+                fh, schema, prelude.hdr.num_chunks or None, max_records,
+                prefetch=True,
+            ):
                 pb.update(batch.n_reads)
                 corrected, keep_read, keep_aln, new_offsets, _ = (
                     correct_and_filter(batch, map_keys, map_vals, expected_ori)

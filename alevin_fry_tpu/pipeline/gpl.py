@@ -208,7 +208,7 @@ def _iter_block_barcodes(fh, schema, num_chunks, strand):
                 break
             ref_off += w
         for buf, region_starts, chunk_recs in iter_raw_blocks(
-            fh, num_chunks, GPL_BLOCK_RECORDS
+            fh, num_chunks, GPL_BLOCK_RECORDS, prefetch=True
         ):
             rec_starts, num_aln = _native.walk_records(
                 buf, region_starts, chunk_recs,
@@ -225,7 +225,9 @@ def _iter_block_barcodes(fh, schema, num_chunks, strand):
                 compat = kept > 0
             yield bcs, compat, num_aln
         return
-    for block in iter_decoded_blocks(fh, schema, num_chunks, GPL_BLOCK_RECORDS):
+    for block in iter_decoded_blocks(
+        fh, schema, num_chunks, GPL_BLOCK_RECORDS, prefetch=True
+    ):
         compat = read_strand_mask(block.dirs, block.aln_offsets, strand)
         yield block.barcode(), compat, block.num_aln_per_read
 
@@ -282,15 +284,15 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
                 wl_dev = np.sort(np.unique(wl_pre))
                 wl_dev_counts = np.zeros(len(wl_dev), np.int64)
 
-        from ..parallel.prefetch import prefetched
         from .progress import stage_timer
 
-        # decode/walk of block k+1 overlaps the histogram of block k
-        # (the reference's reader/worker split, cellfilter.rs:1775-1830)
+        # file read of block k+1 overlaps the histogram of block k
+        # (the reference's reader/worker split, cellfilter.rs:1775-1830;
+        # decode stays on this thread — see chunkio)
         with stage_timer(log, "generate-permit-list histogram", "reads") as pb:
-            for bcs, compat, nal in prefetched(_iter_block_barcodes(
+            for bcs, compat, nal in _iter_block_barcodes(
                 fh, schema, prelude.hdr.num_chunks, strand
-            )):
+            ):
                 pb.update(len(bcs))
                 num_reads += len(bcs)
                 nc = int(compat.sum())

@@ -184,7 +184,6 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
     block_records = int(os.environ.get("AFT_QUANT_BLOCK_RECORDS", 30_000_000))
     parts: List[tuple] = []
     from ..parallel import dist
-    from ..parallel.prefetch import prefetched
 
     # multi-host ingest plan: each process owns a contiguous chunk
     # (cell) range; inputs (tg-map, permit artifacts) are replicated,
@@ -205,8 +204,9 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
             rank, world, chunk_range[0], chunk_range[1],
         )
 
-    # decode of block k+1 overlaps resolution of block k (the
-    # reference's reader-thread/worker pattern, quant.rs:1527-1743)
+    # file read of block k+1 overlaps resolution of block k (the
+    # reference's reader-thread/worker pattern, quant.rs:1527-1743;
+    # only the raw IO runs on the producer thread — see chunkio)
     from .progress import stage_timer
 
     # bounded-memory COO: per-block triplets hand off to a spill sink
@@ -226,11 +226,11 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
 
     pb_ctx = stage_timer(log, "quant resolve", "reads")
     pb = pb_ctx.__enter__()
-    for batch in prefetched(iter_decoded_blocks(
+    for batch in iter_decoded_blocks(
         br, schema, hdr.num_chunks, block_records,
         skip_read_fields=set(schema.barcode_fields), want_dirs=False,
-        chunk_range=chunk_range,
-    )):
+        chunk_range=chunk_range, prefetch=True,
+    ):
         pb.update(batch.n_reads)
         first = batch.first_chunk
         batch.chunk_id = batch.chunk_id - first

@@ -225,20 +225,18 @@ def decode_all_chunks(
     )
 
 
-def iter_decoded_blocks(
+def _iter_raw_chunk_groups(
     fh: BinaryIO,
-    schema: RecordSchema,
     num_chunks: int | None,
     max_records: int,
-    skip_read_fields=None,
-    want_dirs: bool = True,
     chunk_range: tuple | None = None,
 ):
-    """Stream-decode chunks into ReadBatch blocks of roughly
-    ``max_records`` reads each (bounded-memory ingestion; the analog of
-    the reference's --max-records scatter bound).  Each block's
-    ``first_chunk`` records the global index of its first chunk and
-    ``chunk_id`` is globally offset.
+    """Stream chunks into groups of roughly ``max_records`` reads,
+    yielding (first_chunk, chunk_bufs, chunk_recs) WITHOUT any decode.
+    This is pure file IO (``fh.read`` releases the GIL), so it is the
+    layer a prefetch thread runs — the reference's reader thread reads
+    raw chunk bytes exactly the same way (collate.rs:748-763); decode
+    and compute stay on the consumer thread.
 
     ``chunk_range=(start, end)`` restricts to that global chunk
     interval (the multi-host ingest plan: each host owns a contiguous
@@ -247,31 +245,16 @@ def iter_decoded_blocks(
     chunk_recs: List[int] = []
     start, end = chunk_range if chunk_range is not None else (0, None)
 
-    def _skip_one() -> bool:
+    for _ in range(start):
         hdr = fh.read(8)
         if len(hdr) < 8:
-            return False
+            raise EOFError("hit EOF while skipping to the host chunk range")
         nbytes, _nrec = struct.unpack("<II", hdr)
         fh.seek(nbytes - 8, 1)
-        return True
-
-    for _ in range(start):
-        if not _skip_one():
-            raise EOFError("hit EOF while skipping to the host chunk range")
 
     first_chunk = start
     n = start
     pending = 0
-
-    def _emit(first):
-        batch = decode_chunk_bodies(
-            chunk_bufs, chunk_recs, schema,
-            skip_read_fields=skip_read_fields, want_dirs=want_dirs,
-        )
-        batch.chunk_id += first
-        batch.first_chunk = first
-        return batch
-
     while (num_chunks is None or n < num_chunks) and (end is None or n < end):
         hdr = fh.read(8)
         if len(hdr) < 8:
@@ -287,53 +270,71 @@ def iter_decoded_blocks(
         pending += nrec
         n += 1
         if pending >= max_records:
-            yield _emit(first_chunk)
+            yield first_chunk, chunk_bufs, chunk_recs
             first_chunk = n
             chunk_bufs, chunk_recs, pending = [], [], 0
     if chunk_bufs:
-        yield _emit(first_chunk)
+        yield first_chunk, chunk_bufs, chunk_recs
+
+
+def _maybe_prefetched(groups, prefetch: bool):
+    if not prefetch:
+        return groups
+    from ..parallel.prefetch import prefetched
+
+    return prefetched(groups)
+
+
+def iter_decoded_blocks(
+    fh: BinaryIO,
+    schema: RecordSchema,
+    num_chunks: int | None,
+    max_records: int,
+    skip_read_fields=None,
+    want_dirs: bool = True,
+    chunk_range: tuple | None = None,
+    prefetch: bool = False,
+):
+    """Stream-decode chunks into ReadBatch blocks of roughly
+    ``max_records`` reads each (bounded-memory ingestion; the analog of
+    the reference's --max-records scatter bound).  Each block's
+    ``first_chunk`` records the global index of its first chunk and
+    ``chunk_id`` is globally offset.
+
+    ``prefetch=True`` reads the next group's raw bytes on a producer
+    thread while this thread decodes/processes the current one (IO-only
+    overlap: decoding on the producer would convoy on the GIL)."""
+    for first, chunk_bufs, chunk_recs in _maybe_prefetched(
+        _iter_raw_chunk_groups(fh, num_chunks, max_records, chunk_range),
+        prefetch,
+    ):
+        batch = decode_chunk_bodies(
+            chunk_bufs, chunk_recs, schema,
+            skip_read_fields=skip_read_fields, want_dirs=want_dirs,
+        )
+        batch.chunk_id += first
+        batch.first_chunk = first
+        yield batch
 
 
 def iter_raw_blocks(
     fh: BinaryIO,
     num_chunks: int | None,
     max_records: int,
+    prefetch: bool = False,
 ):
     """Stream chunks into raw byte blocks of roughly ``max_records``
     reads each WITHOUT field decode.  Yields (buf[uint8],
     region_starts[int64], chunk_recs[int64]) — the native walk inputs."""
-    chunk_bufs: List[bytes] = []
-    chunk_recs: List[int] = []
-    n = 0
-    pending = 0
-
-    def _emit():
+    for _first, chunk_bufs, chunk_recs in _maybe_prefetched(
+        _iter_raw_chunk_groups(fh, num_chunks, max_records), prefetch
+    ):
         buf = np.frombuffer(b"".join(chunk_bufs), dtype=np.uint8)
         sizes = np.asarray([len(b) for b in chunk_bufs], np.int64)
         region_starts = np.zeros(len(chunk_bufs), np.int64)
         if len(sizes) > 1:
             np.cumsum(sizes[:-1], out=region_starts[1:])
-        return buf, region_starts, np.asarray(chunk_recs, np.int64)
-
-    while num_chunks is None or n < num_chunks:
-        hdr = fh.read(8)
-        if len(hdr) < 8:
-            if num_chunks is not None:
-                raise EOFError(f"expected {num_chunks} chunks but hit EOF after {n}")
-            break
-        nbytes, nrec = struct.unpack("<II", hdr)
-        body = fh.read(nbytes - 8)
-        if len(body) != nbytes - 8:
-            raise EOFError("truncated chunk body")
-        chunk_bufs.append(body)
-        chunk_recs.append(nrec)
-        pending += nrec
-        n += 1
-        if pending >= max_records:
-            yield _emit()
-            chunk_bufs, chunk_recs, pending = [], [], 0
-    if chunk_bufs:
-        yield _emit()
+        yield buf, region_starts, np.asarray(chunk_recs, np.int64)
 
 
 def decode_chunk_bodies(
