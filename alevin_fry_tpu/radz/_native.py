@@ -52,6 +52,10 @@ def _load():
             ctypes.c_void_p,  # out rec_starts (int64*)
             ctypes.c_void_p,  # out num_aln   (int64*)
         ]
+        lib.radc_walk_records_mt.restype = ctypes.c_int64
+        lib.radc_walk_records_mt.argtypes = (
+            lib.radc_walk_records.argtypes + [ctypes.c_int32]
+        )
         lib.radc_format_triplets.restype = ctypes.c_int64
         lib.radc_format_triplets.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -283,11 +287,11 @@ def walk_records(
     buf = np.ascontiguousarray(buf)
     region_starts = np.ascontiguousarray(region_starts, np.int64)
     region_counts = np.ascontiguousarray(region_counts, np.int64)
-    rc = lib.radc_walk_records(
+    rc = lib.radc_walk_records_mt(
         buf.ctypes.data, buf.nbytes,
         region_starts.ctypes.data, region_counts.ctypes.data,
         len(region_starts), read_bytes, aln_bytes,
-        rec_starts.ctypes.data, num_aln.ctypes.data,
+        rec_starts.ctypes.data, num_aln.ctypes.data, _NTHREADS,
     )
     if rc < 0:
         raise ValueError("record walk overran the buffer (corrupt RAD chunk?)")

@@ -53,6 +53,54 @@ int64_t radc_walk_records(const uint8_t* buf, int64_t buf_len,
   return i;
 }
 
+// Threaded record walk: chunk regions are independent (each region's
+// record count is known up front), so region ranges split across
+// threads with output offsets from a prefix sum of the counts.
+extern "C" int64_t radc_walk_records_mt(
+    const uint8_t* buf, int64_t buf_len, const int64_t* region_starts,
+    const int64_t* region_counts, int64_t n_regions, int64_t read_bytes,
+    int64_t aln_bytes, int64_t* rec_starts_out, int64_t* num_aln_out,
+    int32_t n_threads) {
+  std::vector<int64_t> out_off(static_cast<size_t>(n_regions) + 1, 0);
+  for (int64_t r = 0; r < n_regions; ++r)
+    out_off[r + 1] = out_off[r] + region_counts[r];
+  const int64_t total = out_off[n_regions];
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads == 1 || n_regions < 2 || total < (1 << 16)) {
+    return radc_walk_records(buf, buf_len, region_starts, region_counts,
+                             n_regions, read_bytes, aln_bytes, rec_starts_out,
+                             num_aln_out);
+  }
+  if (n_threads > n_regions) n_threads = static_cast<int32_t>(n_regions);
+  std::vector<int64_t> errs(static_cast<size_t>(n_threads), 0);
+  // balance by record count, not region count: split points are the
+  // regions whose cumulative counts cross t/n_threads of the total
+  std::vector<int64_t> bounds(static_cast<size_t>(n_threads) + 1, 0);
+  bounds[n_threads] = n_regions;
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t target = total * t / n_threads;
+    bounds[t] = std::lower_bound(out_off.begin(), out_off.begin() + n_regions,
+                                 target) -
+                out_off.begin();
+  }
+  auto work = [&](int t) {
+    const int64_t r0 = bounds[t], r1 = bounds[t + 1];
+    if (r0 >= r1) return;
+    errs[t] = radc_walk_records(
+        buf, buf_len, region_starts + r0, region_counts + r0, r1 - r0,
+        read_bytes, aln_bytes, rec_starts_out + out_off[r0],
+        num_aln_out + out_off[r0]);
+  };
+  std::vector<std::thread> ts;
+  ts.reserve(n_threads - 1);
+  for (int t = 1; t < n_threads; ++t) ts.emplace_back(work, t);
+  work(0);
+  for (auto& th : ts) th.join();
+  for (int t = 0; t < n_threads; ++t)
+    if (errs[t] < 0) return -1;
+  return total;
+}
+
 // Extract all record fields in one pass.
 //
 // rec_starts/num_aln come from radc_walk_records.  read_widths has
