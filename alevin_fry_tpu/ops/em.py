@@ -128,23 +128,44 @@ def em_optimize_cell_np(
     return alphas
 
 
-def em_optimize_long_read_cell_np(
+def class_weights_from_prob_rows(
     label_offsets: np.ndarray,
-    labels: np.ndarray,
-    counts: np.ndarray,
     prob_rows,  # list (per class) of per-molecule probability row arrays
-    num_alphas: int,
-    init_uniform: bool = False,
 ) -> np.ndarray:
-    """Long-read probability-weighted EM (em.rs:716-844): for each
-    multi-label class, the per-transcript probability is the average of
-    the class's molecule rows; the E-step weights alphas by it.  Same
-    loop bounds as em_optimize (no thresholded last round).
+    """Flat per-label EM weights from long-read probability rows
+    (em.rs:716-844 semantics): for each multi-label class, the
+    per-transcript weight is the average of the class's molecule rows;
+    classes without usable rows get uniform (1.0) weights.
 
     Robustness divergence: the reference indexes probability rows by
     molecule count and panics when a class (e.g. from the
     large-component fallback) carries no rows; we fall back to uniform
     weights for such classes."""
+    lens = np.diff(label_offsets)
+    w = np.ones(int(label_offsets[-1]), np.float32)
+    for i in np.flatnonzero(lens > 1):
+        ll = int(lens[i])
+        rows = prob_rows[i] if prob_rows is not None and i < len(prob_rows) else []
+        usable = [r[:ll] for r in rows if len(r) >= ll]
+        if usable:
+            w[label_offsets[i] : label_offsets[i + 1]] = np.mean(
+                np.stack(usable), axis=0
+            ).astype(np.float32)
+    return w
+
+
+def em_optimize_weighted_cell_np(
+    label_offsets: np.ndarray,
+    labels: np.ndarray,
+    counts: np.ndarray,
+    weights: np.ndarray,  # flat, aligned with ``labels``
+    num_alphas: int,
+    init_uniform: bool = False,
+) -> np.ndarray:
+    """Per-label-weighted EM (the long-read variant, em.rs:716-844):
+    the E-step weights the gathered alphas by ``weights``.  Same loop
+    bounds as em_optimize (no thresholded last round).  Vectorized
+    across classes via Lmax padding."""
     lens = np.diff(label_offsets)
     alphas = np.zeros(num_alphas, np.float32)
     single = lens == 1
@@ -159,36 +180,56 @@ def em_optimize_long_read_cell_np(
     else:
         alphas = ((alphas + np.float32(0.5)) * np.float32(1e-3)).astype(np.float32)
 
+    # pad multi-label classes to (M, Lmax); pad slots point at a
+    # sentinel row (num_alphas) with weight 0
     multi = np.flatnonzero(~single)
-    m_labels = [labels[label_offsets[i] : label_offsets[i + 1]] for i in multi]
+    ml = lens[multi]
+    Lmax = int(ml.max())
+    M = len(multi)
+    lab_pad = np.full((M, Lmax), num_alphas, np.int64)
+    w_pad = np.zeros((M, Lmax), np.float32)
+    el = np.repeat(np.arange(M), ml)
+    pos = np.arange(int(ml.sum())) - np.repeat(np.cumsum(ml) - ml, ml)
+    gather = np.repeat(label_offsets[multi], ml) + pos
+    lab_pad[el, pos] = labels[gather]
+    w_pad[el, pos] = weights[gather]
     m_ct = counts[multi].astype(np.float32)
-    m_avg = []
-    for k, i in enumerate(multi):
-        ll = len(m_labels[k])
-        rows = prob_rows[i] if prob_rows is not None and i < len(prob_rows) else []
-        usable = [r[:ll] for r in rows if len(r) >= ll]
-        if usable:
-            m_avg.append(np.mean(np.stack(usable), axis=0).astype(np.float32))
-        else:
-            m_avg.append(np.ones(ll, np.float32))
+
+    base = np.zeros(num_alphas + 1, np.float32)
+    np.add.at(base, s_idx, s_ct)
 
     it = 0
     converged = True
     while it < EM_MIN_ITER or (it < EM_MAX_ITER and not converged):
-        out = np.zeros(num_alphas, np.float32)
-        np.add.at(out, s_idx, s_ct)
-        for k in range(len(multi)):
-            lab = m_labels[k]
-            w = alphas[lab] * m_avg[k]
-            denom = np.float32(w.sum())
-            if denom > 0:
-                out[lab] += w * (m_ct[k] / denom)
+        ext = np.concatenate([alphas, np.zeros(1, np.float32)])
+        wv = ext[lab_pad] * w_pad
+        denom = wv.sum(axis=1)
+        scale = np.where(denom > 0, m_ct / np.maximum(denom, 1e-30), 0.0)
+        out = base.copy()
+        np.add.at(out, lab_pad.ravel(), (wv * scale[:, None]).ravel())
+        out = out[:-1]
         check = out > ALPHA_CHECK_CUTOFF
         rel = np.abs(alphas - out)
         converged = not bool((check & (rel > EM_REL_DIFF_TOLERANCE)).any())
         alphas = out
         it += 1
     return np.where(alphas < MIN_OUTPUT_ALPHA, np.float32(0), alphas)
+
+
+def em_optimize_long_read_cell_np(
+    label_offsets: np.ndarray,
+    labels: np.ndarray,
+    counts: np.ndarray,
+    prob_rows,
+    num_alphas: int,
+    init_uniform: bool = False,
+) -> np.ndarray:
+    """Long-read EM from raw probability rows (weights averaged here;
+    see class_weights_from_prob_rows + em_optimize_weighted_cell_np)."""
+    w = class_weights_from_prob_rows(label_offsets, prob_rows)
+    return em_optimize_weighted_cell_np(
+        label_offsets, labels, counts, w, num_alphas, init_uniform
+    )
 
 
 # --- batched JAX kernel ------------------------------------------------------
@@ -228,12 +269,13 @@ def _configure_compile_cache():
         pass
 
 
-def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False):
+def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False,
+                   weighted: bool = False):
     import jax
     import jax.numpy as jnp
 
     _configure_compile_cache()
-    key = (usa, with_last_round, init_random)
+    key = (usa, with_last_round, init_random, weighted)
     if key in _jit_cache:
         return _jit_cache[key]
 
@@ -254,8 +296,11 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False):
         extra2 = jnp.where(amb, p2, 0.0)
         return a_self + p1 + extra2
 
-    def kernel(labels, lens, counts, rng_seeds, uoff, aoff, R, init_uniform):
+    def kernel(labels, lens, counts, rng_seeds, uoff, aoff, R, init_uniform,
+               weights=None):
         # labels: (B,E,L) int32 (pad -> R); lens: (B,E); counts: (B,E) f32
+        # weights: (B,E,L) f32 per-label E-step weights (long-read EM,
+        # em.rs:716-844) — only with the ``weighted`` kernel variant
         # The dense (B, R+1) alpha state lives entirely on device: the
         # init is computed here and the result is returned gathered at
         # the label positions (the support of the EM output is contained
@@ -306,6 +351,8 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False):
                 ab = jnp.take_along_axis(
                     alphas, labels.reshape(B, -1), axis=1
                 ).reshape(labels.shape)
+            if weighted:
+                ab = ab * weights
             ab = jnp.where(lmask, ab, 0.0)
             multi = valid & ~single
             denom = ab.sum(axis=2)
@@ -369,6 +416,11 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False):
         return jnp.where(lmask, gathered, 0.0)
 
     fn = jax.jit(kernel, static_argnums=(4, 5, 6, 7))
+    if weighted:
+        base = fn
+        fn = lambda labels, lens, counts, seeds, uoff, aoff, R, iu, w: base(
+            labels, lens, counts, seeds, uoff, aoff, R, iu, weights=w
+        )
     _jit_cache[key] = fn
     return fn
 
@@ -475,13 +527,19 @@ def em_cells_batched(
     use_jax: Optional[bool] = None,
     max_batch_elems: int = 1 << 27,
     mesh=None,
+    class_weights: Optional[np.ndarray] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Run EM for every cell; returns per-cell sparse results
     [(gene_idx, values), ...] in cell order.
 
     Cells whose classes are all singletons skip EM entirely (the
     reference's needs_em fast path, em.rs:192-210).
+
+    ``class_weights`` (flat f32, aligned with ``labels``) switches to
+    the per-label-weighted E-step — the long-read EM of em.rs:716-844
+    (non-USA only).
     """
+    assert class_weights is None or usa_offsets is None
     C = len(cell_eq_offsets) - 1
     results: List[Tuple[np.ndarray, np.ndarray]] = [None] * C  # type: ignore
     lens_all = np.diff(label_offsets)
@@ -528,17 +586,27 @@ def em_cells_batched(
                 or accelerator_present()
             )
 
-    if not use_jax:
-        for ci in em_cells:
-            s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
-            lo = label_offsets[s : e + 1] - label_offsets[s]
-            lab = labels[label_offsets[s] : label_offsets[e]]
+    def _np_one(ci):
+        s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
+        lo = label_offsets[s : e + 1] - label_offsets[s]
+        lab = labels[label_offsets[s] : label_offsets[e]]
+        if class_weights is not None:
+            alphas = em_optimize_weighted_cell_np(
+                lo, lab, counts[s:e],
+                class_weights[label_offsets[s] : label_offsets[e]],
+                num_rows, init_uniform,
+            )
+        else:
             alphas = em_optimize_cell_np(
                 lo, lab, counts[s:e], num_rows, usa_offsets,
                 init_uniform, with_last_round,
             )
-            nz = np.flatnonzero(alphas)
-            results[ci] = (nz, alphas[nz])
+        nz = np.flatnonzero(alphas)
+        results[ci] = (nz, alphas[nz])
+
+    if not use_jax:
+        for ci in em_cells:
+            _np_one(ci)
         return results
 
     import jax.numpy as jnp
@@ -557,17 +625,12 @@ def em_cells_batched(
         else:
             outlier_cells.append(int(ci))
     for ci in outlier_cells:
-        s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
-        lo = label_offsets[s : e + 1] - label_offsets[s]
-        lab = labels[label_offsets[s] : label_offsets[e]]
-        alphas = em_optimize_cell_np(
-            lo, lab, counts[s:e], num_rows, usa_offsets,
-            init_uniform, with_last_round,
-        )
-        nz = np.flatnonzero(alphas)
-        results[ci] = (nz, alphas[nz])
+        _np_one(ci)
 
-    kern = _get_em_kernel(usa_offsets is not None, with_last_round)
+    kern = _get_em_kernel(
+        usa_offsets is not None, with_last_round,
+        weighted=class_weights is not None,
+    )
     for (Ep, Lp), cells in buckets.items():
         # batch size bounded by memory: B*(R+1) floats and B*Ep*Lp ints;
         # quantized to {64, 512, 4096} to bound compile count
@@ -607,6 +670,12 @@ def em_cells_batched(
             lab_pad[
                 cls_cell[el_class], cls_slot[el_class], el_pos
             ] = labels[el_gather]
+            w_pad = None
+            if class_weights is not None:
+                w_pad = np.zeros((b, Ep, Lp), np.float32)
+                w_pad[
+                    cls_cell[el_class], cls_slot[el_class], el_pos
+                ] = class_weights[el_gather]
 
             if mesh is not None:
                 # shard the cell batch across the device mesh; the jitted
@@ -620,14 +689,19 @@ def em_cells_batched(
                     jax.device_put(jnp.asarray(len_pad), shard),
                     jax.device_put(jnp.asarray(ct_pad), shard),
                 )
+                if w_pad is not None:
+                    w_args = (jax.device_put(jnp.asarray(w_pad), shard),)
             else:
                 args = (
                     jnp.asarray(lab_pad), jnp.asarray(len_pad),
                     jnp.asarray(ct_pad),
                 )
+                if w_pad is not None:
+                    w_args = (jnp.asarray(w_pad),)
             out = np.asarray(
                 kern(*args, jnp.zeros(B, jnp.uint32), uoff, aoff, R,
-                     bool(init_uniform))
+                     bool(init_uniform),
+                     *(w_args if w_pad is not None else ()))
             )
             # out holds final alphas gathered at the label positions;
             # dedupe (cell, label) pairs in one sort and drop zeros

@@ -886,30 +886,24 @@ def _counts_from_eqclasses(
         em_rows = num_genes
         em_usa = None
         with_last_round = False
+    class_weights = None
     if eq_probs is not None and not usa_mode:
-        # long-read probability-weighted EM (em.rs:716-844), per cell
-        from ..ops.em import em_optimize_long_read_cell_np
+        # long-read probability-weighted EM (em.rs:716-844): reduce the
+        # per-molecule probability rows to flat per-label weights once,
+        # then run the same batched kernel with a weighted E-step
+        from ..ops.em import class_weights_from_prob_rows
 
-        for k, ci in enumerate(eqc.cell_ids):
-            s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
-            lo = lab_offs[s : e + 1] - lab_offs[s]
-            lab = labels[lab_offs[s] : lab_offs[e]]
-            alphas = em_optimize_long_read_cell_np(
-                lo, lab, eqc.counts[s:e], eq_probs[s:e], em_rows,
-                opts.init_uniform,
-            )
-            nz = np.flatnonzero(alphas)
-            add_coo(np.full(len(nz), ci), nz, alphas[nz])
-    else:
-        from ..parallel.mesh import mesh_from_env
+        class_weights = class_weights_from_prob_rows(lab_offs, eq_probs)
+        with_last_round = False
+    from ..parallel.mesh import mesh_from_env
 
-        results = em_cells_batched(
-            eqc.cell_eq_offsets, lab_offs, labels, eqc.counts,
-            em_rows, em_usa, opts.init_uniform, with_last_round,
-            mesh=mesh_from_env(),
-        )
-        for ci, (nz, vv) in zip(eqc.cell_ids, results):
-            add_coo(np.full(len(nz), ci), nz, vv)
+    results = em_cells_batched(
+        eqc.cell_eq_offsets, lab_offs, labels, eqc.counts,
+        em_rows, em_usa, opts.init_uniform, with_last_round,
+        mesh=mesh_from_env(), class_weights=class_weights,
+    )
+    for ci, (nz, vv) in zip(eqc.cell_ids, results):
+        add_coo(np.full(len(nz), ci), nz, vv)
 
     if opts.num_bootstraps > 0:
         from ..ops.bootstrap import run_bootstraps

@@ -95,6 +95,54 @@ def test_jax_matches_numpy(usa, with_last_round):
                                    err_msg=f"cell {ci} values")
 
 
+def test_weighted_em_jax_matches_numpy():
+    """The long-read per-label-weighted E-step (em.rs:716-844) through
+    the batched device kernel matches the per-cell NumPy path."""
+    rng = np.random.RandomState(5)
+    R = 10
+    C = 13
+    cell_eq_offsets = [0]
+    lab_offsets = [0]
+    labels = []
+    counts = []
+    for _ in range(C):
+        ne = rng.randint(1, 7)
+        for _ in range(ne):
+            ll = rng.randint(1, 4)
+            labels.extend(rng.choice(R, size=ll, replace=False).tolist())
+            lab_offsets.append(len(labels))
+            counts.append(rng.randint(1, 15))
+        cell_eq_offsets.append(cell_eq_offsets[-1] + ne)
+    cell_eq_offsets = np.asarray(cell_eq_offsets, np.int64)
+    lab_offsets = np.asarray(lab_offsets, np.int64)
+    labels = np.asarray(labels, np.uint32)
+    counts = np.asarray(counts, np.uint32)
+    weights = rng.uniform(0.05, 1.0, size=len(labels)).astype(np.float32)
+
+    res_np = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, None, False,
+        False, use_jax=False, class_weights=weights,
+    )
+    res_jx = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, None, False,
+        False, use_jax=True, class_weights=weights,
+    )
+    for ci, ((ni, nv), (ji, jv)) in enumerate(zip(res_np, res_jx)):
+        np.testing.assert_array_equal(ni, ji, err_msg=f"cell {ci} support")
+        np.testing.assert_allclose(nv, jv, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"cell {ci} values")
+    # weighted != unweighted on at least one multi-label cell
+    res_un = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, None, False,
+        False, use_jax=False,
+    )
+    diff = any(
+        len(a[1]) != len(b[1]) or not np.allclose(a[1], b[1])
+        for a, b in zip(res_np, res_un)
+    )
+    assert diff
+
+
 def test_count_conservation():
     rng = np.random.RandomState(3)
     R = 30
