@@ -170,7 +170,7 @@ def _merge_histograms(a_bc, a_ct, b_bc, b_ct):
     return bc[starts], out_ct.astype(np.uint64)
 
 
-def _iter_block_barcodes(fh, schema, num_chunks, strand):
+def _iter_block_barcodes(fh, schema, num_chunks, strand, chunk_range=None):
     """Yield (barcodes[u64], strand_compat[bool], num_aln[int64]) per
     streamed block.  Native byte-level path extracts only the barcode
     column and the per-read orientation counts (no full field decode);
@@ -208,7 +208,8 @@ def _iter_block_barcodes(fh, schema, num_chunks, strand):
                 break
             ref_off += w
         for buf, region_starts, chunk_recs in iter_raw_blocks(
-            fh, num_chunks, GPL_BLOCK_RECORDS, prefetch=True
+            fh, num_chunks, GPL_BLOCK_RECORDS, prefetch=True,
+            chunk_range=chunk_range,
         ):
             rec_starts, num_aln = _native.walk_records(
                 buf, region_starts, chunk_recs,
@@ -226,7 +227,8 @@ def _iter_block_barcodes(fh, schema, num_chunks, strand):
             yield bcs, compat, num_aln
         return
     for block in iter_decoded_blocks(
-        fh, schema, num_chunks, GPL_BLOCK_RECORDS, prefetch=True
+        fh, schema, num_chunks, GPL_BLOCK_RECORDS, prefetch=True,
+        chunk_range=chunk_range,
     ):
         compat = read_strand_mask(block.dirs, block.aln_offsets, strand)
         yield block.barcode(), compat, block.num_aln_per_read
@@ -265,6 +267,25 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
         # memory is bounded by distinct barcodes, not read count
         strand = strand_from_ori_arg(opts.expected_ori)
 
+        # multi-host: each process histograms its own contiguous chunk
+        # range; per-host histograms merge with a ragged all-gather
+        # below (SURVEY §2.3 — DP over barcodes with a cross-host
+        # reduction).  All ranks compute the final result identically;
+        # only rank 0 writes the artifacts.
+        from ..parallel import dist
+
+        dist.initialize()
+        rank, world = dist.rank_world()
+        chunk_range = None
+        if world > 1:
+            chunk_range = dist.host_chunk_plan(
+                prelude.hdr.num_chunks, world, rank
+            )
+            log.info(
+                "multi-host gpl: process %d/%d owns chunks [%d, %d)",
+                rank, world, chunk_range[0], chunk_range[1],
+            )
+
         num_reads = 0
         num_compat = 0
         max_ambig = 0
@@ -277,7 +298,10 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
         gpl_mesh = None
         wl_dev = None
         wl_dev_counts = None
-        if opts.fmeth.kind == "unfiltered":
+        if opts.fmeth.kind == "unfiltered" and world == 1:
+            # (multi-host runs merge host-local histograms over the DCN
+            # instead — per-host read streams differ, so a global-mesh
+            # device_put of host-local arrays would be ill-defined)
             gpl_mesh = gpl_mesh_from_env()
             if gpl_mesh is not None:
                 wl_pre, _wl_len = read_barcode_file(opts.fmeth.path)
@@ -291,7 +315,8 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
         # decode stays on this thread — see chunkio)
         with stage_timer(log, "generate-permit-list histogram", "reads") as pb:
             for bcs, compat, nal in _iter_block_barcodes(
-                fh, schema, prelude.hdr.num_chunks, strand
+                fh, schema, prelude.hdr.num_chunks, strand,
+                chunk_range=chunk_range,
             ):
                 pb.update(len(bcs))
                 num_reads += len(bcs)
@@ -316,6 +341,22 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
             h_bc, h_ct = _merge_histograms(
                 h_bc, h_ct, wl_dev[nzwl], wl_dev_counts[nzwl].astype(np.uint64)
             )
+    if world > 1:
+        # merge per-host partial histograms + scalar stats over the DCN
+        parts_bc = dist.allgather_ragged(h_bc)
+        parts_ct = dist.allgather_ragged(h_ct)
+        h_bc = np.zeros(0, np.uint64)
+        h_ct = np.zeros(0, np.uint64)
+        for part_bc, part_ct in zip(parts_bc, parts_ct):
+            h_bc, h_ct = _merge_histograms(
+                h_bc, h_ct, part_bc, part_ct.astype(np.uint64)
+            )
+        stats = np.stack(dist.allgather_ragged(np.asarray(
+            [num_reads, num_compat, max_ambig], np.int64
+        )))
+        num_reads = int(stats[:, 0].sum())
+        num_compat = int(stats[:, 1].sum())
+        max_ambig = int(stats[:, 2].max())
     log.info(
         "observed %d reads (%d orientation consistent); max ambiguity %d refs",
         num_reads, num_compat, max_ambig,
@@ -325,11 +366,16 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
     out_dir = Path(opts.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    write_artifacts = rank == 0
     if opts.fmeth.kind == "unfiltered":
         return _process_unfiltered(
-            opts, h_bc, h_ct, bclen, num_reads, max_ambig, out_dir
+            opts, h_bc, h_ct, bclen, num_reads, max_ambig, out_dir,
+            write_artifacts=write_artifacts,
         )
-    return _process_filtered(opts, h_bc, h_ct, bclen, max_ambig, out_dir)
+    return _process_filtered(
+        opts, h_bc, h_ct, bclen, max_ambig, out_dir,
+        write_artifacts=write_artifacts,
+    )
 
 
 # --- unfiltered external list (cellfilter.rs:105-333) -----------------------
@@ -342,6 +388,7 @@ def _process_unfiltered(
     num_reads: int,
     max_ambig: int,
     out_dir: Path,
+    write_artifacts: bool = True,
 ) -> int:
     wl, first_bclen = read_barcode_file(opts.fmeth.path)
     if first_bclen != bclen:
@@ -408,23 +455,28 @@ def _process_unfiltered(
         tgt = np.searchsorted(kept_sorted, reps[rescued])
         np.add.at(kept_ct, tgt, rescue_ct[rescued])
 
-    bincodeio.write_permit_freq(out_dir / "permit_freq.bin", bclen, kept_bc, kept_ct)
+    if write_artifacts:
+        bincodeio.write_permit_freq(
+            out_dir / "permit_freq.bin", bclen, kept_bc, kept_ct
+        )
 
-    # correction map: kept -> itself, rescued -> unique neighbor
-    map_keys = np.concatenate([kept_bc, rescue_bc[rescued]])
-    map_vals = np.concatenate([kept_bc, reps[rescued]])
-    bincodeio.write_u64_map_file(out_dir / "permit_map.bin", map_keys, map_vals)
+        # correction map: kept -> itself, rescued -> unique neighbor
+        map_keys = np.concatenate([kept_bc, rescue_bc[rescued]])
+        map_vals = np.concatenate([kept_bc, reps[rescued]])
+        bincodeio.write_u64_map_file(
+            out_dir / "permit_map.bin", map_keys, map_vals
+        )
 
-    meta = {
-        "velo_mode": opts.velo_mode,
-        "expected_ori": strand_from_ori_arg(opts.expected_ori),
-        "version_str": opts.version,
-        "max-ambig-record": max_ambig,
-        "cmd": opts.cmdline,
-        "permit-list-type": "unfiltered",
-        "gpl_options": _serialize_opts(opts),
-    }
-    write_json(out_dir / "generate_permit_list.json", meta)
+        meta = {
+            "velo_mode": opts.velo_mode,
+            "expected_ori": strand_from_ori_arg(opts.expected_ori),
+            "version_str": opts.version,
+            "max-ambig-record": max_ambig,
+            "cmd": opts.cmdline,
+            "permit-list-type": "unfiltered",
+            "gpl_options": _serialize_opts(opts),
+        }
+        write_json(out_dir / "generate_permit_list.json", meta)
     log.info("total number of distinct corrected barcodes: %d", num_corrected)
     return num_corrected
 
@@ -438,6 +490,7 @@ def _process_filtered(
     bclen: int,
     max_ambig: int,
     out_dir: Path,
+    write_artifacts: bool = True,
 ) -> int:
     freq = np.sort(counts)[::-1]
 
@@ -497,19 +550,24 @@ def _process_filtered(
     perm_ct = np.zeros(len(perm_bc), np.uint64)
     np.add.at(perm_ct, inv, counts[hit])
 
-    bincodeio.write_permit_freq(out_dir / "permit_freq.bin", bclen, perm_bc, perm_ct)
-    bincodeio.write_permit_freq(out_dir / "all_freq.bin", bclen, uniq, counts)
-    bincodeio.write_u64_map_file(out_dir / "permit_map.bin", map_keys, map_vals)
+    if write_artifacts:
+        bincodeio.write_permit_freq(
+            out_dir / "permit_freq.bin", bclen, perm_bc, perm_ct
+        )
+        bincodeio.write_permit_freq(out_dir / "all_freq.bin", bclen, uniq, counts)
+        bincodeio.write_u64_map_file(
+            out_dir / "permit_map.bin", map_keys, map_vals
+        )
 
-    meta = {
-        "velo_mode": opts.velo_mode,
-        "expected_ori": strand_from_ori_arg(opts.expected_ori),
-        "version_str": opts.version,
-        "max-ambig-record": max_ambig,
-        "cmd": opts.cmdline,
-        "permit-list-type": "filtered",
-        "gpl_options": _serialize_opts(opts),
-    }
-    write_json(out_dir / "generate_permit_list.json", meta)
+        meta = {
+            "velo_mode": opts.velo_mode,
+            "expected_ori": strand_from_ori_arg(opts.expected_ori),
+            "version_str": opts.version,
+            "max-ambig-record": max_ambig,
+            "cmd": opts.cmdline,
+            "permit-list-type": "filtered",
+            "gpl_options": _serialize_opts(opts),
+        }
+        write_json(out_dir / "generate_permit_list.json", meta)
     log.info("total number of distinct corrected barcodes: %d", num_corrected)
     return num_corrected

@@ -322,12 +322,14 @@ def iter_raw_blocks(
     num_chunks: int | None,
     max_records: int,
     prefetch: bool = False,
+    chunk_range: tuple | None = None,
 ):
     """Stream chunks into raw byte blocks of roughly ``max_records``
     reads each WITHOUT field decode.  Yields (buf[uint8],
     region_starts[int64], chunk_recs[int64]) — the native walk inputs."""
     for _first, chunk_bufs, chunk_recs in _maybe_prefetched(
-        _iter_raw_chunk_groups(fh, num_chunks, max_records), prefetch
+        _iter_raw_chunk_groups(fh, num_chunks, max_records, chunk_range),
+        prefetch,
     ):
         buf = np.frombuffer(b"".join(chunk_bufs), dtype=np.uint8)
         sizes = np.asarray([len(b) for b in chunk_bufs], np.int64)

@@ -33,11 +33,23 @@ os.environ["AFT_NUM_PROCESSES"] = "2"
 os.environ["AFT_PROCESS_ID"] = str(pid)
 sys.path.insert(0, sys.argv[5])
 from pathlib import Path
-from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
-quantify(QuantOpts(
-    input_dir=Path(sys.argv[3]), tg_map=Path(sys.argv[3]) / "t2g.tsv",
-    output_dir=Path(sys.argv[4]), resolution="cr-like", cmdline="mh",
-))
+mode = sys.argv[6]
+if mode == "quant":
+    from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+    quantify(QuantOpts(
+        input_dir=Path(sys.argv[3]), tg_map=Path(sys.argv[3]) / "t2g.tsv",
+        output_dir=Path(sys.argv[4]), resolution="cr-like", cmdline="mh",
+    ))
+else:
+    from alevin_fry_tpu.pipeline.gpl import (
+        CellFilterMethod, GenPermitListOpts, generate_permit_list,
+    )
+    rad = Path(sys.argv[3])
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad, output_dir=Path(sys.argv[4]),
+        fmeth=CellFilterMethod("unfiltered", path=rad / "wl.txt", min_reads=1),
+        expected_ori="fw", cmdline="mh",
+    ))
 """
 
 
@@ -93,7 +105,7 @@ def test_two_process_quant_matches_single(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, str(pid), coord, str(gpl),
-             str(out), repo],
+             str(out), repo, "quant"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         )
         for pid in (0, 1)
@@ -108,3 +120,61 @@ def test_two_process_quant_matches_single(tmp_path):
         "alevin/quants_mat_cols.txt", "featureDump.txt",
     ):
         assert (out / name).read_bytes() == (ref_dir / name).read_bytes(), name
+
+
+def test_two_process_gpl_matches_single(tmp_path):
+    """Multi-host generate-permit-list: per-host chunk-range histograms
+    merged over the DCN must reproduce the single-process artifacts
+    byte-for-byte."""
+    rng = np.random.RandomState(31)
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT"]
+    refs = [f"t{i}" for i in range(6)]
+    reads = []
+    for i in range(900):
+        bc = bcs[rng.randint(len(bcs))]
+        if rng.rand() < 0.1:  # 1-edit noise for the rescue path
+            bc = bc[:-1] + ("T" if bc[-1] == "A" else "A")
+        reads.append((pack_seq(bc), int(rng.randint(1 << 18)),
+                      [(int(rng.randint(6)), True)]))
+    chunks = [reads[i : i + 75] for i in range(0, len(reads), 75)]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, chunks, bc_len=8, umi_len=10)
+    (rad_dir / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+
+    ref_gpl = tmp_path / "gpl_single"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=ref_gpl,
+        fmeth=CellFilterMethod("unfiltered", path=rad_dir / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="mh",
+    ))
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out = tmp_path / "gpl_multi"
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("AFT_", "XLA_", "JAX_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(pid), coord, str(rad_dir),
+             str(out), repo, "gpl"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    logs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{lg[-3000:]}"
+    assert any("owns chunks" in lg for lg in logs)
+
+    for name in ("permit_freq.bin", "permit_map.bin"):
+        assert (out / name).read_bytes() == (ref_gpl / name).read_bytes(), name
+    import json
+
+    meta_s = json.loads((ref_gpl / "generate_permit_list.json").read_text())
+    meta_m = json.loads((out / "generate_permit_list.json").read_text())
+    assert meta_s["max-ambig-record"] == meta_m["max-ambig-record"]
