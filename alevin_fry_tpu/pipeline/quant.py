@@ -193,11 +193,6 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
     rank, world = dist.rank_world()
     chunk_range = None
     if world > 1:
-        if opts.dump_eq or opts.num_bootstraps > 0:
-            raise NotImplementedError(
-                "dump-eq and bootstraps are not yet supported in "
-                "multi-host quant runs"
-            )
         chunk_range = dist.host_chunk_plan(hdr.num_chunks, world, rank)
         log.info(
             "multi-host quant: process %d/%d owns cell chunks [%d, %d)",
@@ -271,7 +266,10 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
             result.rows, result.cols, result.vals = sink.concatenated()
 
     if world > 1:
-        result = _merge_hosts(result)
+        result = _merge_hosts(
+            result, want_dump=opts.dump_eq,
+            want_boot=opts.num_bootstraps > 0,
+        )
         if rank != 0:
             log.info("process %d: partial results merged to host 0", rank)
             return
@@ -392,11 +390,44 @@ class _CooSpill:
             self._writer.abort()
 
 
-def _merge_hosts(result: CellResult) -> CellResult:
+def _flatten_eqc_list(parts: list):
+    """Concatenate per-block CellEqClasses into one (CSR offset fixups:
+    classes shift by classes-so-far, labels by labels-so-far)."""
+    import dataclasses
+
+    parts = [p for p in parts if len(p.cell_ids)]
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    cat = np.concatenate
+    ceo = [np.asarray(parts[0].cell_eq_offsets, np.int64)]
+    lo = [np.asarray(parts[0].label_offsets, np.int64)]
+    for p in parts[1:]:
+        ceo.append(np.asarray(p.cell_eq_offsets[1:], np.int64) + ceo[-1][-1])
+        lo.append(np.asarray(p.label_offsets[1:], np.int64) + lo[-1][-1])
+    return dataclasses.replace(
+        parts[0],
+        cell_ids=cat([p.cell_ids for p in parts]),
+        cell_eq_offsets=cat(ceo),
+        label_offsets=cat(lo),
+        labels=cat([p.labels for p in parts]),
+        counts=cat([p.counts for p in parts]),
+    )
+
+
+def _merge_hosts(
+    result: CellResult, want_dump: bool = False, want_boot: bool = False,
+) -> CellResult:
     """Merge per-host partial CellResults across the DCN: hosts own
     disjoint contiguous cell-chunk ranges, so the merge is a ragged
     all-gather + concat in rank order (per SURVEY §2.3 — no reduction
-    is needed); matrix rows shift by the cells of lower ranks."""
+    is needed); matrix rows shift by the cells of lower ranks.
+
+    ``want_dump``/``want_boot`` come from the run options (NOT from the
+    local result, which may be empty on a host whose cells all took the
+    fast path) so every rank enters the same collectives."""
+    from ..ops.crlike import CellEqClasses
     from ..parallel import dist
 
     rank, world = dist.rank_world()
@@ -422,6 +453,64 @@ def _merge_hosts(result: CellResult) -> CellResult:
             gather(s, np.float32), gather(m, np.float32),
             gather(ne, np.int64), gather(om, np.int64),
         )
+
+    # dump-eq: each host flattens its blocks to one CellEqClasses; the
+    # five CSR components gather raggedly and rank order reconstructs
+    # the per-host list (cell ids are already global, so interning in
+    # list order preserves the single-process first-encounter order)
+    dump = None
+    if want_dump:
+        local = _flatten_eqc_list(result.dump_eq_data or [])
+        empty = CellEqClasses(
+            cell_ids=np.zeros(0, np.int64),
+            cell_eq_offsets=np.zeros(1, np.int64),
+            label_offsets=np.zeros(1, np.int64),
+            labels=np.zeros(0, np.uint32),
+            counts=np.zeros(0, np.uint32),
+        )
+        local = local if local is not None else empty
+        comps = {
+            "cell_ids": (np.int64, dist.allgather_ragged(
+                np.asarray(local.cell_ids, np.int64))),
+            "ceo": (np.int64, dist.allgather_ragged(
+                np.asarray(local.cell_eq_offsets, np.int64))),
+            "lo": (np.int64, dist.allgather_ragged(
+                np.asarray(local.label_offsets, np.int64))),
+            "labels": (np.uint32, dist.allgather_ragged(
+                np.asarray(local.labels, np.uint32))),
+            "counts": (np.uint32, dist.allgather_ragged(
+                np.asarray(local.counts, np.uint32))),
+        }
+        dump = []
+        for r in range(world):
+            ci = comps["cell_ids"][1][r]
+            if not len(ci):
+                continue
+            dump.append(CellEqClasses(
+                cell_ids=ci,
+                cell_eq_offsets=comps["ceo"][1][r],
+                label_offsets=comps["lo"][1][r],
+                labels=comps["labels"][1][r].astype(np.uint32),
+                counts=comps["counts"][1][r].astype(np.uint32),
+            ))
+
+    # bootstraps: rows are host-local row indices; shift by the host
+    # row base and concatenate in rank order (like the main COO)
+    boot_mean = boot_var = None
+    if want_boot:
+        z = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.float32))
+
+        def _gather_boot(t):
+            r_, c_, v_ = t if t is not None else z
+            return dist.merge_partial_coo(
+                np.asarray(r_, np.int64), np.asarray(c_, np.int64),
+                np.asarray(v_, np.float32), row_off,
+            )
+
+        boot_mean = _gather_boot(result.boot_mean)
+        boot_var = _gather_boot(result.boot_var)
+
     return CellResult(
         cells=gather(result.cells, np.int64),
         cell_bcs=gather(result.cell_bcs, np.uint64),
@@ -430,9 +519,9 @@ def _merge_hosts(result: CellResult) -> CellResult:
         rows=rows, cols=cols, vals=vals,
         mmrate={int(k): float(v) for k, v in zip(mm_keys, mm_vals)},
         alt_res_cells=[int(c) for c in gather(result.alt_res_cells, np.int64)],
-        dump_eq_data=None,
-        boot_mean=None,
-        boot_var=None,
+        dump_eq_data=dump,
+        boot_mean=boot_mean,
+        boot_var=boot_var,
         cell_stats=cell_stats,
     )
 
@@ -1236,6 +1325,9 @@ def _write_eqc_counts(result: CellResult, num_rows: int, usa_mode: bool, mat_pat
                 "\t".join(str(int(t)) for t in vals) + f"\t{eqid}\n"
             )
         body = "".join(parts).encode()
-    with gzip.open(mat_path / "gene_eqclass.txt.gz", "wb") as fh:
-        fh.write(f"{num_rows}\n{len(rep)}\n".encode())
-        fh.write(body)
+    # mtime=0 keeps the artifact deterministic (byte-comparable across
+    # runs and across the single-/multi-host paths)
+    with open(mat_path / "gene_eqclass.txt.gz", "wb") as raw:
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as fh:
+            fh.write(f"{num_rows}\n{len(rep)}\n".encode())
+            fh.write(body)

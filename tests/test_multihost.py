@@ -40,6 +40,13 @@ if mode == "quant":
         input_dir=Path(sys.argv[3]), tg_map=Path(sys.argv[3]) / "t2g.tsv",
         output_dir=Path(sys.argv[4]), resolution="cr-like", cmdline="mh",
     ))
+elif mode == "quantdb":
+    from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+    quantify(QuantOpts(
+        input_dir=Path(sys.argv[3]), tg_map=Path(sys.argv[3]) / "t2g.tsv",
+        output_dir=Path(sys.argv[4]), resolution="cr-like-em", cmdline="mh",
+        dump_eq=True, num_bootstraps=2, summary_stat=True,
+    ))
 else:
     from alevin_fry_tpu.pipeline.gpl import (
         CellFilterMethod, GenPermitListOpts, generate_permit_list,
@@ -118,6 +125,74 @@ def test_two_process_quant_matches_single(tmp_path):
     for name in (
         "alevin/quants_mat.mtx", "alevin/quants_mat_rows.txt",
         "alevin/quants_mat_cols.txt", "featureDump.txt",
+    ):
+        assert (out / name).read_bytes() == (ref_dir / name).read_bytes(), name
+
+
+def test_two_process_quant_dump_eq_bootstraps(tmp_path):
+    """Multi-host quant with --dump-eq and bootstraps: the gathered
+    eqclass dump and bootstrap matrices must match single-process
+    byte-for-byte (per-cell-seeded bootstrap RNG is host-split
+    invariant; interning follows global cell order)."""
+    rng = np.random.RandomState(23)
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT"]
+    refs = [f"t{i}" for i in range(10)]
+    reads = []
+    # >=100 reads/cell so cells leave the small-cell fast path and
+    # produce eqclasses
+    for ci, bc in enumerate(bcs):
+        for _ in range(130 + 7 * ci):
+            tids = sorted(set(rng.randint(0, 10, rng.randint(1, 3)).tolist()))
+            reads.append((pack_seq(bc), int(rng.randint(1 << 12)) * 4,
+                          [(t, True) for t in tids]))
+    rng.shuffle(reads)
+    chunks = [reads[i : i + 67] for i in range(0, len(reads), 67)]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, chunks, bc_len=8, umi_len=10)
+    (tmp_path / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+
+    gpl = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=tmp_path / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(gpl, rad_dir, cmdline="t")
+    (gpl / "t2g.tsv").write_text("".join(f"t{i}\tg{i//2}\n" for i in range(10)))
+
+    ref_dir = tmp_path / "q_single"
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=gpl / "t2g.tsv", output_dir=ref_dir,
+        resolution="cr-like-em", cmdline="mh",
+        dump_eq=True, num_bootstraps=2, summary_stat=True,
+    ))
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out = tmp_path / "q_multi"
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("AFT_", "XLA_", "JAX_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(pid), coord, str(gpl),
+             str(out), repo, "quantdb"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    logs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{lg[-3000:]}"
+
+    for name in (
+        "alevin/quants_mat.mtx", "alevin/quants_mat_rows.txt",
+        "alevin/geqc_counts.mtx", "alevin/gene_eqclass.txt.gz",
+        "alevin/bootstraps_mean.mtx", "alevin/bootstraps_var.mtx",
     ):
         assert (out / name).read_bytes() == (ref_dir / name).read_bytes(), name
 
