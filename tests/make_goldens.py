@@ -30,6 +30,7 @@ sys.path.insert(0, str(HERE))
 os.environ.setdefault("AFT_CRLIKE_BACKEND", "host")
 os.environ.setdefault("AFT_RESCUE_BACKEND", "host")
 os.environ.setdefault("AFT_PUG_CC_BACKEND", "host")
+os.environ.setdefault("AFT_COLLATE_BACKEND", "host")
 os.environ.setdefault("AFT_EM_MESH", "0")
 os.environ.setdefault("AFT_EM_BACKEND", "host")
 os.environ.setdefault("AFT_GPL_MESH", "0")
@@ -138,6 +139,109 @@ def run_pipeline(root: Path, rad_dir: Path):
     return outputs
 
 
+def run_atac(root: Path):
+    """ATAC goldens: gpl bin histogram sidecars, the coordinate-sorted
+    BED, and the collate->dedup BED."""
+    from synth import write_atac_rad
+    from alevin_fry_tpu.ops.barcodes import pack_seq, revcomp_packed, unpack_seq
+    from alevin_fry_tpu.cli import main as cli_main
+
+    rng = np.random.RandomState(77)
+    refs = ["chr1", "chr2"]
+    ref_lens = [400_000, 250_000]
+    bcs = ["AAAACCCC", "GGGGTTTT", "ACGTACGT"]
+    reads = []
+    for _ in range(600):
+        bc = bcs[rng.randint(3)]
+        ref = int(rng.randint(2))
+        pos = int(rng.randint(ref_lens[ref] - 3000))
+        flen = int(rng.randint(30, 2400))
+        mt = 4 if rng.rand() < 0.9 else 2  # some non-proper pairs
+        if rng.rand() < 0.05:
+            alns = [(ref, mt, pos, flen), ((ref + 1) % 2, mt, pos + 3, flen)]
+        else:
+            alns = [(ref, mt, pos, flen)]
+        reads.append((pack_seq(bc), alns))
+    for i in rng.choice(600, 60, replace=False):  # duplicates
+        reads.append(reads[int(i)])
+    rad_dir = root / "arad"
+    rad_dir.mkdir()
+    chunks = [reads[i : i + 120] for i in range(0, len(reads), 120)]
+    write_atac_rad(rad_dir / "map.rad", refs, ref_lens, chunks, bc_len=8)
+    wl = root / "awl.txt"
+    wl.write_text("".join(
+        unpack_seq(int(revcomp_packed(
+            np.asarray([pack_seq(b)], np.uint64), 8)[0]), 8) + "\n"
+        for b in bcs
+    ))
+
+    gpl = root / "agpl"
+    assert cli_main([
+        "atac", "generate-permit-list", "-i", str(rad_dir), "-o", str(gpl),
+        "-u", str(wl), "-m", "1", "-d", "rc",
+    ]) == 0
+    outputs = {}
+    for art in ("bin_recs.bin", "bin_lens.bin", "permit_freq.bin"):
+        outputs[f"atac.{art}"] = (gpl / art).read_bytes()
+    assert cli_main(["atac", "sort", "-i", str(gpl), "-r", str(rad_dir),
+                     "-t", "2"]) == 0
+    outputs["atac.sorted.bed"] = (gpl / "map.bed").read_bytes()
+    assert cli_main(["atac", "collate", "-i", str(gpl), "-r", str(rad_dir),
+                     "-t", "2"]) == 0
+    assert cli_main(["atac", "deduplicate", "-i", str(gpl), "-d", "rc"]) == 0
+    outputs["atac.dedup.bed"] = (gpl / "map.bed").read_bytes()
+    return outputs
+
+
+def run_multibc(root: Path):
+    """Multi-barcode (10x Flex) goldens: gpl_multi -> collate_multi ->
+    quant with sample-prefixed rows and the collation manifest."""
+    from synth import make_packed_bc, write_multi_bc_rad
+    from alevin_fry_tpu.ops.barcodes import unpack_seq
+    from alevin_fry_tpu.pipeline.collate import collate
+    from alevin_fry_tpu.pipeline.gpl import (
+        CellFilterMethod, GenPermitListOpts, generate_permit_list,
+    )
+    from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+
+    refs = [f"gene_{i}" for i in range(8)]
+    sample_bcs = [make_packed_bc(100, 8), make_packed_bc(200, 8)]
+    rad_dir = root / "mrad"
+    rad_dir.mkdir()
+    write_multi_bc_rad(
+        rad_dir / "map.rad", refs, 2, 4, 8, sample_bcs,
+        share_cell_barcodes=True, sample_bc_len=8,
+    )
+    slist = root / "samples.tsv"
+    slist.write_text(
+        f"{unpack_seq(sample_bcs[0], 8)}\twellA\n"
+        f"{unpack_seq(sample_bcs[1], 8)}\twellB\n"
+    )
+    t2g = root / "mt2g.tsv"
+    t2g.write_text("".join(f"gene_{i}\tg{i // 2}\n" for i in range(8)))
+
+    gpl = root / "mgpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("force", count=4),
+        expected_ori="both", cmdline="goldens", sample_bc_list=slist,
+    ))
+    collate(gpl, rad_dir, num_threads=2, cmdline="goldens")
+    qdir = root / "mq"
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=t2g, output_dir=qdir,
+        resolution="cr-like", cmdline="goldens",
+    ))
+    return {
+        "multibc.collation_manifest.bin":
+            (gpl / "collation_manifest.bin").read_bytes(),
+        "multibc.quants_mat.mtx":
+            (qdir / "alevin" / "quants_mat.mtx").read_bytes(),
+        "multibc.rows.txt":
+            (qdir / "alevin" / "quants_mat_rows.txt").read_bytes(),
+    }
+
+
 def main():
     import tempfile
 
@@ -145,6 +249,8 @@ def main():
         root = Path(td)
         rad_dir = build_dataset(root)
         outputs = run_pipeline(root, rad_dir)
+        outputs.update(run_atac(root))
+        outputs.update(run_multibc(root))
         # also keep the input RAD itself (the codec contract)
         outputs["map.rad"] = (rad_dir / "map.rad").read_bytes()
     if GOLDEN.exists():

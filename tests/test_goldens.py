@@ -20,6 +20,8 @@ def produced(tmp_path_factory, monkeypatch_module=None):
     root = tmp_path_factory.mktemp("goldens")
     rad_dir = mg.build_dataset(root)
     outputs = mg.run_pipeline(root, rad_dir)
+    outputs.update(mg.run_atac(root))
+    outputs.update(mg.run_multibc(root))
     outputs["map.rad"] = (rad_dir / "map.rad").read_bytes()
     return outputs
 
