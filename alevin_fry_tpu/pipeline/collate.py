@@ -147,6 +147,105 @@ def collation_order_device(ranks: np.ndarray, n_cells: int):
     return order, per_cell
 
 
+def _gather_rank_buckets(
+    out_path: Path,
+    spill_dir: Path,
+    n_buckets: int,
+    schema,
+    prelude,
+    ftm,
+    compress_out: bool,
+    n_cells: int,
+):
+    """Gather phase of the spill-bucket collation: per bucket, byte-sort
+    the re-encoded records by cell rank and append one chunk per cell to
+    ``out_path`` (num_chunks backpatched).  Returns
+    (n_written, per_cell_record_counts)."""
+    from ..radz import _native
+
+    raw_sink = open(out_path, "wb")
+    if compress_out:
+        from ..radz.snappyz import SnappyFrameWriter
+        import io
+
+        head = io.BytesIO()
+        sink = head
+    else:
+        sink = raw_sink
+    n_written = 0
+    per_cell = np.zeros(n_cells, np.int64)
+    # write prelude with the expected chunk count (cells with
+    # zero surviving reads are rare; recount below and patch)
+    prelude.hdr.num_chunks = n_cells
+    nc_pos = prelude.write(sink)
+    prelude.write_file_tag_values(sink, ftm)
+    if compress_out:
+        frame = SnappyFrameWriter(raw_sink)
+        frame.write(head.getvalue())
+
+    for b in range(n_buckets):
+        rec_bytes = np.fromfile(spill_dir / f"bucket_{b}.rec", np.uint8)
+        ranks = np.fromfile(spill_dir / f"bucket_{b}.rank", np.uint32)
+        if len(ranks) == 0:
+            continue
+        if _native.available():
+            rec_starts, num_aln = _native.walk_records(
+                rec_bytes, np.asarray([0], np.int64),
+                np.asarray([len(ranks)], np.int64),
+                schema.read_bytes, schema.aln_bytes,
+            )
+        else:
+            from ..radz.chunkio import _walk_records_py
+
+            rec_starts, num_aln = _walk_records_py(
+                rec_bytes, [0], [len(ranks)],
+                schema.read_bytes, schema.aln_bytes,
+            )
+        sizes = 4 + schema.read_bytes + num_aln * schema.aln_bytes
+        order = np.argsort(ranks, kind="stable")
+        # byte gather in sorted order
+        out_sizes = sizes[order]
+        out_off = np.zeros(len(order) + 1, np.int64)
+        np.cumsum(out_sizes, out=out_off[1:])
+        gidx = np.repeat(rec_starts[order], out_sizes) + (
+            np.arange(int(out_off[-1]))
+            - np.repeat(out_off[:-1], out_sizes)
+        )
+        sorted_bytes = rec_bytes[gidx]
+        # chunk boundaries per cell within the bucket
+        rs = ranks[order]
+        np.add.at(per_cell, rs.astype(np.int64), 1)
+        newc = np.ones(len(rs), bool)
+        newc[1:] = rs[1:] != rs[:-1]
+        starts = np.flatnonzero(newc)
+        ends = np.append(starts[1:], len(rs))
+        w = frame if compress_out else sink
+        for s, e in zip(starts, ends):
+            bs, be = int(out_off[s]), int(out_off[e])
+            w.write(struct.pack("<II", be - bs + 8, int(e - s)))
+            w.write(sorted_bytes[bs:be].tobytes())
+            n_written += 1
+        (spill_dir / f"bucket_{b}.rec").unlink()
+        (spill_dir / f"bucket_{b}.rank").unlink()
+    if compress_out:
+        frame.flush()
+        raw_sink.close()
+        if n_written != n_cells:
+            log.warning(
+                "compressed out-of-core output wrote %d chunks but the "
+                "header claims %d (cells with no surviving reads)",
+                n_written, n_cells,
+            )
+    else:
+        if n_written != n_cells:
+            pos = sink.tell()
+            sink.seek(nc_pos)
+            sink.write(struct.pack("<Q", n_written))
+            sink.seek(pos)
+        sink.close()
+    return n_written, per_cell
+
+
 def _collate_out_of_core(
     input_dir: Path,
     rad_dir: Path,
@@ -258,90 +357,14 @@ def _collate_out_of_core(
                 rf.close()
                 kf.close()
 
-            # gather: per bucket, byte-sort records by rank and emit chunks
             cfname = (
                 "velo.map.collated.rad" if velo_mode
                 else ("map.collated.rad.sz" if compress_out else "map.collated.rad")
             )
-            raw_sink = open(input_dir / cfname, "wb")
-            if compress_out:
-                from ..radz.snappyz import SnappyFrameWriter
-                import io
-
-                head = io.BytesIO()
-                prelude.hdr.num_chunks = 0  # patched below via rewrite
-                sink = head
-            else:
-                sink = raw_sink
-            n_written = 0
-            # write prelude with the expected chunk count (cells with
-            # zero surviving reads are rare; recount below and patch)
-            prelude.hdr.num_chunks = len(cell_bcs)
-            nc_pos = prelude.write(sink)
-            prelude.write_file_tag_values(sink, ftm)
-            if compress_out:
-                frame = SnappyFrameWriter(raw_sink)
-                frame.write(head.getvalue())
-
-            for b in range(n_buckets):
-                rec_bytes = np.fromfile(spill_dir / f"bucket_{b}.rec", np.uint8)
-                ranks = np.fromfile(spill_dir / f"bucket_{b}.rank", np.uint32)
-                if len(ranks) == 0:
-                    continue
-                if _native.available():
-                    rec_starts, num_aln = _native.walk_records(
-                        rec_bytes, np.asarray([0], np.int64),
-                        np.asarray([len(ranks)], np.int64),
-                        schema.read_bytes, schema.aln_bytes,
-                    )
-                else:
-                    from ..radz.chunkio import _walk_records_py
-
-                    rec_starts, num_aln = _walk_records_py(
-                        rec_bytes, [0], [len(ranks)],
-                        schema.read_bytes, schema.aln_bytes,
-                    )
-                sizes = 4 + schema.read_bytes + num_aln * schema.aln_bytes
-                order = np.argsort(ranks, kind="stable")
-                # byte gather in sorted order
-                out_sizes = sizes[order]
-                out_off = np.zeros(len(order) + 1, np.int64)
-                np.cumsum(out_sizes, out=out_off[1:])
-                gidx = np.repeat(rec_starts[order], out_sizes) + (
-                    np.arange(int(out_off[-1]))
-                    - np.repeat(out_off[:-1], out_sizes)
-                )
-                sorted_bytes = rec_bytes[gidx]
-                # chunk boundaries per cell within the bucket
-                rs = ranks[order]
-                newc = np.ones(len(rs), bool)
-                newc[1:] = rs[1:] != rs[:-1]
-                starts = np.flatnonzero(newc)
-                ends = np.append(starts[1:], len(rs))
-                w = frame if compress_out else sink
-                for s, e in zip(starts, ends):
-                    bs, be = int(out_off[s]), int(out_off[e])
-                    w.write(struct.pack("<II", be - bs + 8, int(e - s)))
-                    w.write(sorted_bytes[bs:be].tobytes())
-                    n_written += 1
-                (spill_dir / f"bucket_{b}.rec").unlink()
-                (spill_dir / f"bucket_{b}.rank").unlink()
-            if compress_out:
-                frame.flush()
-                raw_sink.close()
-                if n_written != len(cell_bcs):
-                    log.warning(
-                        "compressed out-of-core output wrote %d chunks but the "
-                        "header claims %d (cells with no surviving reads)",
-                        n_written, len(cell_bcs),
-                    )
-            else:
-                if n_written != len(cell_bcs):
-                    pos = sink.tell()
-                    sink.seek(nc_pos)
-                    sink.write(struct.pack("<Q", n_written))
-                    sink.seek(pos)
-                sink.close()
+            n_written, _per_cell = _gather_rank_buckets(
+                input_dir / cfname, spill_dir, n_buckets, schema, prelude,
+                ftm, compress_out, len(cell_bcs),
+            )
         finally:
             for rf, kf in bucket_files:
                 if not rf.closed:

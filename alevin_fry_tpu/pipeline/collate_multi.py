@@ -1,7 +1,9 @@
 """Multi-barcode hierarchical collation (fast and two-round modes).
 
-Re-implements do_collate_multi_bc_fast (collate.rs:1160-1965) as one
-vectorized pass:
+Re-implements do_collate_multi_bc_fast (collate.rs:1160-1965) as a
+vectorized pass (block-streamed with rank-range spill buckets above
+``--max-records``, mirroring the reference's TempBucket scatter at
+collate.rs:1413-1480):
 
 * correct sample barcodes through sample_permit_map.bin;
 * tiered cell correction per sample — identity against the sample's
@@ -48,10 +50,106 @@ from ..radz.collation import CollationManifest, SampleGroup
 from ..radz.records import RecordSchema
 from ..radz import unmapped as unmappedio
 from ..utils import aln_strand_mask, write_json
-from .collate import _lookup_map
+from .collate import _gather_rank_buckets, _lookup_map
 from .logging_ import get_logger
 
 log = get_logger("collate.multi")
+
+
+def _correct_block(batch, ctx):
+    """Composite sample+cell correction of one decoded block.
+
+    Returns (kept_reads, rank, ord_arr, corrected_cell_kept, keep_aln2,
+    nal) — the read indices that survive, their composite cell rank
+    (index into ctx['comp_cells']), their manifest ordinal, the
+    corrected cell barcode, the per-alignment keep mask, and the
+    surviving-alignment count per kept read."""
+    num_samples = ctx["num_samples"]
+    cell_bc_bits = ctx["cell_bc_bits"]
+
+    # sample correction
+    sbc = batch.barcode(0)
+    hit_s, corr_s = _lookup_map(ctx["smk"], ctx["smv"], sbc)
+    sb_sorted = ctx["sb_sorted"]
+    si = np.searchsorted(sb_sorted, corr_s)
+    si_c = np.minimum(si, max(num_samples - 1, 0))
+    known = hit_s & (num_samples > 0) & (sb_sorted[si_c] == corr_s)
+    sample_idx = np.full(batch.n_reads, -1, np.int64)
+    sample_idx[known] = ctx["sb_sorted_idx"][si_c[known]]
+
+    # cell correction per sample: the fast mode runs the tiered
+    # identity / unique-1-edit search (collate.rs:1486-1664); the
+    # two-round mode corrects through each sample's gpl-written
+    # permit_map.bin exactly as round 2 of the reference does
+    # (collate.rs:2277-2283)
+    cbc = batch.barcode(-1)
+    corrected_cell = np.zeros(batch.n_reads, np.uint64)
+    cell_ok = np.zeros(batch.n_reads, bool)
+    for sidx in range(num_samples):
+        sel = np.flatnonzero(sample_idx == sidx)
+        if len(sel) == 0:
+            continue
+        q = cbc[sel]
+        if ctx["mode"] == "two-round":
+            mkv = ctx["round2_maps"][sidx]
+            if mkv is None:
+                continue
+            mk, mv = mkv
+            hit, corr = _lookup_map(mk, mv, q)
+            corrected_cell[sel[hit]] = corr[hit]
+            cell_ok[sel[hit]] = True
+            continue
+        valid = ctx["per_sample_valid"][sidx]
+        # identity tier
+        vi = np.searchsorted(valid, q)
+        vi_c = np.minimum(vi, max(len(valid) - 1, 0))
+        ident = (len(valid) > 0) & (vi < len(valid)) & (valid[vi_c] == q)
+        corrected_cell[sel[ident]] = q[ident]
+        cell_ok[sel[ident]] = True
+        # 1-edit tier
+        rest = sel[~ident]
+        if len(rest):
+            cnts, reps = bcops.find_neighbors_batch(
+                cbc[rest], valid, ctx["cell_bc_len"]
+            )
+            good = cnts == 1
+            corrected_cell[rest[good]] = reps[good]
+            cell_ok[rest[good]] = True
+
+    # orientation filtering of alignments
+    keep_aln0 = aln_strand_mask(batch.dirs, ctx["expected_ori"])
+    kept_per_read = np.add.reduceat(
+        keep_aln0.astype(np.int64), batch.aln_offsets[:-1]
+    ) if batch.n_reads else np.zeros(0, np.int64)
+    kept_per_read[np.diff(batch.aln_offsets) == 0] = 0
+    keep_read = known & cell_ok & (kept_per_read > 0)
+    read_of_aln = np.repeat(np.arange(batch.n_reads), batch.num_aln_per_read)
+    keep_aln = keep_aln0 & keep_read[read_of_aln]
+
+    comp_sorted = ctx["comp_sorted"]
+    n_cells = ctx["n_cells"]
+    rk = (
+        sample_idx[keep_read].astype(np.uint64) << np.uint64(cell_bc_bits)
+    ) | corrected_cell[keep_read]
+    pos = np.searchsorted(comp_sorted, rk)
+    pos_c = np.minimum(pos, max(n_cells - 1, 0))
+    in_cells = (n_cells > 0) & (pos < n_cells) & (comp_sorted[pos_c] == rk)
+    # all corrected reads should hit a known cell; drop any that don't
+    kept_reads = np.flatnonzero(keep_read)[in_cells]
+    rank = ctx["comp_perm"][pos_c[in_cells]]
+
+    keep_read2 = np.zeros(batch.n_reads, bool)
+    keep_read2[kept_reads] = True
+    keep_aln2 = keep_aln & keep_read2[read_of_aln]
+    nal = np.zeros(batch.n_reads, np.int64)
+    np.add.at(nal, read_of_aln[keep_aln2], 1)
+    nal = nal[kept_reads]
+
+    ord_arr = np.asarray(
+        [ctx["sidx_to_ord"][int(s)] for s in sample_idx[kept_reads]],
+        np.uint64,
+    )
+    return kept_reads, rank, ord_arr, corrected_cell[kept_reads], keep_aln2, nal
 
 
 def collate_multi_bc(
@@ -110,76 +208,9 @@ def collate_multi_bc(
             "> 64-bit composite key capacity."
         )
 
-    with open(rad_dir / "map.rad", "rb") as fh:
-        prelude, ftm, _ = read_prelude(fh)
-        schema = RecordSchema.from_prelude(prelude)
-        batch = decode_all_chunks(fh, schema, prelude.hdr.num_chunks)
-    log.info("multi-barcode collation over %d reads", batch.n_reads)
-
-    # sample correction
-    sbc = batch.barcode(0)
-    hit_s, corr_s = _lookup_map(smk, smv, sbc)
-    sb_sorted_idx = np.argsort(sample_bcs, kind="stable")
-    sb_sorted = sample_bcs[sb_sorted_idx]
-    si = np.searchsorted(sb_sorted, corr_s)
-    si_c = np.minimum(si, max(num_samples - 1, 0))
-    known = hit_s & (num_samples > 0) & (sb_sorted[si_c] == corr_s)
-    sample_idx = np.full(batch.n_reads, -1, np.int64)
-    sample_idx[known] = sb_sorted_idx[si_c[known]]
-
-    # cell correction per sample: the fast mode runs the tiered
-    # identity / unique-1-edit search (collate.rs:1486-1664); the
-    # two-round mode corrects through each sample's gpl-written
-    # permit_map.bin exactly as round 2 of the reference does
-    # (collate.rs:2277-2283)
-    cbc = batch.barcode(-1)
-    corrected_cell = np.zeros(batch.n_reads, np.uint64)
-    cell_ok = np.zeros(batch.n_reads, bool)
-    for sidx in range(num_samples):
-        sel = np.flatnonzero(sample_idx == sidx)
-        if len(sel) == 0:
-            continue
-        q = cbc[sel]
-        if mode == "two-round":
-            mp = input_dir / f"sample_{sample_names[sidx]}" / "permit_map.bin"
-            if not mp.exists():
-                log.info(
-                    "Round 2: skipping sample '%s' (no permit maps)",
-                    sample_names[sidx],
-                )
-                continue
-            mk, mv = bincodeio.read_u64_map_file(mp)
-            hit, corr = _lookup_map(mk, mv, q)
-            corrected_cell[sel[hit]] = corr[hit]
-            cell_ok[sel[hit]] = True
-            continue
-        valid = per_sample_valid[sidx]
-        # identity tier
-        vi = np.searchsorted(valid, q)
-        vi_c = np.minimum(vi, max(len(valid) - 1, 0))
-        ident = (len(valid) > 0) & (vi < len(valid)) & (valid[vi_c] == q)
-        corrected_cell[sel[ident]] = q[ident]
-        cell_ok[sel[ident]] = True
-        # 1-edit tier
-        rest = sel[~ident]
-        if len(rest):
-            cnts, reps = bcops.find_neighbors_batch(cbc[rest], valid, cell_bc_len)
-            good = cnts == 1
-            corrected_cell[rest[good]] = reps[good]
-            cell_ok[rest[good]] = True
-
-    # orientation filtering of alignments
-    keep_aln0 = aln_strand_mask(batch.dirs, expected_ori)
-    kept_per_read = np.add.reduceat(
-        keep_aln0.astype(np.int64), batch.aln_offsets[:-1]
-    ) if batch.n_reads else np.zeros(0, np.int64)
-    kept_per_read[np.diff(batch.aln_offsets) == 0] = 0
-    keep_read = known & cell_ok & (kept_per_read > 0)
-    read_of_aln = np.repeat(np.arange(batch.n_reads), batch.num_aln_per_read)
-    keep_aln = keep_aln0 & keep_read[read_of_aln]
-
     # composite keys; cell order = sample asc, then descending freq
     comp_cells = []
+    comp_counts = []
     for sidx in range(num_samples):
         v = per_sample_valid[sidx]
         f = per_sample_freq[sidx]
@@ -189,46 +220,129 @@ def collate_multi_bc(
         comp_cells.append(
             (np.uint64(sidx) << np.uint64(cell_bc_bits)) | v[order]
         )
+        comp_counts.append(f[order].astype(np.int64))
     comp_cells = (
         np.concatenate(comp_cells) if comp_cells else np.zeros(0, np.uint64)
+    )
+    comp_counts = (
+        np.concatenate(comp_counts) if comp_counts else np.zeros(0, np.int64)
     )
     n_cells = len(comp_cells)
 
     comp_perm = np.argsort(comp_cells, kind="stable")
     comp_sorted = comp_cells[comp_perm]
 
-    rk = (
-        sample_idx[keep_read].astype(np.uint64) << np.uint64(cell_bc_bits)
-    ) | corrected_cell[keep_read]
-    pos = np.searchsorted(comp_sorted, rk)
-    pos_c = np.minimum(pos, max(n_cells - 1, 0))
-    in_cells = (n_cells > 0) & (pos < n_cells) & (comp_sorted[pos_c] == rk)
-    # all corrected reads should hit a known cell; drop any that don't
-    kept_reads = np.flatnonzero(keep_read)[in_cells]
-    rank = comp_perm[pos_c[in_cells]]
-
-    # dense manifest ordinals for present samples
-    present = sorted(
-        {int(e) for e in sample_idx[kept_reads] if e >= 0}
-        | {int(c >> np.uint64(cell_bc_bits)) for c in comp_cells}
-    )
+    # dense manifest ordinals: every kept read's (sample, cell) is a
+    # member of comp_cells, so the present-sample set is exactly the
+    # samples contributing composite cells
+    present = sorted({int(c >> np.uint64(cell_bc_bits)) for c in comp_cells})
     sidx_to_ord = {s: o for o, s in enumerate(present)}
 
-    # gather surviving reads
-    keep_read2 = np.zeros(batch.n_reads, bool)
-    keep_read2[kept_reads] = True
-    keep_aln2 = keep_aln & keep_read2[read_of_aln]
-    nal = np.zeros(batch.n_reads, np.int64)
-    np.add.at(nal, read_of_aln[keep_aln2], 1)
-    nal = nal[kept_reads]
+    sb_sorted_idx = np.argsort(sample_bcs, kind="stable")
+    ctx = {
+        "num_samples": num_samples,
+        "cell_bc_len": cell_bc_len,
+        "cell_bc_bits": cell_bc_bits,
+        "smk": smk, "smv": smv,
+        "sb_sorted": sample_bcs[sb_sorted_idx],
+        "sb_sorted_idx": sb_sorted_idx,
+        "per_sample_valid": per_sample_valid,
+        "mode": mode,
+        "expected_ori": expected_ori,
+        "comp_sorted": comp_sorted,
+        "comp_perm": comp_perm,
+        "n_cells": n_cells,
+        "sidx_to_ord": sidx_to_ord,
+        "round2_maps": None,
+    }
+    if mode == "two-round":
+        maps = []
+        for sidx in range(num_samples):
+            mp = input_dir / f"sample_{sample_names[sidx]}" / "permit_map.bin"
+            if mp.exists():
+                maps.append(bincodeio.read_u64_map_file(mp))
+            else:
+                log.info(
+                    "Round 2: skipping sample '%s' (no permit maps)",
+                    sample_names[sidx],
+                )
+                maps.append(None)
+        ctx["round2_maps"] = maps
+
+    expected_total = int(comp_counts.sum())
+    with open(rad_dir / "map.rad", "rb") as fh:
+        prelude, ftm, _ = read_prelude(fh)
+        schema = RecordSchema.from_prelude(prelude)
+        if expected_total > max_records:
+            n_written, per_cell = _collate_multi_out_of_core(
+                fh, input_dir, schema, prelude, ftm, ctx, comp_counts,
+                max_records, compress_out,
+            )
+        else:
+            batch = decode_all_chunks(fh, schema, prelude.hdr.num_chunks)
+            log.info("multi-barcode collation over %d reads", batch.n_reads)
+            n_written, per_cell = _collate_multi_in_memory(
+                batch, input_dir, schema, prelude, ftm, ctx, compress_out,
+            )
+
+    # the reference's two-round mode records its mode in collate.json
+    # (collate.rs:2447-2454); the fast mode omits the key (:1368-1374)
+    cmeta = {
+        "cmd": cmdline, "version_str": version,
+        "compressed_output": compress_out,
+        "multi_barcode": True,
+        "num_samples": num_samples,
+    }
+    if mode == "two-round":
+        cmeta["collation_mode"] = "two-round"
+    write_json(input_dir / "collate.json", cmeta)
+
+    # corrected unmapped counts keyed (sample, cell).  The raw
+    # multi-field unmapped format is mapper-specific; when it is absent
+    # or unparseable we degrade to empty counts (mapping-rate columns
+    # then treat unmapped as 0, matching the reference's fallback at
+    # quant.rs:1448-1453).
+    unmappedio.write_collated_multi(
+        input_dir / "unmapped_bc_count_collated.bin",
+        np.zeros(0, np.uint64), np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+    )
+
+    # manifest: present samples in ascending plate index; chunk ranges
+    # count only cells that produced chunks
+    manifest = CollationManifest(["sample", "cell"])
+    comp_sample = (comp_cells >> np.uint64(cell_bc_bits)).astype(np.int64)
+    chunk_offset = 0
+    for sidx in present:
+        sel = comp_sample == sidx
+        nch = int((per_cell[sel] > 0).sum())
+        nrec = int(per_cell[sel].sum())
+        manifest.add_sample_group(SampleGroup(
+            key=int(sample_bcs[sidx]),
+            name=sample_names[sidx],
+            chunk_start=chunk_offset,
+            num_chunks=nch,
+            num_records=nrec,
+        ))
+        chunk_offset += nch
+    manifest.write_to_file(input_dir / "collation_manifest.bin")
+    log.info(
+        "Multi-barcode collation complete: %d output chunks across %d samples",
+        n_written, len(present),
+    )
+
+
+def _collate_multi_in_memory(
+    batch, input_dir, schema, prelude, ftm, ctx, compress_out,
+):
+    kept_reads, rank, ord_arr, corr_cell, keep_aln2, nal = _correct_block(
+        batch, ctx
+    )
+    n_cells = ctx["n_cells"]
 
     read_cols = {k: v[kept_reads].copy() for k, v in batch.read_cols.items()}
     # rewrite barcodes: [0] = manifest ordinal, [last] = corrected cell
-    ord_arr = np.asarray(
-        [sidx_to_ord[int(s)] for s in sample_idx[kept_reads]], np.uint64
-    )
     read_cols[schema.barcode_fields[0]] = ord_arr
-    read_cols[schema.barcode_fields[-1]] = corrected_cell[kept_reads]
+    read_cols[schema.barcode_fields[-1]] = corr_cell
 
     refs = batch.refs[keep_aln2]
     dirs = batch.dirs[keep_aln2]
@@ -252,28 +366,6 @@ def collate_multi_bc(
     per_cell = np.zeros(n_cells, np.int64)
     ur, uc = np.unique(rank_sorted, return_counts=True)
     per_cell[ur] = uc
-
-    # the reference's two-round mode records its mode in collate.json
-    # (collate.rs:2447-2454); the fast mode omits the key (:1368-1374)
-    cmeta = {
-        "cmd": cmdline, "version_str": version,
-        "compressed_output": compress_out,
-        "multi_barcode": True,
-        "num_samples": num_samples,
-    }
-    if mode == "two-round":
-        cmeta["collation_mode"] = "two-round"
-    write_json(input_dir / "collate.json", cmeta)
-
-    # corrected unmapped counts keyed (sample, cell).  The raw
-    # multi-field unmapped format is mapper-specific; when it is absent
-    # or unparseable we degrade to empty counts (mapping-rate columns
-    # then treat unmapped as 0, matching the reference's fallback at
-    # quant.rs:1448-1453).
-    unmappedio.write_collated_multi(
-        input_dir / "unmapped_bc_count_collated.bin",
-        np.zeros(0, np.uint64), np.zeros(0, np.uint64), np.zeros(0, np.uint32),
-    )
 
     out_path = input_dir / (
         "map.collated.rad.sz" if compress_out else "map.collated.rad"
@@ -299,26 +391,98 @@ def collate_multi_bc(
     finally:
         if not compress_out:
             sink.close()
+    return n_written, per_cell
 
-    # manifest: present samples in ascending plate index; chunk ranges
-    # count only cells that produced chunks
-    manifest = CollationManifest(["sample", "cell"])
-    comp_sample = (comp_cells >> np.uint64(cell_bc_bits)).astype(np.int64)
-    chunk_offset = 0
-    for sidx in present:
-        sel = comp_sample == sidx
-        nch = int((per_cell[sel] > 0).sum())
-        nrec = int(per_cell[sel].sum())
-        manifest.add_sample_group(SampleGroup(
-            key=int(sample_bcs[sidx]),
-            name=sample_names[sidx],
-            chunk_start=chunk_offset,
-            num_chunks=nch,
-            num_records=nrec,
-        ))
-        chunk_offset += nch
-    manifest.write_to_file(input_dir / "collation_manifest.bin")
+
+def _collate_multi_out_of_core(
+    fh, input_dir, schema, prelude, ftm, ctx, comp_counts, max_records,
+    compress_out,
+):
+    """Bounded-memory multi-BC collation: block-streamed correction,
+    re-encoded records scattered to rank-range spill buckets (each
+    <= max_records planned from the per-sample permit frequencies,
+    mirroring collate.rs:1413-1480), then the shared byte-sort gather."""
+    from ..radz.chunkio import encode_records, iter_decoded_blocks
+    from .progress import stage_timer
+
+    n_cells = ctx["n_cells"]
+    csum = np.zeros(n_cells + 1, np.int64)
+    np.cumsum(comp_counts, out=csum[1:])
+    bucket_of_rank = (csum[:-1] // max_records).astype(np.int64)
+    n_buckets = int(bucket_of_rank[-1]) + 1 if n_cells else 1
     log.info(
-        "Multi-barcode collation complete: %d output chunks across %d samples",
-        n_written, len(present),
+        "out-of-core multi-BC collation: ~%d records into %d spill buckets",
+        int(csum[-1]), n_buckets,
     )
+
+    spill_dir = input_dir / "_collate_tmp"
+    spill_dir.mkdir(exist_ok=True)
+    bucket_files = [
+        (open(spill_dir / f"bucket_{b}.rec", "wb"),
+         open(spill_dir / f"bucket_{b}.rank", "wb"))
+        for b in range(n_buckets)
+    ]
+    try:
+        pb_ctx = stage_timer(log, "multi-BC collate scatter", "reads")
+        pb = pb_ctx.__enter__()
+        for batch in iter_decoded_blocks(
+            fh, schema, prelude.hdr.num_chunks or None, max_records,
+            prefetch=True,
+        ):
+            pb.update(batch.n_reads)
+            kept_reads, rank, ord_arr, corr_cell, keep_aln2, nal = (
+                _correct_block(batch, ctx)
+            )
+            if len(kept_reads) == 0:
+                continue
+            read_cols = {k: v[kept_reads] for k, v in batch.read_cols.items()}
+            read_cols[schema.barcode_fields[0]] = ord_arr
+            read_cols[schema.barcode_fields[-1]] = corr_cell
+            refs = batch.refs[keep_aln2]
+            dirs = batch.dirs[keep_aln2]
+            aln_cols = {k: v[keep_aln2] for k, v in batch.aln_cols.items()}
+            new_offsets = np.zeros(len(kept_reads) + 1, np.int64)
+            np.cumsum(nal, out=new_offsets[1:])
+            bmask = bucket_of_rank[rank]
+            for b in np.unique(bmask):
+                sel = np.flatnonzero(bmask == b)
+                offs = np.zeros(len(sel) + 1, np.int64)
+                np.cumsum(nal[sel], out=offs[1:])
+                gather = np.repeat(new_offsets[:-1][sel], nal[sel]) + (
+                    np.arange(int(offs[-1])) - np.repeat(offs[:-1], nal[sel])
+                )
+                body = encode_records(
+                    schema,
+                    {k: v[sel] for k, v in read_cols.items()},
+                    offs,
+                    refs[gather], dirs[gather],
+                    {k: v[gather] for k, v in aln_cols.items()},
+                )
+                bucket_files[int(b)][0].write(body.tobytes())
+                bucket_files[int(b)][1].write(
+                    rank[sel].astype(np.uint32).tobytes()
+                )
+        pb_ctx.__exit__(None, None, None)
+        for rf, kf in bucket_files:
+            rf.close()
+            kf.close()
+
+        out_path = input_dir / (
+            "map.collated.rad.sz" if compress_out else "map.collated.rad"
+        )
+        return _gather_rank_buckets(
+            out_path, spill_dir, n_buckets, schema, prelude, ftm,
+            compress_out, n_cells,
+        )
+    finally:
+        for rf, kf in bucket_files:
+            if not rf.closed:
+                rf.close()
+            if not kf.closed:
+                kf.close()
+        for p in spill_dir.glob("bucket_*"):
+            p.unlink(missing_ok=True)
+        try:
+            spill_dir.rmdir()
+        except OSError:
+            pass

@@ -42,7 +42,13 @@ DEVICE_MODE = "--device" in sys.argv or os.environ.get("AFT_BENCH_DEVICE") == "1
 # the device-resident path end-to-end and reports its own metrics.
 if DEVICE_MODE:
     os.environ["AFT_CRLIKE_BACKEND"] = "jax"
-    os.environ.setdefault("AFT_COLLATE_BACKEND", "jax")
+    # the collate ordering kernel is one all-to-all + sort program, but
+    # through this image's tunnel its dispatches are pure RPC latency
+    # (55k reads/s end-to-end vs 477k with host ordering) — keep it on
+    # the host here so the device number measures the resolve/EM
+    # compute; AFT_COLLATE_BACKEND=jax opts the shuffle in (identity
+    # with the host ordering is covered by tests/test_collate_order.py)
+    os.environ.setdefault("AFT_COLLATE_BACKEND", "host")
     os.environ.setdefault("AFT_RESCUE_BACKEND", "auto")
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/aft_jax_cache"

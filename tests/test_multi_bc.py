@@ -254,6 +254,49 @@ def test_sample_names_file_override(tmp_path):
     assert (out / "sample_wellA" / "permit_freq.bin").exists()
 
 
+def test_multi_bc_out_of_core_matches_in_memory(tmp_path):
+    """Multi-BC collation above --max-records scatters to rank-range
+    spill buckets (the reference's TempBucket plan, collate.rs:1413-1480)
+    and must produce byte-identical collated RAD + manifest."""
+    entries = [
+        ("sample_a", make_packed_bc(100, SAMPLE_BC_LEN)),
+        ("sample_b", make_packed_bc(200, SAMPLE_BC_LEN)),
+    ]
+    refs = [f"gene_{i}" for i in range(NUM_REFS)]
+    used_bcs = [e[1] for e in entries]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_multi_bc_rad(
+        rad_dir / "map.rad", refs, 2, 5, 9, used_bcs,
+        share_cell_barcodes=True,
+    )
+    slist = tmp_path / "samples.tsv"
+    _write_sample_list(slist, entries)
+    out = tmp_path / "out"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=out,
+        fmeth=CellFilterMethod("force", count=5),
+        expected_ori="both", cmdline="test", sample_bc_list=slist,
+    ))
+
+    collate(out, rad_dir, num_threads=2, cmdline="test")
+    in_mem = (out / "map.collated.rad").read_bytes()
+    manifest_mem = (out / "collation_manifest.bin").read_bytes()
+
+    collate(out, rad_dir, num_threads=2, cmdline="test", max_records=11)
+    assert not (out / "_collate_tmp").exists()
+    assert (out / "map.collated.rad").read_bytes() == in_mem
+    assert (out / "collation_manifest.bin").read_bytes() == manifest_mem
+
+    # two-round mode through the spill path too
+    collate(out, rad_dir, num_threads=2, cmdline="test",
+            collation_mode="two-round")
+    tr_mem = (out / "map.collated.rad").read_bytes()
+    collate(out, rad_dir, num_threads=2, cmdline="test", max_records=11,
+            collation_mode="two-round")
+    assert (out / "map.collated.rad").read_bytes() == tr_mem
+
+
 def test_two_round_collation_matches_fast(tmp_path):
     """The two-round mode (collate.rs:1977-2475) corrects cells through
     the per-sample gpl permit_map.bin; on data whose noisy barcodes all
