@@ -328,10 +328,13 @@ def wta_counts_device(
     aln_offsets: np.ndarray,
     tid_to_gid: np.ndarray,
     n_rows: int,
+    usa: bool = False,
 ):
-    """Non-USA cr-like WTA resolution + gene-unique counting on device.
-    Returns COO triplets (rows, cols, counts[f32]) or None when the key
-    doesn't fit the packed-u64 bit budget (caller falls back to host)."""
+    """cr-like WTA resolution + counting on device: gene-unique (non-
+    USA) or USA tie-set slotting (``usa=True``; gene ids must be the
+    interleaved USA ids and ``n_rows`` the 3-section space).  Returns
+    COO triplets (rows, cols, counts[f32]) or None when the key doesn't
+    fit the packed-u64 bit budget (caller falls back to host)."""
     from .crlike_device import resolve_crlike_wta_device
 
     pair_read, pair_gene = _dedup_read_genes(refs, aln_offsets, tid_to_gid)
@@ -348,7 +351,7 @@ def wta_counts_device(
         | (u.astype(np.uint64) << np.uint64(gbits))
         | g.astype(np.uint64)
     )
-    return resolve_crlike_wta_device(key, ubits, gbits, n_rows)
+    return resolve_crlike_wta_device(key, ubits, gbits, n_rows, usa=usa)
 
 
 # --- USA slotting (utils.rs:656-739 / quant.rs:516-589) ----------------------

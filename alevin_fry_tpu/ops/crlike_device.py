@@ -84,8 +84,103 @@ def _kernel(key, ubits, gbits, n_rows):
     return out_key, out_cnt
 
 
+def _kernel_usa(key, ubits, gbits, n_rows):
+    """USA-mode WTA: per (cell, umi) the winner tie set maps to a
+    spliced/unspliced/ambiguous slot by the reference's len-1/2/3..10
+    rules (utils.rs:656-739, quant.rs:516-589).  Gene ids are the USA
+    interleaved ids (even = spliced, odd = unspliced); ``n_rows`` is the
+    3-section output space."""
+    import jax.numpy as jnp
+
+    N = key.shape[0]
+    key = jnp.sort(key)
+    valid = key != PAD
+
+    prev = jnp.concatenate([key[:1] ^ jnp.uint64(1), key[:-1]])
+    trip_start = (key != prev) & valid
+    trip_id = jnp.maximum(jnp.cumsum(trip_start.astype(jnp.int32)) - 1, 0)
+    t_count = jnp.zeros(N, jnp.int32).at[trip_id].add(valid.astype(jnp.int32))
+
+    gkey = key >> jnp.uint64(gbits)  # (cell, umi)
+    gprev = jnp.concatenate([gkey[:1] ^ jnp.uint64(1), gkey[:-1]])
+    grp_start = (gkey != gprev) & valid
+    grp_id = jnp.maximum(jnp.cumsum(grp_start.astype(jnp.int32)) - 1, 0)
+
+    t_count_at_start = jnp.where(trip_start, t_count[trip_id], 0)
+    gmax_ct = jnp.zeros(N, jnp.int32).at[grp_id].max(t_count_at_start)
+    winner = trip_start & (t_count_at_start == gmax_ct[grp_id])
+
+    tie_sz = jnp.zeros(N, jnp.int32).at[grp_id].add(winner.astype(jnp.int32))
+
+    gi = (key & jnp.uint64((1 << gbits) - 1)).astype(jnp.int64)
+    even = (gi & 1) == 0
+    uoff = n_rows // 3
+    aoff = 2 * uoff
+
+    BIG = jnp.int64(1) << jnp.int64(62)
+    gmin = jnp.full(N, BIG, jnp.int64).at[grp_id].min(
+        jnp.where(winner, gi, BIG)
+    )
+    gmax = jnp.full(N, -1, jnp.int64).at[grp_id].max(
+        jnp.where(winner, gi, -1)
+    )
+    nspl = jnp.zeros(N, jnp.int32).at[grp_id].add(
+        (winner & even).astype(jnp.int32)
+    )
+    sgene = jnp.full(N, -1, jnp.int64).at[grp_id].max(
+        jnp.where(winner & even, gi, -1)
+    )
+    # does the tie set contain the unique spliced gene's unspliced
+    # partner?  (second scatter pass over sgene)
+    partner_elem = winner & ~even & (
+        (gi & ~jnp.int64(1)) == (sgene[grp_id] & ~jnp.int64(1))
+    )
+    partner = jnp.zeros(N, bool).at[grp_id].max(partner_elem)
+
+    # slot rules evaluated per group (at grp_start rows)
+    g = grp_id
+    l_ = tie_sz[g]
+    g1, g2 = gmin[g], gmax[g]
+    sg, pt, ns = sgene[g], partner[g], nspl[g]
+    sp1 = (g1 & 1) == 0
+    sp2 = (g2 & 1) == 0
+    same = (g1 & ~jnp.int64(1)) == (g2 & ~jnp.int64(1))
+    slot1 = jnp.where(sp2, g2 >> 1, uoff + (g2 >> 1))
+    slot2 = jnp.where(
+        same, aoff + (g1 >> 1),
+        jnp.where(sp1 & ~sp2, g1 >> 1, g2 >> 1),
+    )
+    ok2 = same | (sp1 & ~sp2) | (~sp1 & sp2)
+    slot3 = jnp.where(pt, aoff + (sg >> 1), sg >> 1)
+    ok3 = ns == 1
+    slot = jnp.where(
+        l_ == 1, slot1, jnp.where(l_ == 2, slot2, slot3)
+    )
+    ok = jnp.where(
+        l_ == 1, True,
+        jnp.where(l_ == 2, ok2, (l_ >= 3) & (l_ <= 10) & ok3),
+    )
+
+    cell = (key >> jnp.uint64(ubits + gbits)).astype(jnp.int64)
+    cs = jnp.where(
+        grp_start & ok,
+        (cell * jnp.int64(n_rows) + slot).astype(jnp.uint64),
+        PAD,
+    )
+    cs = jnp.sort(cs)
+    cs_valid = cs != PAD
+    cs_prev = jnp.concatenate([cs[:1] ^ jnp.uint64(1), cs[:-1]])
+    cs_start = (cs != cs_prev) & cs_valid
+    cs_id = jnp.maximum(jnp.cumsum(cs_start.astype(jnp.int32)) - 1, 0)
+    cs_count = jnp.zeros(N, jnp.int32).at[cs_id].add(cs_valid.astype(jnp.int32))
+    out_key = jnp.where(cs_start, cs, PAD)
+    out_cnt = jnp.where(cs_start, cs_count[cs_id], 0)
+    return out_key, out_cnt
+
+
 def resolve_crlike_wta_device(
-    key: np.ndarray, ubits: int, gbits: int, n_rows: int, pad_to: int | None = None
+    key: np.ndarray, ubits: int, gbits: int, n_rows: int, pad_to: int | None = None,
+    usa: bool = False,
 ):
     """Resolve packed (cell, umi, gene) keys on device; returns COO
     triplets (rows, cols, counts[f32]) sorted by (cell, gene) —
@@ -106,7 +201,7 @@ def resolve_crlike_wta_device(
     buf = np.full(pad_to, PAD, np.uint64)
     buf[:n] = key
     with jax.enable_x64(True):
-        fn = jax.jit(_kernel, static_argnums=(1, 2, 3))
+        fn = jax.jit(_kernel_usa if usa else _kernel, static_argnums=(1, 2, 3))
         out_key, out_cnt = fn(jnp.asarray(buf), ubits, gbits, n_rows)
         out_key = np.asarray(out_key)
         out_cnt = np.asarray(out_cnt)

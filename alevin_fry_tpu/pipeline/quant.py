@@ -670,10 +670,10 @@ def _resolve_cells(
         else:
             sub = _subset_reads(batch, read_keep)
         rcv = None
-        if not usa_mode and crlike.device_backend_enabled(len(sub["umi"])):
+        if crlike.device_backend_enabled(len(sub["umi"])):
             rcv = crlike.wta_counts_device(
                 sub["cell"], sub["umi"], sub["refs"], sub["offs"],
-                tid_to_gid, num_rows,
+                tid_to_gid, num_rows, usa=usa_mode,
             )
         if rcv is None:
             rcv = crlike.wta_counts_native(
@@ -701,10 +701,10 @@ def _resolve_cells(
     if sel_small.any():
         sub = _subset_reads(batch, sel_small)
         rcv = None
-        if not usa_mode and crlike.device_backend_enabled(len(sub["umi"])):
+        if crlike.device_backend_enabled(len(sub["umi"])):
             rcv = crlike.wta_counts_device(
                 sub["cell"], sub["umi"], sub["refs"], sub["offs"],
-                tid_to_gid, num_rows,
+                tid_to_gid, num_rows, usa=usa_mode,
             )
         if rcv is None:
             rcv = crlike.wta_counts_native(
@@ -735,12 +735,13 @@ def _resolve_cells(
             if res == "cr-like" and not opts.dump_eq:
                 # pure gene-unique counting: no eqclass grouping needed
                 rcv = None
-                if not usa_mode and crlike.device_backend_enabled(
-                    len(sub["umi"])
+                if (
+                    not (usa_mode and sa_model == "prefer-ambig")
+                    and crlike.device_backend_enabled(len(sub["umi"]))
                 ):
                     rcv = crlike.wta_counts_device(
                         sub["cell"], sub["umi"], sub["refs"], sub["offs"],
-                        tid_to_gid, num_rows,
+                        tid_to_gid, num_rows, usa=usa_mode,
                     )
                 if rcv is None:
                     groups = crlike.resolve_crlike(

@@ -160,6 +160,47 @@ def test_crlike_device_matches_host():
     np.testing.assert_array_equal(v_dev, v_h)
 
 
+def test_crlike_device_usa_matches_host():
+    """The USA-mode device WTA (tie-set slotting, utils.rs:656-739)
+    must reproduce the host usa_slots_for_groups counts exactly —
+    including the len-2 same/spliced rules and the 3..10
+    single-spliced-with-partner rule."""
+    from alevin_fry_tpu.ops import crlike
+    from alevin_fry_tpu.ops.crlike_device import resolve_crlike_wta_device
+
+    rng = np.random.RandomState(11)
+    n_cells, n_genes = 30, 12          # USA ids in [0, 2*n_genes)
+    num_rows = 3 * (n_genes + 1)       # 3-section space w/ mid padding
+    num_rows -= num_rows % 3
+    n_pairs = 4000
+    c = rng.randint(0, n_cells, size=n_pairs).astype(np.uint64)
+    u = rng.randint(0, 1 << 9, size=n_pairs).astype(np.uint64)
+    g = rng.randint(0, 2 * n_genes, size=n_pairs).astype(np.uint64)
+    ubits, gbits = 9, 6
+
+    key = (
+        (c.astype(np.uint64) << np.uint64(ubits + gbits))
+        | (u << np.uint64(gbits))
+        | g
+    )
+    r_dev, c_dev, v_dev = resolve_crlike_wta_device(
+        key, ubits, gbits, num_rows, usa=True
+    )
+
+    aln_offsets = np.arange(len(c) + 1, dtype=np.int64)
+    tid_to_gid = np.arange(2 * n_genes, dtype=np.uint32)
+    groups = crlike.resolve_crlike(
+        c, u, g.astype(np.uint32), aln_offsets, tid_to_gid
+    )
+    slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
+    r_h, c_h, v_h = crlike.counts_from_slots(
+        groups.cell, slot, valid, n_cells, num_rows
+    )
+    np.testing.assert_array_equal(r_dev, r_h)
+    np.testing.assert_array_equal(c_dev, c_h)
+    np.testing.assert_array_equal(v_dev, v_h)
+
+
 def test_crlike_sharded_matches_single(mesh):
     """Cell-boundary-sharded WTA over the mesh == single-device result."""
     from alevin_fry_tpu.ops.crlike_device import (

@@ -241,3 +241,21 @@ def test_quant_crlike_usa(quant_ready):
     meta = json.loads((qdir / "quant.json").read_text())
     assert meta["usa_mode"] is True
     assert meta["num_genes"] == 9
+
+    # the USA-mode device WTA (AFT_CRLIKE_BACKEND=jax) produces the
+    # byte-identical matrix at the pipeline surface
+    import os
+
+    qdev = tmp / "quant_usa_dev"
+    os.environ["AFT_CRLIKE_BACKEND"] = "jax"
+    try:
+        quantify(QuantOpts(
+            input_dir=out, tg_map=t2g3, output_dir=qdev,
+            resolution="cr-like", cmdline="test",
+        ))
+    finally:
+        os.environ.pop("AFT_CRLIKE_BACKEND", None)
+    assert (
+        (qdev / "alevin" / "quants_mat.mtx").read_bytes()
+        == (qdir / "alevin" / "quants_mat.mtx").read_bytes()
+    )
