@@ -19,7 +19,6 @@ from .. import __version__
 from ..constants import ATAC_BIN_SIZE
 from ..ops import barcodes as bcops
 from ..radz import bincodeio, read_prelude, record_type_from_prelude, KnownRecordType
-from ..radz.chunkio import decode_all_chunks
 from ..radz.records import RecordSchema
 from ..utils import read_barcode_file, write_json
 from ..pipeline.logging_ import get_logger
@@ -51,7 +50,14 @@ def initialize_rec_list(ref_lens: np.ndarray, size_range: int):
 
 
 def generate_permit_list(opts: AtacGplOpts) -> int:
+    import os
+
+    from ..pipeline.gpl import _histogram, _merge_histograms
+    from ..pipeline.progress import stage_timer
+    from ..radz.chunkio import iter_decoded_blocks
+
     i_dir = Path(opts.input_dir)
+    block_records = int(os.environ.get("AFT_GPL_BLOCK_RECORDS", 20_000_000))
     with open(i_dir / "map.rad", "rb") as fh:
         prelude, ftm, _ = read_prelude(fh)
         rec_type, _info = record_type_from_prelude(prelude, ftm)
@@ -61,10 +67,40 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
             )
         schema = RecordSchema.from_prelude(prelude)
         nc = prelude.hdr.num_chunks if prelude.hdr.num_chunks > 0 else None
-        batch = decode_all_chunks(fh, schema, nc)
-    num_chunks = len(batch.chunk_offsets) - 1
-    bclen = int(ftm["cblen"])
-    ref_lens = np.asarray(ftm["ref_lengths"], np.uint64)
+        bclen = int(ftm["cblen"])
+        ref_lens = np.asarray(ftm["ref_lengths"], np.uint64)
+
+        # genomic bin histogram over uniquely-mapped reads
+        # (start_pos.len() == 1, atac/cellfilter.rs:92-99); both
+        # histograms accumulate over streamed blocks so memory is
+        # bounded by bins + distinct barcodes, not read count
+        blens, tot_bins = initialize_rec_list(ref_lens, ATAC_BIN_SIZE)
+        bins = np.zeros(tot_bins, np.uint64)
+        h_bc = np.zeros(0, np.uint64)
+        h_ct = np.zeros(0, np.uint64)
+        num_reads = 0
+        num_chunks = 0
+        max_ambig = 0
+        with stage_timer(log, "atac gpl histogram", "reads") as pb:
+            for batch in iter_decoded_blocks(
+                fh, schema, nc, block_records, prefetch=True
+            ):
+                pb.update(batch.n_reads)
+                num_reads += batch.n_reads
+                num_chunks += len(batch.chunk_offsets) - 1
+                if batch.n_reads:
+                    max_ambig = max(
+                        max_ambig, int(batch.num_aln_per_read.max())
+                    )
+                uniq_read = batch.num_aln_per_read == 1
+                first_aln = batch.aln_offsets[:-1][uniq_read]
+                uref = batch.refs[first_aln].astype(np.int64)
+                upos = batch.aln_cols["start_pos"][first_aln].astype(np.int64)
+                bin_idx = blens[uref].astype(np.int64) + upos // ATAC_BIN_SIZE
+                np.add.at(bins, bin_idx, 1)
+                b_bc, b_ct = _histogram(batch.barcode())
+                h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
+    bmax = int(bins.max()) if tot_bins else 0
 
     # whitelist (optionally reverse-complemented, atac/cellfilter.rs:104-139)
     wl, first_bclen = read_barcode_file(opts.unfiltered_pl)
@@ -73,30 +109,13 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
     wl_sorted = np.sort(np.unique(wl))
     log.info("number of unfiltered bcs read = %d", len(wl_sorted))
 
-    bcs = batch.barcode()
-    num_reads = batch.n_reads
-    max_ambig = int(batch.num_aln_per_read.max()) if num_reads else 0
-
-    # genomic bin histogram over uniquely-mapped reads
-    # (start_pos.len() == 1, atac/cellfilter.rs:92-99)
-    blens, tot_bins = initialize_rec_list(ref_lens, ATAC_BIN_SIZE)
-    uniq_read = batch.num_aln_per_read == 1
-    first_aln = batch.aln_offsets[:-1][uniq_read]
-    uref = batch.refs[first_aln].astype(np.int64)
-    upos = batch.aln_cols["start_pos"][first_aln].astype(np.int64)
-    bin_idx = blens[uref].astype(np.int64) + upos // ATAC_BIN_SIZE
-    bins = np.zeros(tot_bins, np.uint64)
-    np.add.at(bins, bin_idx, 1)
-    bmax = int(bins.max()) if tot_bins else 0
-
     out_dir = Path(opts.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     bincodeio.write_u64_vec_file(out_dir / "bin_recs.bin", bins)
     bincodeio.write_u64_vec_file(out_dir / "bin_lens.bin", blens)
 
     # barcode histogram + unique-1-edit rescue (same machinery as RNA)
-    uniq, counts = np.unique(bcs, return_counts=True)
-    counts = counts.astype(np.uint64)
+    uniq, counts = h_bc, h_ct
     idx = np.searchsorted(wl_sorted, uniq)
     idx_c = np.minimum(idx, max(len(wl_sorted) - 1, 0))
     in_wl = (len(wl_sorted) > 0) & (idx < len(wl_sorted)) & (wl_sorted[idx_c] == uniq)
@@ -120,7 +139,7 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
     rescue_ct = np.concatenate([unmatched_ct, below_ct])
     order = np.argsort(rescue_bc, kind="stable")
     rescue_bc, rescue_ct = rescue_bc[order], rescue_ct[order]
-    ncounts, reps = bcops.find_neighbors_batch(rescue_bc, kept_bc, bclen)
+    ncounts, reps = bcops.find_neighbors(rescue_bc, kept_bc, bclen)
     rescued = (ncounts == 1) & (reps != rescue_bc)
     num_corrected = int(rescued.sum())
     if num_corrected:
