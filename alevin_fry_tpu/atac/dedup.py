@@ -17,7 +17,7 @@ import numpy as np
 from .. import __version__
 from ..constants import MAX_ATAC_FRAG_LEN
 from ..radz import read_prelude
-from ..radz.chunkio import decode_all_chunks
+from ..radz.chunkio import iter_decoded_blocks
 from ..radz.records import RecordSchema
 from .sort import format_bed_rows
 from ..pipeline.logging_ import get_logger
@@ -32,6 +32,8 @@ def deduplicate(
     cmdline: str = "",
     version: str = __version__,
 ) -> dict:
+    import os
+
     input_dir = Path(input_dir)
     with open(input_dir / "collate.json") as fh:
         collate_md = json.load(fh)
@@ -44,63 +46,75 @@ def deduplicate(
         )
     else:
         br = open(input_dir / "map.collated.rad", "rb")
+    block_records = int(os.environ.get("AFT_QUANT_BLOCK_RECORDS", 30_000_000))
+    stats = {
+        "num_multimapped": 0,
+        "num_dedup": 0,
+        "num_non_mapped_pair": 0,
+        "num_frag_len_over_max": 0,
+    }
     try:
         prelude, ftm, _ = read_prelude(br)
+        getattr(br, "drop_history", lambda: None)()
         schema = RecordSchema.from_prelude(prelude)
-        batch = decode_all_chunks(br, schema, prelude.hdr.num_chunks)
+        bc_len = int(ftm["cblen"])
+        # the collated file holds one chunk per cell, so streamed blocks
+        # contain whole cells and per-block dedup is exact (the
+        # reference's workers pop per-cell chunks, deduplicate.rs:175-226)
+        with open(input_dir / "map.bed", "wb") as out:
+            for batch in iter_decoded_blocks(
+                br, schema, prelude.hdr.num_chunks, block_records,
+                prefetch=True,
+            ):
+                na = batch.num_aln_per_read
+                first_aln = batch.aln_offsets[:-1]
+                mtype = np.zeros(batch.n_reads, np.int64)
+                valid_first = na > 0
+                mtype[valid_first] = batch.aln_cols["type"][
+                    first_aln[valid_first]
+                ].astype(np.int64)
+
+                stats["num_multimapped"] += int((na > 1).sum())
+                stats["num_non_mapped_pair"] += int(
+                    ((na == 1) & (mtype != 4)).sum()
+                )
+
+                keep = (na == 1) & (mtype == 4)
+                fa = first_aln[keep]
+                cell = batch.chunk_id[keep]
+                chrs = batch.refs[fa].astype(np.int64)
+                starts = batch.aln_cols["start_pos"][fa].astype(np.int64)
+                flens = batch.aln_cols["frag_len"][fa].astype(np.int64)
+                bcs = batch.barcode()[keep]
+
+                # per-cell sort + dedup (cells are contiguous chunks;
+                # sorting with the cell as the outer key preserves
+                # per-cell grouping)
+                order = np.lexsort((bcs, flens, starts, chrs, cell))
+                cell, chrs, starts, flens, bcs = (
+                    cell[order], chrs[order], starts[order], flens[order],
+                    bcs[order],
+                )
+                new = np.ones(len(cell), bool)
+                if len(cell):
+                    new[1:] = (
+                        (cell[1:] != cell[:-1]) | (chrs[1:] != chrs[:-1])
+                        | (starts[1:] != starts[:-1])
+                        | (flens[1:] != flens[:-1]) | (bcs[1:] != bcs[:-1])
+                    )
+                si = np.flatnonzero(new)
+                counts = np.diff(np.append(si, len(cell)))
+                stats["num_dedup"] += int((counts > 1).sum())
+                stats["num_frag_len_over_max"] += int(
+                    (flens[si] >= MAX_ATAC_FRAG_LEN).sum()
+                )
+                out.write(format_bed_rows(
+                    prelude.hdr.ref_names,
+                    chrs[si], starts[si], flens[si], bcs[si], counts,
+                    bc_len, rev, num_threads,
+                ))
     finally:
         br.close()
-    bc_len = int(ftm["cblen"])
-
-    na = batch.num_aln_per_read
-    first_aln = batch.aln_offsets[:-1]
-    mtype = np.zeros(batch.n_reads, np.int64)
-    valid_first = na > 0
-    mtype[valid_first] = batch.aln_cols["type"][first_aln[valid_first]].astype(np.int64)
-
-    multimapped = na > 1
-    proper = (na == 1) & (mtype == 4)
-    non_proper = (na == 1) & (mtype != 4)
-
-    keep = proper
-    fa = first_aln[keep]
-    cell = batch.chunk_id[keep]
-    chrs = batch.refs[fa].astype(np.int64)
-    starts = batch.aln_cols["start_pos"][fa].astype(np.int64)
-    flens = batch.aln_cols["frag_len"][fa].astype(np.int64)
-    bcs = batch.barcode()[keep]
-
-    # per-cell sort + dedup (cells are contiguous chunks; sorting with
-    # the cell as the outer key preserves per-cell grouping)
-    order = np.lexsort((bcs, flens, starts, chrs, cell))
-    cell, chrs, starts, flens, bcs = (
-        cell[order], chrs[order], starts[order], flens[order], bcs[order]
-    )
-    new = np.ones(len(cell), bool)
-    if len(cell):
-        new[1:] = (
-            (cell[1:] != cell[:-1]) | (chrs[1:] != chrs[:-1])
-            | (starts[1:] != starts[:-1]) | (flens[1:] != flens[:-1])
-            | (bcs[1:] != bcs[:-1])
-        )
-    si = np.flatnonzero(new)
-    counts = np.diff(np.append(si, len(cell)))
-    num_dedup = int((counts > 1).sum())
-    num_long = int((flens[si] >= MAX_ATAC_FRAG_LEN).sum())
-
-    with open(input_dir / "map.bed", "wb") as fh:
-        fh.write(format_bed_rows(
-            prelude.hdr.ref_names,
-            chrs[si], starts[si], flens[si], bcs[si], counts, bc_len, rev,
-            num_threads,
-        ))
-
-    stats = {
-        "num_multimapped": int(multimapped.sum()),
-        "num_dedup": num_dedup,
-        "num_non_mapped_pair": int(non_proper.sum()),
-        "num_frag_len_over_max": num_long,
-    }
     log.info(
         "records >1 mapping: %d; deduplicated: %d; non-proper pairs: %d; "
         "frag length > %d: %d",
