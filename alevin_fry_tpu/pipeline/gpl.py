@@ -247,11 +247,17 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
                 'To process atac-seq data, you should use the "atac" sub-command'
             )
         if rec_type == KnownRecordType.RNA_MULTI_BC:
+            from ..radz.chunkio import iter_decoded_blocks
             from .gpl_multi import do_generate_permit_list_multi_bc
 
             schema = RecordSchema.from_prelude(prelude)
-            batch = decode_all_chunks(fh, schema, prelude.hdr.num_chunks)
-            return do_generate_permit_list_multi_bc(opts, prelude, ftm, batch, info)
+            blocks = iter_decoded_blocks(
+                fh, schema, prelude.hdr.num_chunks, GPL_BLOCK_RECORDS,
+                prefetch=True,
+            )
+            return do_generate_permit_list_multi_bc(
+                opts, prelude, ftm, blocks, info
+            )
         schema = RecordSchema.from_prelude(prelude)
         if prelude.hdr.num_chunks == 0:
             raise ValueError(

@@ -26,7 +26,7 @@ import numpy as np
 from ..ops import barcodes as bcops
 from ..ops.knee import get_knee
 from ..radz import bincodeio
-from ..radz.chunkio import ReadBatch
+
 from ..utils import read_strand_mask, strand_from_ori_arg, write_json
 from .logging_ import get_logger
 
@@ -92,8 +92,12 @@ def build_sample_permit_map(
 
 
 def do_generate_permit_list_multi_bc(
-    opts, prelude, ftm, batch: ReadBatch, info: dict
+    opts, prelude, ftm, block_iter, info: dict
 ) -> int:
+    """``block_iter`` yields decoded ReadBatch blocks (streamed — the
+    reference's first pass is a multithreaded chunk stream,
+    cellfilter.rs:627-755); per-(sample, cell) histograms accumulate
+    across blocks so memory is bounded by distinct pairs."""
     num_barcodes = info["num_barcodes"]
     cell_bc_len = info["cell_bc_len"]
     out_dir = Path(opts.output_dir)
@@ -126,28 +130,39 @@ def do_generate_permit_list_multi_bc(
 
     # --- first pass: strand filter, sample correction, per-sample hist
     strand = strand_from_ori_arg(opts.expected_ori)
-    compat = read_strand_mask(batch.dirs, batch.aln_offsets, strand)
-    total_reads = batch.n_reads
-    sbc = batch.barcode(0)[compat]
-    cbc = batch.barcode(-1)[compat]
-
     pk = np.asarray(sorted(permit.keys()), np.uint64)
     pv = np.asarray([permit[int(k)] for k in pk], np.uint64)
-    idx = np.searchsorted(pk, sbc)
-    idx_c = np.minimum(idx, max(len(pk) - 1, 0))
-    hit = (len(pk) > 0) & (idx < len(pk)) & (pk[idx_c] == sbc)
-    corrected_sample = pv[idx_c]
-    sample_idx = np.full(len(sbc), -1, np.int64)
     canon_arr = np.asarray(canon_order, np.uint64)
     canon_perm = np.argsort(canon_arr, kind="stable")
     canon_sorted = canon_arr[canon_perm]
-    ci = np.searchsorted(canon_sorted, corrected_sample)
-    ci = np.minimum(ci, max(num_samples - 1, 0))
-    known = hit & (canon_sorted[ci] == corrected_sample)
-    sample_idx[known] = canon_perm[ci[known]]
 
-    matched_reads = int(known.sum())
-    unmatched_reads = int((~known).sum())
+    cbits = np.uint64(2 * cell_bc_len)
+    from .gpl import _histogram, _merge_histograms
+
+    h_key = np.zeros(0, np.uint64)
+    h_ct = np.zeros(0, np.uint64)
+    total_reads = 0
+    matched_reads = 0
+    unmatched_reads = 0
+    for batch in block_iter:
+        compat = read_strand_mask(batch.dirs, batch.aln_offsets, strand)
+        total_reads += batch.n_reads
+        sbc = batch.barcode(0)[compat]
+        cbc = batch.barcode(-1)[compat]
+
+        idx = np.searchsorted(pk, sbc)
+        idx_c = np.minimum(idx, max(len(pk) - 1, 0))
+        hit = (len(pk) > 0) & (idx < len(pk)) & (pk[idx_c] == sbc)
+        corrected_sample = pv[idx_c]
+        ci = np.searchsorted(canon_sorted, corrected_sample)
+        ci = np.minimum(ci, max(num_samples - 1, 0))
+        known = hit & (num_samples > 0) & (canon_sorted[ci] == corrected_sample)
+        matched_reads += int(known.sum())
+        unmatched_reads += int((~known).sum())
+        sidx = canon_perm[ci[known]].astype(np.uint64)
+        comp = (sidx << cbits) | cbc[known]
+        b_key, b_ct = _histogram(comp)
+        h_key, h_ct = _merge_histograms(h_key, h_ct, b_key, b_ct)
     log.info(
         "First pass complete: %d total reads, %d matched to samples, %d unmatched",
         total_reads, matched_reads, unmatched_reads,
@@ -171,18 +186,18 @@ def do_generate_permit_list_multi_bc(
         np.asarray(list(permit.values()), np.uint64),
     )
 
-    # per-sample filtering
+    # per-sample filtering over the accumulated composite histogram
     total_cells = 0
     sample_entries = []
-    s_idx = sample_idx[known]
-    s_cbc = cbc[known]
+    h_sample = (h_key >> cbits).astype(np.int64)
     for si in range(num_samples):
         name = sample_names[si]
         sample_dir = out_dir / f"sample_{name}"
-        sel = s_idx == si
-        cells = s_cbc[sel]
-        uniq, counts = np.unique(cells, return_counts=True)
-        counts = counts.astype(np.uint64)
+        sel = h_sample == si
+        uniq = (h_key[sel] & ((np.uint64(1) << cbits) - np.uint64(1)))
+        counts = h_ct[sel].astype(np.uint64)
+        # histogram keys are sorted by composite key, hence by cell bc
+        # within a sample — the order np.unique produced before
         if len(uniq) == 0:
             log.warning("Sample '%s' has no reads — skipping", name)
             sample_entries.append({
