@@ -83,7 +83,7 @@ def correct_and_filter(
     return corrected, keep_read, keep_aln_final, new_offsets, stats
 
 
-def collate_device_enabled(n_reads: int) -> bool:
+def collate_device_enabled() -> bool:
     """Whether the device all-to-all shuffle computes the collation
     order.  ``AFT_COLLATE_BACKEND`` = ``jax`` forces it, ``host``
     disables it; ``auto`` (default) uses the device whenever jax's
@@ -91,7 +91,6 @@ def collate_device_enabled(n_reads: int) -> bool:
     resolver (ops/crlike.py::device_backend_enabled)."""
     import os
 
-    del n_reads
     mode = os.environ.get("AFT_COLLATE_BACKEND", "auto")
     if mode == "host":
         return False
@@ -159,9 +158,19 @@ def _gather_rank_buckets(
 ):
     """Gather phase of the spill-bucket collation: per bucket, byte-sort
     the re-encoded records by cell rank and append one chunk per cell to
-    ``out_path`` (num_chunks backpatched).  Returns
-    (n_written, per_cell_record_counts)."""
+    ``out_path``.  The exact chunk count comes from a cheap pre-scan of
+    the (u32 rank) sidecars — the compressed stream cannot be
+    backpatched, and a header over-claiming chunks would make readers
+    hit EOF (cells may lose all reads to the orientation filter).
+    Returns (n_written, per_cell_record_counts)."""
     from ..radz import _native
+
+    per_cell = np.zeros(n_cells, np.int64)
+    for b in range(n_buckets):
+        ranks = np.fromfile(spill_dir / f"bucket_{b}.rank", np.uint32)
+        if len(ranks):
+            np.add.at(per_cell, ranks.astype(np.int64), 1)
+    n_expected = int((per_cell > 0).sum())
 
     raw_sink = open(out_path, "wb")
     if compress_out:
@@ -173,10 +182,7 @@ def _gather_rank_buckets(
     else:
         sink = raw_sink
     n_written = 0
-    per_cell = np.zeros(n_cells, np.int64)
-    # write prelude with the expected chunk count (cells with
-    # zero surviving reads are rare; recount below and patch)
-    prelude.hdr.num_chunks = n_cells
+    prelude.hdr.num_chunks = n_expected
     nc_pos = prelude.write(sink)
     prelude.write_file_tag_values(sink, ftm)
     if compress_out:
@@ -214,7 +220,6 @@ def _gather_rank_buckets(
         sorted_bytes = rec_bytes[gidx]
         # chunk boundaries per cell within the bucket
         rs = ranks[order]
-        np.add.at(per_cell, rs.astype(np.int64), 1)
         newc = np.ones(len(rs), bool)
         newc[1:] = rs[1:] != rs[:-1]
         starts = np.flatnonzero(newc)
@@ -230,14 +235,10 @@ def _gather_rank_buckets(
     if compress_out:
         frame.flush()
         raw_sink.close()
-        if n_written != n_cells:
-            log.warning(
-                "compressed out-of-core output wrote %d chunks but the "
-                "header claims %d (cells with no surviving reads)",
-                n_written, n_cells,
-            )
+        assert n_written == n_expected, (n_written, n_expected)
     else:
-        if n_written != n_cells:
+        if n_written != n_expected:
+            # defensive: the pre-scan makes this unreachable
             pos = sink.tell()
             sink.seek(nc_pos)
             sink.write(struct.pack("<Q", n_written))
@@ -474,7 +475,7 @@ def _collate_in_memory_native(
     # TPU is attached, stable O(n) native counting sort otherwise
     dev = (
         collation_order_device(rank[kept_idx].astype(np.int64), len(cell_bcs))
-        if collate_device_enabled(len(kept_idx)) else None
+        if collate_device_enabled() else None
     )
     if dev is not None:
         order_rel, per_cell = dev
@@ -646,7 +647,7 @@ def collate(
     kept_reads = np.flatnonzero(keep_read)
     dev = (
         collation_order_device(rank.astype(np.int64), len(cell_bcs))
-        if collate_device_enabled(len(kept_reads)) else None
+        if collate_device_enabled() else None
     )
     sort_idx = dev[0] if dev is not None else np.argsort(rank, kind="stable")
     final_reads = kept_reads[sort_idx]

@@ -145,10 +145,7 @@ def _correct_block(batch, ctx):
     np.add.at(nal, read_of_aln[keep_aln2], 1)
     nal = nal[kept_reads]
 
-    ord_arr = np.asarray(
-        [ctx["sidx_to_ord"][int(s)] for s in sample_idx[kept_reads]],
-        np.uint64,
-    )
+    ord_arr = ctx["ord_lut"][sample_idx[kept_reads]].astype(np.uint64)
     return kept_reads, rank, ord_arr, corrected_cell[kept_reads], keep_aln2, nal
 
 
@@ -237,6 +234,9 @@ def collate_multi_bc(
     # samples contributing composite cells
     present = sorted({int(c >> np.uint64(cell_bc_bits)) for c in comp_cells})
     sidx_to_ord = {s: o for o, s in enumerate(present)}
+    ord_lut = np.zeros(max(num_samples, 1), np.int64)
+    for s, o in sidx_to_ord.items():
+        ord_lut[s] = o
 
     sb_sorted_idx = np.argsort(sample_bcs, kind="stable")
     ctx = {
@@ -253,6 +253,7 @@ def collate_multi_bc(
         "comp_perm": comp_perm,
         "n_cells": n_cells,
         "sidx_to_ord": sidx_to_ord,
+        "ord_lut": ord_lut,
         "round2_maps": None,
     }
     if mode == "two-round":

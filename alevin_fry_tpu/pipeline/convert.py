@@ -68,8 +68,113 @@ def _pack_with_n(seq: str) -> Optional[int]:
     return pack_seq(s)
 
 
+def _bam_scan_py(buf: bytes, qname_state: np.ndarray):
+    """Pure-Python fallback with the native scanner's exact contract
+    (same columns, carry-over qname state, bytes_consumed)."""
+    pos = 0
+    n = len(buf)
+    recs: List[tuple] = []
+    prev_len = int(np.frombuffer(qname_state[:2].tobytes(), np.uint16)[0])
+    prev_q = qname_state[2 : 2 + prev_len].tobytes()
+    while pos + 4 <= n:
+        (block_size,) = struct.unpack_from("<I", buf, pos)
+        if block_size < 32:
+            raise ValueError("structurally invalid BAM record")
+        if pos + 4 + block_size > n:
+            break
+        r = buf[pos + 4 : pos + 4 + block_size]
+        tid, _p, l_qname, _mq, _bin, n_cigar, flag, l_read = struct.unpack_from(
+            "<iiBBHHHi", r, 0
+        )
+        off = 32 + l_qname + 4 * n_cigar + (l_read + 1) // 2 + l_read
+        if l_read < 0 or off > block_size:
+            raise ValueError("structurally invalid BAM record")
+        qname = r[32 : 32 + max(l_qname - 1, 0)]
+        same = qname == prev_q
+        if not (flag & FLAG_SKIP):
+            prev_q = qname
+        cr, ur, as_score = _parse_bam_tags_py(r[off:])
+        b = _pack_with_n(cr) if cr is not None else None
+        u = _pack_with_n(ur) if ur is not None else None
+        recs.append((
+            flag, tid,
+            b or 0, len(cr) if cr is not None else -1, b is not None,
+            u or 0, len(ur) if ur is not None else -1, u is not None,
+            as_score if as_score is not None else int(AS_MISSING), same,
+        ))
+        pos += 4 + block_size
+    qname_state[:] = 0
+    qname_state[:2] = np.frombuffer(
+        np.uint16(len(prev_q)).tobytes(), np.uint8
+    )
+    qname_state[2 : 2 + len(prev_q)] = np.frombuffer(prev_q, np.uint8)
+    a = np.asarray(recs, object) if recs else np.zeros((0, 10), object)
+    cols = {
+        "flags": a[:, 0].astype(np.uint16),
+        "tid": a[:, 1].astype(np.int32),
+        "bc": a[:, 2].astype(np.uint64),
+        "bclen": a[:, 3].astype(np.int32),
+        "bc_valid": a[:, 4].astype(bool),
+        "umi": a[:, 5].astype(np.uint64),
+        "umilen": a[:, 6].astype(np.int32),
+        "umi_valid": a[:, 7].astype(bool),
+        "as": a[:, 8].astype(np.int32),
+        "same_qname": a[:, 9].astype(bool),
+    }
+    return cols, pos
+
+
+def _parse_bam_tags_py(buf: bytes):
+    """Extract CR, UR (strings) and AS (int) from a BAM aux blob."""
+    cr = ur = None
+    as_score = None
+    pos = 0
+    n = len(buf)
+    while pos + 3 <= n:
+        tag = buf[pos : pos + 2].decode("ascii", "replace")
+        vt = chr(buf[pos + 2])
+        pos += 3
+        if vt == "A":
+            val = chr(buf[pos]); pos += 1
+        elif vt == "c":
+            val = struct.unpack_from("<b", buf, pos)[0]; pos += 1
+        elif vt == "C":
+            val = struct.unpack_from("<B", buf, pos)[0]; pos += 1
+        elif vt == "s":
+            val = struct.unpack_from("<h", buf, pos)[0]; pos += 2
+        elif vt == "S":
+            val = struct.unpack_from("<H", buf, pos)[0]; pos += 2
+        elif vt == "i":
+            val = struct.unpack_from("<i", buf, pos)[0]; pos += 4
+        elif vt == "I":
+            val = struct.unpack_from("<I", buf, pos)[0]; pos += 4
+        elif vt == "f":
+            val = struct.unpack_from("<f", buf, pos)[0]; pos += 4
+        elif vt in ("Z", "H"):
+            end = buf.index(b"\x00", pos)
+            val = buf[pos:end].decode("ascii", "replace")
+            pos = end + 1
+        elif vt == "B":
+            sub = chr(buf[pos]); cnt = struct.unpack_from("<i", buf, pos + 1)[0]
+            if cnt < 0:
+                raise ValueError("structurally invalid BAM record")
+            sz = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+            pos += 5 + cnt * sz
+            val = None
+        else:
+            break
+        if tag == "CR" and isinstance(val, str):
+            cr = val
+        elif tag == "UR" and isinstance(val, str):
+            ur = val
+        elif tag == "AS" and isinstance(val, int):
+            as_score = int(val)
+    return cr, ur, as_score
+
+
 def iter_bam_columns(path: Path) -> Tuple[List[str], Iterator[dict]]:
-    """Native-scanned columnar batches from a BAM file."""
+    """Columnar batches from a BAM file (native scanner when built,
+    pure-Python fallback otherwise — same column contract)."""
     fh = gzip.open(path, "rb")
     magic = fh.read(4)
     if magic != b"BAM\x01":
@@ -85,6 +190,7 @@ def iter_bam_columns(path: Path) -> Tuple[List[str], Iterator[dict]]:
         fh.read(4)  # l_ref
 
     def gen():
+        scan = native.bam_scan if native.available() else _bam_scan_py
         qstate = np.zeros(258, np.uint8)
         carry = b""
         while True:
@@ -92,7 +198,7 @@ def iter_bam_columns(path: Path) -> Tuple[List[str], Iterator[dict]]:
             if not data:
                 break
             buf = carry + data
-            cols, consumed = native.bam_scan(buf, qstate)
+            cols, consumed = scan(buf, qstate)
             carry = buf[consumed:]
             if cols["flags"].size:
                 yield cols
@@ -349,7 +455,6 @@ class _GroupEmitter:
             keep = np.ones(seg_scores.size, bool)
         keep &= valid_g[gid]
         cnt = np.add.reduceat(keep, rel[:-1]) if keep.size else np.zeros(0, np.int64)
-        cnt = np.where(valid_g, cnt, 0)
         sel_g = valid_g & (cnt > 0)
         if not np.any(sel_g):
             return

@@ -221,49 +221,55 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
 
     pb_ctx = stage_timer(log, "quant resolve", "reads")
     pb = pb_ctx.__enter__()
-    for batch in iter_decoded_blocks(
-        br, schema, hdr.num_chunks, block_records,
-        skip_read_fields=set(schema.barcode_fields), want_dirs=False,
-        chunk_range=chunk_range, prefetch=True,
-    ):
-        pb.update(batch.n_reads)
-        first = batch.first_chunk
-        batch.chunk_id = batch.chunk_id - first
-        n_local = len(batch.chunk_offsets) - 1
-        keep_local = np.ones(n_local, bool)
-        if fsorted is not None:
-            first_read = batch.chunk_offsets[:-1]
-            cell_bc_all = batch.barcode_at(first_read)
-            idx = np.searchsorted(fsorted, cell_bc_all)
-            idx_c = np.minimum(idx, max(len(fsorted) - 1, 0))
-            keep_local = (
-                (len(fsorted) > 0)
-                & (idx < len(fsorted))
-                & (fsorted[idx_c] == cell_bc_all)
+    try:
+        for batch in iter_decoded_blocks(
+            br, schema, hdr.num_chunks, block_records,
+            skip_read_fields=set(schema.barcode_fields), want_dirs=False,
+            chunk_range=chunk_range, prefetch=True,
+        ):
+            pb.update(batch.n_reads)
+            first = batch.first_chunk
+            batch.chunk_id = batch.chunk_id - first
+            n_local = len(batch.chunk_offsets) - 1
+            keep_local = np.ones(n_local, bool)
+            if fsorted is not None:
+                first_read = batch.chunk_offsets[:-1]
+                cell_bc_all = batch.barcode_at(first_read)
+                idx = np.searchsorted(fsorted, cell_bc_all)
+                idx_c = np.minimum(idx, max(len(fsorted) - 1, 0))
+                keep_local = (
+                    (len(fsorted) > 0)
+                    & (idx < len(fsorted))
+                    & (fsorted[idx_c] == cell_bc_all)
+                )
+            res = _resolve_cells(
+                batch, keep_local, tid_to_gid, opts, sa_model, usa_mode,
+                usa_offsets, num_genes, num_rows, sample_names,
+                cell_offset=first,
             )
-        res = _resolve_cells(
-            batch, keep_local, tid_to_gid, opts, sa_model, usa_mode,
-            usa_offsets, num_genes, num_rows, sample_names,
-            cell_offset=first,
-        )
-        if sink is not None:
-            sink.add(res.rows, res.cols, res.vals, len(res.cells))
-            res.rows, res.cols, res.vals = empty_coo
-        parts.append((first, res))
-    pb_ctx.__exit__(None, None, None)
+            if sink is not None:
+                sink.add(res.rows, res.cols, res.vals, len(res.cells))
+                res.rows, res.cols, res.vals = empty_coo
+            parts.append((first, res))
+        pb_ctx.__exit__(None, None, None)
 
-    result = _merge_results(parts)
-    mtx_prewritten = False
-    if sink is not None:
-        if sink.spilled:
-            sink.finalize_spilled((len(result.cells), num_rows))
-            mtx_prewritten = True
-            log.info(
-                "quants_mat.mtx streamed to disk (%d triplets spilled past "
-                "the %d in-memory bound)", sink.nnz, spill_nnz,
-            )
-        else:
-            result.rows, result.cols, result.vals = sink.concatenated()
+        result = _merge_results(parts)
+        mtx_prewritten = False
+        if sink is not None:
+            if sink.spilled:
+                sink.finalize_spilled((len(result.cells), num_rows))
+                mtx_prewritten = True
+                log.info(
+                    "quants_mat.mtx streamed to disk (%d triplets spilled "
+                    "past the %d in-memory bound)", sink.nnz, spill_nnz,
+                )
+            else:
+                result.rows, result.cols, result.vals = sink.concatenated()
+    except BaseException:
+        # don't leave a multi-GB body sidecar + open handle behind
+        if sink is not None:
+            sink.abort()
+        raise
 
     if world > 1:
         result = _merge_hosts(

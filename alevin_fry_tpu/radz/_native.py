@@ -227,7 +227,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.radc_intern_label_sets.restype = ctypes.c_int64
         lib.radc_intern_label_sets.argtypes = [
@@ -966,7 +966,8 @@ def pug_free(handle) -> None:
 def bam_scan(buf, qname_state: np.ndarray):
     """Scan complete BAM records in ``buf``; returns (columns dict,
     bytes_consumed).  ``qname_state`` is a 258-byte uint8 array carried
-    across calls (zero-initialized before the first)."""
+    across calls (zero-initialized before the first).  Raises
+    ValueError on structurally invalid records."""
     lib = _load()
     arr = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) else buf
     arr = np.ascontiguousarray(arr, np.uint8)
@@ -988,7 +989,10 @@ def bam_scan(buf, qname_state: np.ndarray):
         bc.ctypes.data, bclen.ctypes.data, bc_valid.ctypes.data,
         umi.ctypes.data, umilen.ctypes.data, umi_valid.ctypes.data,
         as_score.ctypes.data, same.ctypes.data, consumed.ctypes.data,
+        n_max,
     )
+    if n < 0:
+        raise ValueError("structurally invalid BAM record")
     cols = {
         "flags": flags[:n], "tid": tid[:n],
         "bc": bc[:n], "bclen": bclen[:n], "bc_valid": bc_valid[:n] != 0,

@@ -2207,23 +2207,27 @@ inline int pack_seq_n(const uint8_t* s, int64_t n, uint64_t* out,
 }  // namespace
 
 // Returns the number of complete records consumed (their columns are
-// written to the output arrays) and sets *bytes_consumed.  qname_state
-// is a 256-byte caller buffer holding [len:u16][bytes...] of the last
-// record's qname (initialize len=0 before the first call).
+// written to the output arrays, capacity max_recs) and sets
+// *bytes_consumed, or -1 on a structurally invalid record (block too
+// small for the fixed header, negative lengths, fields overrunning the
+// block).  qname_state is a 258-byte caller buffer holding
+// [len:u16][bytes...] of the last record's qname (initialize len=0
+// before the first call).
 extern "C" int64_t radc_bam_scan(
     const uint8_t* buf, int64_t n, uint8_t* qname_state,
     uint16_t* flags_out, int32_t* tid_out,
     uint64_t* bc_out, int32_t* bclen_out, uint8_t* bc_valid_out,
     uint64_t* umi_out, int32_t* umilen_out, uint8_t* umi_valid_out,
     int32_t* as_out, uint8_t* same_qname_out,
-    int64_t* bytes_consumed) {
+    int64_t* bytes_consumed, int64_t max_recs) {
   int64_t pos = 0;
   int64_t rec = 0;
   uint16_t prev_len;
   std::memcpy(&prev_len, qname_state, 2);
-  while (pos + 4 <= n) {
+  while (pos + 4 <= n && rec < max_recs) {
     uint32_t block_size;
     std::memcpy(&block_size, buf + pos, 4);
+    if (block_size < 32) return -1;  // fixed BAM record header is 32 bytes
     if (pos + 4 + static_cast<int64_t>(block_size) > n) break;
     const uint8_t* r = buf + pos + 4;
     int32_t tid, l_read;
@@ -2233,6 +2237,12 @@ extern "C" int64_t radc_bam_scan(
     std::memcpy(&n_cigar, r + 12, 2);
     std::memcpy(&flag, r + 14, 2);
     std::memcpy(&l_read, r + 16, 4);
+    if (l_read < 0 ||
+        32 + static_cast<int64_t>(l_qname) + 4LL * n_cigar +
+                (static_cast<int64_t>(l_read) + 1) / 2 + l_read >
+            static_cast<int64_t>(block_size)) {
+      return -1;  // variable-length fields overrun the record block
+    }
     const uint8_t* qname = r + 32;
     // group chain vs the previous KEPT record: unmapped/supplementary
     // records are skipped downstream and must not break a qname run
@@ -2281,6 +2291,7 @@ extern "C" int64_t radc_bam_scan(
           const uint8_t sub = r[off];
           int32_t cnt;
           std::memcpy(&cnt, r + off + 1, 4);
+          if (cnt < 0) return -1;
           int sz = (sub == 'c' || sub == 'C') ? 1
                    : (sub == 's' || sub == 'S') ? 2 : 4;
           adv = 5 + static_cast<int64_t>(cnt) * sz;

@@ -103,6 +103,64 @@ def test_convert_bam(tmp_path):
     assert "CB:AAAA" in buf.getvalue() and "UMI:CCC" in buf.getvalue()
 
 
+def test_convert_corrupt_bam_raises(tmp_path):
+    """Malformed BAM records (tiny block_size values) must raise a
+    clean ValueError, not crash the native scanner."""
+    import gzip as _gz
+    import struct as _st
+
+    import pytest
+
+    bam = io.BytesIO()
+    bam.write(b"BAM\x01")
+    bam.write(_st.pack("<i", 0))
+    bam.write(_st.pack("<i", 1))
+    bam.write(_st.pack("<i", 5) + b"tx_a\x00" + _st.pack("<i", 1000))
+    for _ in range(50):
+        bam.write(_st.pack("<i", 1) + b"\x00")  # block_size=1: invalid
+    p = tmp_path / "corrupt.bam"
+    with _gz.open(p, "wb") as fh:
+        fh.write(bam.getvalue())
+    with pytest.raises(ValueError):
+        bam2rad(p, tmp_path / "out.rad")
+
+
+def test_convert_bam_python_fallback(tmp_path, monkeypatch):
+    """Without the native library the BAM path must still work via the
+    pure-Python scanner (same column contract)."""
+    import struct as _st
+
+    refs = ["tx_a"]
+    rec_core = _st.pack(
+        "<iiBBHHHiiii", 0, 0, 3, 255, 0, 0, 0, 4, -1, -1, 0
+    )
+    aux = b"CRZAAAA\x00URZCCC\x00ASi" + _st.pack("<i", 7)
+    body = rec_core + b"r1\x00" + b"\x12\x48" + b"\xff" * 4 + aux
+    bam = io.BytesIO()
+    bam.write(b"BAM\x01")
+    bam.write(_st.pack("<i", 0))
+    bam.write(_st.pack("<i", 1))
+    bam.write(_st.pack("<i", 5) + b"tx_a\x00" + _st.pack("<i", 1000))
+    bam.write(_st.pack("<i", len(body)))
+    bam.write(body)
+    p = tmp_path / "t.bam"
+    with gzip.open(p, "wb") as fh:
+        fh.write(bam.getvalue())
+
+    from alevin_fry_tpu.radz import _native
+
+    lib, _native._LIB = _native._LIB, None
+    try:
+        rad = tmp_path / "t.rad"
+        bam2rad(p, rad)
+    finally:
+        _native._LIB = lib
+    buf = io.StringIO()
+    n = view(rad, print_header=False, out=buf)
+    assert n == 1
+    assert "CB:AAAA" in buf.getvalue() and "UMI:CCC" in buf.getvalue()
+
+
 def test_infer_roundtrip(tmp_path):
     # cell x eqc matrix with 2 cells, labels {0}, {1}, {0,1}
     rows = np.asarray([0, 0, 1, 1])
