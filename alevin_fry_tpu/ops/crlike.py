@@ -329,10 +329,12 @@ def wta_counts_device(
     tid_to_gid: np.ndarray,
     n_rows: int,
     usa: bool = False,
+    prefer_ambig: bool = False,
 ):
     """cr-like WTA resolution + counting on device: gene-unique (non-
     USA) or USA tie-set slotting (``usa=True``; gene ids must be the
-    interleaved USA ids and ``n_rows`` the 3-section space).  Returns
+    interleaved USA ids and ``n_rows`` the 3-section space;
+    ``prefer_ambig`` switches to gene-pair aggregation).  Returns
     COO triplets (rows, cols, counts[f32]) or None when the key doesn't
     fit the packed-u64 bit budget (caller falls back to host)."""
     from .crlike_device import resolve_crlike_wta_device
@@ -351,7 +353,9 @@ def wta_counts_device(
         | (u.astype(np.uint64) << np.uint64(gbits))
         | g.astype(np.uint64)
     )
-    return resolve_crlike_wta_device(key, ubits, gbits, n_rows, usa=usa)
+    return resolve_crlike_wta_device(
+        key, ubits, gbits, n_rows, usa=usa, prefer_ambig=prefer_ambig
+    )
 
 
 # --- USA slotting (utils.rs:656-739 / quant.rs:516-589) ----------------------

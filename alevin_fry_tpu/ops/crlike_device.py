@@ -84,12 +84,16 @@ def _kernel(key, ubits, gbits, n_rows):
     return out_key, out_cnt
 
 
-def _kernel_usa(key, ubits, gbits, n_rows):
+def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     """USA-mode WTA: per (cell, umi) the winner tie set maps to a
     spliced/unspliced/ambiguous slot by the reference's len-1/2/3..10
     rules (utils.rs:656-739, quant.rs:516-589).  Gene ids are the USA
     interleaved ids (even = spliced, odd = unspliced); ``n_rows`` is the
-    3-section output space."""
+    3-section output space.
+
+    ``prefer_ambig``: counts aggregate per gene PAIR (spliced id) and a
+    winning pair emits all its observed variants
+    (pugutils.rs:505-641)."""
     import jax.numpy as jnp
 
     N = key.shape[0]
@@ -107,8 +111,22 @@ def _kernel_usa(key, ubits, gbits, n_rows):
     grp_id = jnp.maximum(jnp.cumsum(grp_start.astype(jnp.int32)) - 1, 0)
 
     t_count_at_start = jnp.where(trip_start, t_count[trip_id], 0)
-    gmax_ct = jnp.zeros(N, jnp.int32).at[grp_id].max(t_count_at_start)
-    winner = trip_start & (t_count_at_start == gmax_ct[grp_id])
+    if prefer_ambig:
+        # pair segments: a spliced/unspliced pair {2k, 2k+1} is adjacent
+        # in the sorted keys, so key >> 1 merges it
+        pkey = key >> jnp.uint64(1)
+        pprev = jnp.concatenate([pkey[:1] ^ jnp.uint64(1), pkey[:-1]])
+        pair_start = (pkey != pprev) & valid
+        pair_id = jnp.maximum(
+            jnp.cumsum(pair_start.astype(jnp.int32)) - 1, 0
+        )
+        p_count = jnp.zeros(N, jnp.int32).at[pair_id].add(t_count_at_start)
+        p_count_at_start = jnp.where(pair_start, p_count[pair_id], 0)
+        gmax_ct = jnp.zeros(N, jnp.int32).at[grp_id].max(p_count_at_start)
+        winner = trip_start & (p_count[pair_id] == gmax_ct[grp_id])
+    else:
+        gmax_ct = jnp.zeros(N, jnp.int32).at[grp_id].max(t_count_at_start)
+        winner = trip_start & (t_count_at_start == gmax_ct[grp_id])
 
     tie_sz = jnp.zeros(N, jnp.int32).at[grp_id].add(winner.astype(jnp.int32))
 
@@ -180,7 +198,7 @@ def _kernel_usa(key, ubits, gbits, n_rows):
 
 def resolve_crlike_wta_device(
     key: np.ndarray, ubits: int, gbits: int, n_rows: int, pad_to: int | None = None,
-    usa: bool = False,
+    usa: bool = False, prefer_ambig: bool = False,
 ):
     """Resolve packed (cell, umi, gene) keys on device; returns COO
     triplets (rows, cols, counts[f32]) sorted by (cell, gene) —
@@ -201,8 +219,14 @@ def resolve_crlike_wta_device(
     buf = np.full(pad_to, PAD, np.uint64)
     buf[:n] = key
     with jax.enable_x64(True):
-        fn = jax.jit(_kernel_usa if usa else _kernel, static_argnums=(1, 2, 3))
-        out_key, out_cnt = fn(jnp.asarray(buf), ubits, gbits, n_rows)
+        if usa:
+            fn = jax.jit(_kernel_usa, static_argnums=(1, 2, 3, 4))
+            out_key, out_cnt = fn(
+                jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig
+            )
+        else:
+            fn = jax.jit(_kernel, static_argnums=(1, 2, 3))
+            out_key, out_cnt = fn(jnp.asarray(buf), ubits, gbits, n_rows)
         out_key = np.asarray(out_key)
         out_cnt = np.asarray(out_cnt)
     keep = out_key != PAD

@@ -741,13 +741,13 @@ def _resolve_cells(
             if res == "cr-like" and not opts.dump_eq:
                 # pure gene-unique counting: no eqclass grouping needed
                 rcv = None
-                if (
-                    not (usa_mode and sa_model == "prefer-ambig")
-                    and crlike.device_backend_enabled(len(sub["umi"]))
-                ):
+                if crlike.device_backend_enabled(len(sub["umi"])):
                     rcv = crlike.wta_counts_device(
                         sub["cell"], sub["umi"], sub["refs"], sub["offs"],
                         tid_to_gid, num_rows, usa=usa_mode,
+                        prefer_ambig=(
+                            usa_mode and sa_model == "prefer-ambig"
+                        ),
                     )
                 if rcv is None:
                     groups = crlike.resolve_crlike(

@@ -200,6 +200,26 @@ def test_crlike_device_usa_matches_host():
     np.testing.assert_array_equal(c_dev, c_h)
     np.testing.assert_array_equal(v_dev, v_h)
 
+    # prefer-ambig variant: pair-level aggregation (pugutils.rs:505-641)
+    rp_dev, cp_dev, vp_dev = resolve_crlike_wta_device(
+        key, ubits, gbits, num_rows, usa=True, prefer_ambig=True
+    )
+    groups_pa = crlike.resolve_crlike(
+        c, u, g.astype(np.uint32), aln_offsets, tid_to_gid, prefer_ambig=True
+    )
+    slot_pa, valid_pa = crlike.usa_slots_for_groups(groups_pa, num_rows)
+    rp_h, cp_h, vp_h = crlike.counts_from_slots(
+        groups_pa.cell, slot_pa, valid_pa, n_cells, num_rows
+    )
+    np.testing.assert_array_equal(rp_dev, rp_h)
+    np.testing.assert_array_equal(cp_dev, cp_h)
+    np.testing.assert_array_equal(vp_dev, vp_h)
+    # the two models must differ on this data (pairs exist by design)
+    assert not (
+        len(vp_h) == len(v_h)
+        and np.array_equal(rp_h, r_h) and np.array_equal(vp_h, v_h)
+    )
+
 
 def test_crlike_sharded_matches_single(mesh):
     """Cell-boundary-sharded WTA over the mesh == single-device result."""
