@@ -162,6 +162,13 @@ def main(argv=None) -> int:
     ap = build_parser()
     args = ap.parse_args(argv)
 
+    # -t/--threads governs the native kernels too (every subcommand
+    # defines it; defaults mirror the reference's caps, main.rs:49-52)
+    if getattr(args, "threads", None):
+        from .radz import _native
+
+        _native.set_threads(args.threads)
+
     if args.command == "generate-permit-list":
         from .pipeline.gpl import CellFilterMethod, GenPermitListOpts, generate_permit_list
 

@@ -422,6 +422,14 @@ def find_neighbors(queries: np.ndarray, kept_sorted: np.ndarray, bc_len: int):
 _NTHREADS = max(1, min(8, os.cpu_count() or 1))
 
 
+def set_threads(n: int) -> None:
+    """Set the native kernel thread count (the CLI's -t/--threads; the
+    reference caps collate/sort at 16 and gpl at 8, main.rs:49-52 —
+    callers pass their already-capped value)."""
+    global _NTHREADS
+    _NTHREADS = max(1, min(int(n), 64))
+
+
 def gather_uint(buf: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
     """Gather little-endian uints of ``width`` bytes at ``starts``."""
     lib = _load()
