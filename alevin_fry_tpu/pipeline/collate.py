@@ -169,7 +169,9 @@ def _gather_rank_buckets(
     for b in range(n_buckets):
         ranks = np.fromfile(spill_dir / f"bucket_{b}.rank", np.uint32)
         if len(ranks):
-            np.add.at(per_cell, ranks.astype(np.int64), 1)
+            per_cell += np.bincount(
+                ranks.astype(np.int64), minlength=n_cells
+            )
     n_expected = int((per_cell > 0).sum())
 
     raw_sink = open(out_path, "wb")
@@ -209,27 +211,51 @@ def _gather_rank_buckets(
             )
         sizes = 4 + schema.read_bytes + num_aln * schema.aln_bytes
         order = np.argsort(ranks, kind="stable")
-        # byte gather in sorted order
         out_sizes = sizes[order]
-        out_off = np.zeros(len(order) + 1, np.int64)
-        np.cumsum(out_sizes, out=out_off[1:])
-        gidx = np.repeat(rec_starts[order], out_sizes) + (
-            np.arange(int(out_off[-1]))
-            - np.repeat(out_off[:-1], out_sizes)
-        )
-        sorted_bytes = rec_bytes[gidx]
         # chunk boundaries per cell within the bucket
         rs = ranks[order]
         newc = np.ones(len(rs), bool)
         newc[1:] = rs[1:] != rs[:-1]
         starts = np.flatnonzero(newc)
         ends = np.append(starts[1:], len(rs))
+        # destination offsets for every record, with an 8-byte chunk
+        # header gap before each cell's run; the whole bucket is
+        # assembled in one buffer (threaded memcpy gather) and written
+        # with one call
+        chunk_of = np.cumsum(newc) - 1
+        dst = np.zeros(len(order) + 1, np.int64)
+        np.cumsum(out_sizes, out=dst[1:])
+        rec_dst = dst[:-1] + 8 * (chunk_of + 1)
+        total = int(dst[-1]) + 8 * len(starts)
+        out_buf = np.empty(total, np.uint8)
+        if _native.available():
+            _native.gather_records(
+                rec_bytes, rec_starts, sizes, order, rec_dst, out_buf
+            )
+        else:
+            gidx = np.repeat(rec_starts[order], out_sizes) + (
+                np.arange(int(dst[-1]))
+                - np.repeat(dst[:-1], out_sizes)
+            )
+            tgt = np.repeat(rec_dst, out_sizes) + (
+                np.arange(int(dst[-1]))
+                - np.repeat(dst[:-1], out_sizes)
+            )
+            out_buf[tgt] = rec_bytes[gidx]
+        # chunk headers: [nbytes:u32][nrec:u32] at each cell's start
+        hdr_pos = rec_dst[starts] - 8
+        nrec_c = (ends - starts).astype(np.uint32)
+        nbytes_c = (
+            dst[ends] - dst[starts] + 8
+        ).astype(np.uint32)
+        hv = out_buf.view(np.uint8)
+        for field, off in ((nbytes_c, 0), (nrec_c, 4)):
+            le = field.astype("<u4").view(np.uint8).reshape(-1, 4)
+            for k in range(4):
+                hv[hdr_pos + off + k] = le[:, k]
         w = frame if compress_out else sink
-        for s, e in zip(starts, ends):
-            bs, be = int(out_off[s]), int(out_off[e])
-            w.write(struct.pack("<II", be - bs + 8, int(e - s)))
-            w.write(sorted_bytes[bs:be].tobytes())
-            n_written += 1
+        w.write(out_buf.tobytes())
+        n_written += len(starts)
         (spill_dir / f"bucket_{b}.rec").unlink()
         (spill_dir / f"bucket_{b}.rank").unlink()
     if compress_out:

@@ -220,6 +220,12 @@ def _load():
         ]
         lib.radc_pug_free.restype = None
         lib.radc_pug_free.argtypes = [ctypes.c_void_p]
+        lib.radc_gather_records.restype = None
+        lib.radc_gather_records.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
         lib.radc_bam_scan.restype = ctypes.c_int64
         lib.radc_bam_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -969,6 +975,24 @@ def pug_cover(
 
 def pug_free(handle) -> None:
     _load().radc_pug_free(handle)
+
+
+def gather_records(
+    buf: np.ndarray, rec_starts: np.ndarray, sizes: np.ndarray,
+    order: np.ndarray, dst_off: np.ndarray, out: np.ndarray,
+) -> None:
+    """out[dst_off[i] : +sizes[order[i]]] = record order[i]'s bytes
+    (threaded memcpy gather)."""
+    lib = _load()
+    lib.radc_gather_records(
+        np.ascontiguousarray(buf, np.uint8).ctypes.data,
+        np.ascontiguousarray(rec_starts, np.int64).ctypes.data,
+        np.ascontiguousarray(sizes, np.int64).ctypes.data,
+        np.ascontiguousarray(order, np.int64).ctypes.data,
+        len(order),
+        np.ascontiguousarray(dst_off, np.int64).ctypes.data,
+        out.ctypes.data, _NTHREADS,
+    )
 
 
 def bam_scan(buf, qname_state: np.ndarray):

@@ -2162,6 +2162,36 @@ extern "C" void radc_pug_free(void* handle) {
   delete static_cast<PugBatchHandle*>(handle);
 }
 
+// Gather whole records into a destination buffer at caller-computed
+// offsets (the spill-bucket gather: records move by memcpy in sorted
+// order, headers are patched by the caller).  Threaded by record range.
+extern "C" void radc_gather_records(
+    const uint8_t* buf, const int64_t* rec_starts, const int64_t* sizes,
+    const int64_t* order, int64_t n, const int64_t* dst_off, uint8_t* out,
+    int32_t n_threads) {
+  auto work = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; ++i) {
+      const int64_t r = order[i];
+      std::memcpy(out + dst_off[i], buf + rec_starts[r],
+                  static_cast<size_t>(sizes[r]));
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads == 1 || n < (1 << 14)) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t prev = 0;
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t i = n * t / n_threads;
+    ts.emplace_back(work, prev, i);
+    prev = i;
+  }
+  work(prev, n);
+  for (auto& th : ts) th.join();
+}
+
 // ---------------------------------------------------------------------------
 // BAM record scanner (convert).  Walks decompressed BAM records and
 // extracts the columns bam2rad needs: flag, tid, 2-bit packed CR/UR
