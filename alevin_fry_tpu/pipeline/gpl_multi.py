@@ -267,7 +267,7 @@ def _filter_sample_cells(
         kept_ct = counts[pass_thresh].copy()
         rescue_bc = uniq[~pass_thresh]
         rescue_ct = counts[~pass_thresh]
-        ncnt, reps = bcops.find_neighbors_batch(rescue_bc, kept_bc, cell_bc_len)
+        ncnt, reps = bcops.find_neighbors(rescue_bc, kept_bc, cell_bc_len)
         rescued = (ncnt == 1) & (reps != rescue_bc)
         if rescued.any():
             tgt = np.searchsorted(kept_bc, reps[rescued])
