@@ -218,3 +218,47 @@ def test_pos_records_pipeline(tmp_path):
     mat = np.zeros(shape)
     mat[r, c] = v
     np.testing.assert_array_equal(mat, [[1, 1]])
+
+
+def test_truncated_rad_raises(tmp_path):
+    """A RAD truncated mid-chunk fails loudly (EOFError/ValueError),
+    never silently under-counting."""
+    import pytest
+
+    rad_dir, wl, _t2g = make_dataset(tmp_path)
+    raw = (rad_dir / "map.rad").read_bytes()
+    (rad_dir / "map.rad").write_bytes(raw[: len(raw) - 15])
+    with pytest.raises((EOFError, ValueError)):
+        generate_permit_list(GenPermitListOpts(
+            input_dir=rad_dir, output_dir=tmp_path / "gpl",
+            fmeth=CellFilterMethod("unfiltered", path=wl, min_reads=1),
+            expected_ori="fw", cmdline="t",
+        ))
+
+
+def test_corrupt_chunk_record_count_raises(tmp_path):
+    """A chunk whose declared record count overruns its byte span is a
+    clean error from the native walk, not a crash or garbage output."""
+    import struct as _st
+
+    import pytest
+
+    from alevin_fry_tpu.radz import read_prelude
+
+    rad_dir, wl, _t2g = make_dataset(tmp_path)
+    raw = bytearray((rad_dir / "map.rad").read_bytes())
+    # find the first chunk header (after the prelude) and inflate nrec
+    import io
+
+    with open(rad_dir / "map.rad", "rb") as fh:
+        read_prelude(fh)
+        pos = fh.tell()
+    nbytes, nrec = _st.unpack_from("<II", raw, pos)
+    _st.pack_into("<II", raw, pos, nbytes, nrec + 1000)
+    (rad_dir / "map.rad").write_bytes(bytes(raw))
+    with pytest.raises((EOFError, ValueError)):
+        generate_permit_list(GenPermitListOpts(
+            input_dir=rad_dir, output_dir=tmp_path / "gpl",
+            fmeth=CellFilterMethod("unfiltered", path=wl, min_reads=1),
+            expected_ori="fw", cmdline="t",
+        ))
