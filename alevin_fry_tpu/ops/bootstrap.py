@@ -109,14 +109,26 @@ def run_bootstraps(
             )
 
     for Ep, cells in sorted(buckets.items()):
-        # per-bucket label-width pad
-        max_l = 1
-        for k in cells:
-            s, e = eqc.cell_eq_offsets[k], eqc.cell_eq_offsets[k + 1]
-            ml = int(lens_all[s:e].max())
-            if ml > max_l:
-                max_l = ml
-        Lp = _pad_pow2(max_l, 2)
+        # --- bucket-level CSR geometry, fully vectorized (no per-cell
+        # packing loops; VERDICT r2 item 8) -------------------------------
+        ks = np.asarray(cells, np.int64)
+        starts = eqc.cell_eq_offsets[ks].astype(np.int64)
+        ends = eqc.cell_eq_offsets[ks + 1].astype(np.int64)
+        ne_arr = ends - starts
+        cis_b = eqc.cell_ids[ks].astype(np.int64)
+        gcis_b = cis_b + cell_offset
+        cls_cum = np.concatenate([[0], np.cumsum(ne_arr)])
+        n_cls = int(cls_cum[-1])
+        cell_of_cls = np.repeat(np.arange(len(ks)), ne_arr)
+        cls_pos = np.arange(n_cls) - np.repeat(cls_cum[:-1], ne_arr)
+        j_all = np.repeat(starts, ne_arr) + cls_pos
+        lens_cls = lens_all[j_all].astype(np.int64)
+        lab_cum = np.concatenate([[0], np.cumsum(lens_cls)])
+        n_lab = int(lab_cum[-1])
+        w_all = np.arange(n_lab) - np.repeat(lab_cum[:-1], lens_cls)
+        lab_src = np.repeat(label_offsets[j_all].astype(np.int64), lens_cls) + w_all
+        lab_vals_all = labels[lab_src].astype(np.int32)
+        Lp = _pad_pow2(int(lens_cls.max(initial=1)), 2)
 
         # memory-bounded row batches, whole cells per batch (host batches
         # are smaller: each EM round materializes dense (B, R+1) copies)
@@ -127,38 +139,52 @@ def run_bootstraps(
         cells_per_batch = max(1, rows_cap // Rp)
 
         for c0 in range(0, len(cells), cells_per_batch):
-            group = cells[c0 : c0 + cells_per_batch]
-            nrows = len(group) * Rp
-            lab_pad = np.full((nrows, Ep, Lp), R, np.int32)
-            len_pad = np.zeros((nrows, Ep), np.int32)
-            ct_pad = np.zeros((nrows, Ep), np.float32)
-            seeds = np.zeros(nrows, np.uint32)
+            c1 = min(c0 + cells_per_batch, len(cells))
+            nb = c1 - c0
+            nrows = nb * Rp
 
-            for gi, k in enumerate(group):
-                ci = int(eqc.cell_ids[k])
-                gci = ci + cell_offset
-                s, e = int(eqc.cell_eq_offsets[k]), int(eqc.cell_eq_offsets[k + 1])
+            # slice the bucket-level class/label geometry for this batch
+            cls_lo, cls_hi = int(cls_cum[c0]), int(cls_cum[c1])
+            lab_lo, lab_hi = int(lab_cum[cls_lo]), int(lab_cum[cls_hi])
+            b_cell = cell_of_cls[cls_lo:cls_hi] - c0
+            b_cls_pos = cls_pos[cls_lo:cls_hi]
+            b_lens = lens_cls[cls_lo:cls_hi]
+            cls_slot = b_cell * Ep + b_cls_pos
+
+            # one scatter builds every cell template at once
+            lab_t = np.full(nb * Ep * Lp, R, np.int32)
+            lab_t[np.repeat(cls_slot * Lp, b_lens) + w_all[lab_lo:lab_hi]] = (
+                lab_vals_all[lab_lo:lab_hi]
+            )
+            len_t = np.zeros(nb * Ep, np.int32)
+            len_t[cls_slot] = b_lens
+            lab_pad = np.repeat(lab_t.reshape(nb, Ep, Lp), Rp, axis=0)
+            len_pad = np.repeat(len_t.reshape(nb, Ep), Rp, axis=0)
+            ct_pad = np.zeros((nrows, Ep), np.float32)
+
+            # seeds: one vectorized expression over (cell, replicate)
+            seeds = (
+                (
+                    np.uint64(seed ^ 0x51ED2700)
+                    + np.uint64(0x9E3779B9)
+                    * (gcis_b[c0:c1, None].astype(np.uint64) + np.uint64(1))
+                    + np.uint64(7919)
+                    * (np.arange(Rp, dtype=np.uint64)[None, :] + np.uint64(1))
+                )
+                & np.uint64(0xFFFFFFFF)
+            ).astype(np.uint32).ravel()
+
+            # the only remaining per-cell work: the seeded multinomial
+            # draw (per-cell RNG streams are the determinism contract)
+            for gi in range(nb):
+                s, e = int(starts[c0 + gi]), int(ends[c0 + gi])
                 ne = e - s
                 cts = eqc.counts[s:e].astype(np.int64)
                 total = int(cts.sum())
                 assert total > 0, "Cannot bootstrap from a sample with 0 counts."
-                rng = _cell_rng(seed, gci)
+                rng = _cell_rng(seed, int(gcis_b[c0 + gi]))
                 resampled = rng.multinomial(total, cts / total, size=Rp)
-
-                # one label template per cell, shared across replicates
-                lab_t = np.full((Ep, Lp), R, np.int32)
-                len_t = np.zeros(Ep, np.int32)
-                for j in range(ne):
-                    lo, hi = label_offsets[s + j], label_offsets[s + j + 1]
-                    ll = hi - lo
-                    lab_t[j, :ll] = labels[lo:hi]
-                    len_t[j] = ll
-                r0 = gi * Rp
-                lab_pad[r0 : r0 + Rp] = lab_t[None]
-                len_pad[r0 : r0 + Rp] = len_t[None]
-                ct_pad[r0 : r0 + Rp, :ne] = resampled.astype(np.float32)
-                for r in range(Rp):
-                    seeds[r0 + r] = _init_seed(seed, gci, r)
+                ct_pad[gi * Rp : (gi + 1) * Rp, :ne] = resampled.astype(np.float32)
 
             if use_dev:
                 import jax.numpy as jnp
@@ -179,29 +205,43 @@ def run_bootstraps(
                     lab_pad, len_pad, ct_pad, init, R, with_last_round=True
                 )
 
-            # reduce mean/var per cell over the replicate axis
-            for gi, k in enumerate(group):
-                ci = int(eqc.cell_ids[k])
-                r0 = gi * Rp
-                vals = out[r0 : r0 + Rp].reshape(Rp, -1)  # (Rp, Ep*Lp)
-                flat_lab = lab_pad[r0].reshape(-1)
-                valid = flat_lab != R
-                genes, first_idx = np.unique(
-                    flat_lab[valid], return_index=True
-                )
-                vv = vals[:, np.flatnonzero(valid)[first_idx]].astype(np.float64)
-                mean = (vv.sum(0) / Rp).astype(np.float32)
-                var = (
-                    (vv ** 2).sum(0) / Rp - (vv.sum(0) / Rp) ** 2
-                ).astype(np.float32)
-                nzm = mean != 0
-                rows_m.append(np.full(int(nzm.sum()), ci, np.int64))
-                cols_m.append(genes[nzm].astype(np.int64))
-                vals_m.append(mean[nzm])
-                nzv = var != 0
-                rows_v.append(np.full(int(nzv.sum()), ci, np.int64))
-                cols_v.append(genes[nzv].astype(np.int64))
-                vals_v.append(var[nzv])
+            # reduce mean/var over the replicate axis, whole batch at
+            # once; per-(cell, gene) dedup via one stable sort (a gene
+            # repeated across a cell's classes carries the same gathered
+            # alpha at every occurrence, so any occurrence's value works)
+            vals3 = out.reshape(nb, Rp, Ep * Lp).astype(np.float64)
+            sums = vals3.sum(axis=1)
+            sqs = (vals3 ** 2).sum(axis=1)
+            flat_lab = lab_pad[::Rp].reshape(nb, Ep * Lp)
+            valid = flat_lab != R
+            vpos = np.flatnonzero(valid.ravel())
+            keys = (
+                np.repeat(np.arange(nb, dtype=np.int64), valid.sum(axis=1))
+                * (R + 1)
+                + flat_lab.ravel()[vpos]
+            )
+            order = np.argsort(keys, kind="stable")
+            ks_sorted = keys[order]
+            first = np.concatenate(
+                [[True], ks_sorted[1:] != ks_sorted[:-1]]
+            ) if len(ks_sorted) else np.zeros(0, bool)
+            upos = vpos[order][first]
+            ukeys = ks_sorted[first]
+            cell_u = (ukeys // (R + 1)).astype(np.int64)
+            gene_u = (ukeys % (R + 1)).astype(np.int64)
+            col_u = upos % (Ep * Lp)
+            su = sums[cell_u, col_u]
+            mean = (su / Rp).astype(np.float32)
+            var = (sqs[cell_u, col_u] / Rp - (su / Rp) ** 2).astype(np.float32)
+            ci_u = cis_b[c0 + cell_u]
+            nzm = mean != 0
+            rows_m.append(ci_u[nzm])
+            cols_m.append(gene_u[nzm])
+            vals_m.append(mean[nzm])
+            nzv = var != 0
+            rows_v.append(ci_u[nzv])
+            cols_v.append(gene_u[nzv])
+            vals_v.append(var[nzv])
 
     return _coo_sorted(rows_m, cols_m, vals_m), _coo_sorted(rows_v, cols_v, vals_v)
 

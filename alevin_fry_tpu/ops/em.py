@@ -270,12 +270,21 @@ def _configure_compile_cache():
 
 
 def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False,
-                   weighted: bool = False):
+                   weighted: bool = False, fixed_rounds: int = 0):
+    """Build the batched EM kernel.
+
+    ``fixed_rounds > 0`` builds a profiling variant: the SAME
+    ``one_update`` body as production, but iterated exactly that many
+    rounds in one on-chip ``lax.fori_loop`` with no convergence
+    bookkeeping — a single dispatch whose runtime scales linearly in
+    the round count, so two round counts difference out dispatch/RTT
+    and yield the honest per-round device time (used by
+    scripts/profile_kernels.py; results in BASELINE.md)."""
     import jax
     import jax.numpy as jnp
 
     _configure_compile_cache()
-    key = (usa, with_last_round, init_random, weighted)
+    key = (usa, with_last_round, init_random, weighted, fixed_rounds)
     if key in _jit_cache:
         return _jit_cache[key]
 
@@ -407,7 +416,12 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False,
         )
         import jax.lax as lax
 
-        alphas, _, _, _ = lax.while_loop(cond, body, init_state)
+        if fixed_rounds > 0:
+            alphas = lax.fori_loop(
+                0, fixed_rounds, lambda _i, a: one_update(a), init_alphas
+            )
+        else:
+            alphas, _, _, _ = lax.while_loop(cond, body, init_state)
         alphas = jnp.where(alphas < MIN_OUTPUT_ALPHA, 0.0, alphas)
         # return only the values at the label positions (pad -> 0)
         gathered = jnp.take_along_axis(

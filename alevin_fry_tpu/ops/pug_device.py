@@ -69,6 +69,7 @@ def connected_components_batched(
     nbrs: np.ndarray,
     node_valid: np.ndarray,
     mesh=None,
+    fixed_rounds: int = 0,
 ):
     """Min-label-propagation connected components, batched over cells.
 
@@ -114,9 +115,17 @@ def connected_components_batched(
             new = jnp.minimum(new, gather(ext2, new))
             return new, jnp.any(new != labels)
 
-        labels, _ = jax.lax.while_loop(
-            lambda s: s[1], body, (init, jnp.bool_(True))
-        )
+        if fixed_rounds > 0:
+            # profiling variant: exactly ``fixed_rounds`` propagation
+            # rounds in one dispatch (see scripts/profile_kernels.py)
+            labels, _ = jax.lax.fori_loop(
+                0, fixed_rounds, lambda _i, s: body(s),
+                (init, jnp.bool_(True)),
+            )
+        else:
+            labels, _ = jax.lax.while_loop(
+                lambda s: s[1], body, (init, jnp.bool_(True))
+            )
         return labels
 
     if mesh is not None:

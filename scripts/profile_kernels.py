@@ -1,16 +1,39 @@
 #!/usr/bin/env python
-"""Steady-state utilization measurement of the core device kernels.
+"""Honest on-chip utilization measurement of the core device kernels.
 
-Times the batched EM round, the cr-like WTA resolver, the Pallas
-Hamming rescue kernel, and the batched PUG connected-components kernel
-on the attached accelerator, and prints achieved bandwidth / op
-throughput next to the chip's roofline numbers (TPU v5e: ~197 bf16
-TFLOP/s, ~819 GB/s HBM).  Results go into BASELINE.md's utilization
-table.
+Methodology (the "amortized chain" protocol): for each kernel we build
+a jitted program that iterates the kernel body K times in ONE
+``lax.fori_loop`` on device — one dispatch, K rounds of on-chip work,
+with a data dependence between rounds so XLA cannot hoist or elide any
+round.  We time the program at two round counts K1 < K2 and report
 
-Run: python scripts/profile_kernels.py  (uses the default jax backend)
+    per_round = (t(K2) - t(K1)) / (K2 - K1)
+
+which differences out dispatch cost, tunnel RTT, argument transfer and
+result transfer entirely — only on-chip steady-state work remains.
+This replaces the previous repeated-async-dispatch protocol, whose
+sub-ms readings through the axon tunnel exceeded the physically
+possible HBM roofline and were declared untrustworthy in BASELINE.md.
+
+Bytes-moved models are stated per kernel below; roofline constants:
+TPU v5e ~819 GB/s HBM, ~197 bf16 TFLOP/s (MXU), ~3.9 int32 Tops/s
+(VPU estimate: 1024 lanes x ~0.94 GHz x 4 ops — stated, not vendor-
+certified; Hamming utilization is reported against it as an estimate).
+
+The kernels timed are the PRODUCTION bodies, not re-implementations:
+  * EM round            ops/em.py::_get_em_kernel(fixed_rounds=K)
+                        (same one_update closure as the pipeline)
+  * cr-like WTA         ops/crlike_device.py::_kernel (same function)
+  * PUG CC label-prop   ops/pug_device.py::connected_components_batched
+                        (fixed_rounds=K — same body closure)
+  * Pallas Hamming<=1   ops/pallas_hamming.py brute-force kernel
+
+Run: python scripts/profile_kernels.py [--out results.json]
 """
 
+from __future__ import annotations
+
+import argparse
 import json
 import sys
 import time
@@ -20,182 +43,252 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-HBM_GBS = 819.0  # v5e HBM bandwidth
-PEAK_BF16 = 197e12
+HBM_GBS = 819.0      # v5e HBM bandwidth
+PEAK_BF16 = 197e12   # v5e MXU peak
+VPU_I32_OPS = 3.9e12  # v5e VPU int32 estimate (see module docstring)
 
 
-def timeit(fn, *args, iters=20, warmup=3):
+def _time_once(fn, *args):
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0, out
 
 
-def profile_em():
-    """One EM round at production shape: B=4096 cells x E=64 classes x
-    L=8 labels, R=8192 gene rows.  Memory-bound: bytes = alphas read
-    (gather) + write + labels/counts."""
-    import jax
+def _two_point(build, k1, k2, reps=3):
+    """build(K) -> (callable, args).  Returns best-of-reps per-round
+    seconds via the two-point difference, plus the raw timings."""
+    fn1, args1 = build(k1)
+    fn2, args2 = build(k2)
+    # warm both programs (compile + first dispatch)
+    _time_once(fn1, *args1)
+    _time_once(fn2, *args2)
+    t1 = min(_time_once(fn1, *args1)[0] for _ in range(reps))
+    t2 = min(_time_once(fn2, *args2)[0] for _ in range(reps))
+    per_round = (t2 - t1) / (k2 - k1)
+    return per_round, t1, t2
+
+
+def profile_em(usa: bool):
+    """One EM round at production shape B=4096 cells x E=64 classes x
+    L=8 labels, R=8192 rows (R*3 in USA mode).  Memory-bound model per
+    round: out zero-init write + final content = 2*B*(R+1)*4; labels
+    read + alpha gather read + scatter RMW = 4*B*E*L*4 (USA adds two
+    more gathers: +2*B*E*L*4)."""
     import jax.numpy as jnp
 
-    B, E, L, R = 4096, 64, 8, 8192
+    from alevin_fry_tpu.ops.em import _get_em_kernel
+
+    B, E, L = 4096, 64, 8
+    R = 3 * 8192 if usa else 8192
+    uoff, aoff = (8192, 16384) if usa else (R, R)
     rng = np.random.RandomState(0)
     labels = jnp.asarray(rng.randint(0, R, (B, E, L)), jnp.int32)
     lens = jnp.asarray(rng.randint(1, L + 1, (B, E)), jnp.int32)
     counts = jnp.asarray(rng.randint(1, 50, (B, E)), jnp.float32)
-    alphas = jnp.asarray(rng.rand(B, R + 1), jnp.float32)
+    seeds = jnp.zeros((B,), jnp.uint32)
 
-    @jax.jit
-    def em_round(labels, lens, counts, alphas):
-        B, E, L = labels.shape
-        lmask = jnp.arange(L)[None, None, :] < lens[:, :, None]
-        ab = jnp.take_along_axis(
-            alphas, labels.reshape(B, -1), axis=1
-        ).reshape(labels.shape)
-        ab = jnp.where(lmask, ab, 0.0)
-        denom = ab.sum(axis=2)
-        single = lens == 1
-        multi = (lens > 0) & ~single
-        inv = jnp.where(
-            (denom > 0) & multi, counts / jnp.maximum(denom, 1e-30), 0.0
-        )
-        contrib = ab * inv[:, :, None]
-        out = jnp.zeros_like(alphas)
-        bidx = jnp.broadcast_to(jnp.arange(B)[:, None, None], labels.shape)
-        out = out.at[
-            bidx.reshape(-1), jnp.where(lmask, labels, R).reshape(-1)
-        ].add(jnp.where(multi[:, :, None], contrib, 0.0).reshape(-1))
-        out = out.at[
-            jnp.arange(B)[:, None], jnp.where(single, labels[:, :, 0], R)
-        ].add(jnp.where(single, counts, 0.0))
-        return out.at[:, R].set(0.0)
+    def build(k):
+        fn = _get_em_kernel(usa, False, fixed_rounds=k)
+        return (lambda: fn(labels, lens, counts, seeds, uoff, aoff, R, False)), ()
 
-    # chain iterations (output feeds back as input) and block once —
-    # defeats async-dispatch measurement artifacts through the tunnel
-    a = em_round(labels, lens, counts, alphas)
-    jax.block_until_ready(a)
-    iters = 200
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        a = em_round(labels, lens, counts, a)
-    jax.block_until_ready(a)
-    dt = (time.perf_counter() - t0) / iters
-    # traffic: out write/zero-init (2*B*(R+1)*4) + labels (B*E*L*4) +
-    # gathered/scattered values (2*B*E*L*4); the alphas read is the
-    # gather itself
-    bytes_moved = 2 * B * (R + 1) * 4 + B * E * L * 4 * 3
+    per_round, t1, t2 = _two_point(build, 10, 110)
+    gathers = 6 if usa else 4
+    bytes_moved = 2 * B * (R + 1) * 4 + gathers * B * E * L * 4
     return {
-        "kernel": "EM round (B=4096,E=64,L=8,R=8192), chained",
-        "time_ms": round(dt * 1e3, 3),
-        "cells_per_s": round(B / dt),
-        "achieved_GBs": round(bytes_moved / dt / 1e9, 1),
-        "hbm_utilization_pct": round(100 * bytes_moved / dt / 1e9 / HBM_GBS, 1),
+        "kernel": f"EM round{' (USA)' if usa else ''} "
+                  f"(B={B},E={E},L={L},R={R}), fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 4),
+        "cells_per_s_per_round": round(B / per_round),
+        "model_bytes": bytes_moved,
+        "achieved_GBs": round(bytes_moved / per_round / 1e9, 1),
+        "hbm_utilization_pct": round(
+            100 * bytes_moved / per_round / 1e9 / HBM_GBS, 1
+        ),
+        "raw": {"K": [10, 110], "t_s": [round(t1, 4), round(t2, 4)]},
     }
 
 
 def profile_wta():
-    """Device cr-like WTA: sort + segmented argmax over packed keys."""
+    """Device cr-like WTA over 4M packed keys.  Each round runs the
+    full production kernel (two u64 sorts + segmented scatters) on the
+    previous round's keys (low bit perturbed by the output — a real
+    data dependence).  Dominated by the two 4M-element u64 sorts; we
+    report keys/s and the per-round time (no byte model: XLA's TPU sort
+    is multi-pass and its pass count is not public — we do not invent a
+    roofline for it)."""
     import jax
+    import jax.numpy as jnp
 
-    from alevin_fry_tpu.ops.crlike_device import resolve_crlike_wta_device
+    from alevin_fry_tpu.ops.crlike_device import _kernel
 
     rng = np.random.RandomState(1)
-    n = 1 << 22  # 4M (cell, umi, gene) pairs
-    ubits, gbits = 20, 14
+    n = 1 << 22
+    ubits, gbits, n_rows = 20, 14, 10000
     c = np.sort(rng.randint(0, 4096, n)).astype(np.uint64)
     u = rng.randint(0, 1 << ubits, n).astype(np.uint64)
-    g = rng.randint(0, 10000, n).astype(np.uint64)
-    key = (c << np.uint64(ubits + gbits)) | (u << np.uint64(gbits)) | g
+    g = rng.randint(0, n_rows, n).astype(np.uint64)
+    key_np = (c << np.uint64(ubits + gbits)) | (u << np.uint64(gbits)) | g
 
-    def run(k):
-        return resolve_crlike_wta_device(k, ubits, gbits, 10000)
+    def build(k):
+        with jax.enable_x64(True):
+            @jax.jit
+            def chain(key):
+                def body(_i, key):
+                    ok, oc = _kernel(key, ubits, gbits, n_rows)
+                    # feed output back: flip the gene low bit where the
+                    # emitted segment-start key was odd — keeps the key
+                    # distribution realistic and defeats loop hoisting
+                    return key ^ (ok & jnp.uint64(1))
 
-    # includes host<->device transfer of the key column (production path)
-    for _ in range(2):
-        run(key)
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        r, cc, v = run(key)
-    dt = (time.perf_counter() - t0) / iters
-    del jax
+                return jax.lax.fori_loop(0, k, body, key)
+
+            arg = jnp.asarray(key_np)
+        return (lambda: chain(arg)), ()
+
+    per_round, t1, t2 = _two_point(build, 2, 12)
     return {
-        "kernel": "cr-like WTA (4M pairs, incl transfer)",
-        "time_ms": round(dt * 1e3, 1),
-        "pairs_per_s": round(n / dt),
-    }
-
-
-def profile_hamming():
-    from alevin_fry_tpu.ops.pallas_hamming import find_neighbors_pallas
-
-    rng = np.random.RandomState(2)
-    bc_len = 16
-    kept = np.sort(
-        np.unique(rng.randint(0, 1 << 62, 100_000).astype(np.uint64)
-                  & np.uint64((1 << 32) - 1))
-    )
-    queries = rng.randint(0, 1 << 32, 65536).astype(np.uint64)
-    for _ in range(2):
-        find_neighbors_pallas(queries, kept, bc_len)
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        find_neighbors_pallas(queries, kept, bc_len)
-    dt = (time.perf_counter() - t0) / iters
-    pairs = len(queries) * len(kept)
-    return {
-        "kernel": f"Pallas Hamming<=1 ({len(queries)}x{len(kept)})",
-        "time_ms": round(dt * 1e3, 1),
-        "pair_dist_per_s": f"{pairs / dt / 1e9:.1f}G",
+        "kernel": f"cr-like WTA ({n>>20}M keys), fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 3),
+        "keys_per_s": round(n / per_round),
+        "raw": {"K": [2, 12], "t_s": [round(t1, 4), round(t2, 4)]},
     }
 
 
 def profile_pug_cc():
+    """PUG connected components, batched label propagation.  Per-round
+    byte model: neighbor-index read B*N*D*4 + label gather B*N*D*4
+    (random) + pointer-jump gather 2*B*N*4 + label write B*N*4."""
     from alevin_fry_tpu.ops.pug_device import connected_components_batched
 
-    rng = np.random.RandomState(3)
     B, N, D = 1024, 256, 16
     nbrs = np.full((B, N, D), N, np.int32)
-    # random symmetric graphs: ring + chords
-    for b in range(B):
-        for v in range(N):
-            nbrs[b, v, 0] = (v + 1) % N
-            nbrs[b, v, 1] = (v - 1) % N
+    v = np.arange(N)
+    nbrs[:, :, 0] = (v + 1) % N
+    nbrs[:, :, 1] = (v - 1) % N
+    # chords make the graph irregular (still symmetric)
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, N, (B, N // 8))
+    b = rng.randint(0, N, (B, N // 8))
+    for bi in range(B):
+        for x, y in zip(a[bi], b[bi]):
+            nbrs[bi, x, 2] = y
+            nbrs[bi, y, 3] = x
     valid = np.ones((B, N), bool)
-    for _ in range(2):
-        connected_components_batched(nbrs, valid)
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        connected_components_batched(nbrs, valid)
-    dt = (time.perf_counter() - t0) / iters
+
+    def build(k):
+        return (
+            lambda: connected_components_batched(nbrs, valid, fixed_rounds=k)
+        ), ()
+
+    per_round, t1, t2 = _two_point(build, 4, 36)
+    bytes_moved = 2 * B * N * D * 4 + 3 * B * N * 4
     return {
-        "kernel": f"PUG CC label-prop (B={B},N={N},D={D})",
-        "time_ms": round(dt * 1e3, 1),
-        "graphs_per_s": round(B / dt),
+        "kernel": f"PUG CC label-prop (B={B},N={N},D={D}), fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 4),
+        "model_bytes": bytes_moved,
+        "achieved_GBs": round(bytes_moved / per_round / 1e9, 1),
+        "hbm_utilization_pct": round(
+            100 * bytes_moved / per_round / 1e9 / HBM_GBS, 1
+        ),
+        "raw": {"K": [4, 36], "t_s": [round(t1, 4), round(t2, 4)]},
+    }
+
+
+def profile_hamming():
+    """Brute-force Pallas Hamming kernel, 65536 queries x 131072 kept.
+    Compute-bound: ~30 int32 VPU ops per (query, kept) pair (2x XOR,
+    2-bit fold, 2x popcount(5 ops), compare/select chain).  Chained by
+    perturbing the query low words with the previous round's counts."""
+    import jax
+    import jax.numpy as jnp
+
+    import alevin_fry_tpu.ops.pallas_hamming as ph
+
+    rng = np.random.RandomState(2)
+    nq, nk = 65536, 131072
+    queries = rng.randint(0, 1 << 32, nq).astype(np.uint64)
+    kept = np.unique(rng.randint(0, 1 << 32, nk).astype(np.uint64))
+    nk = len(kept)
+    kpad = -nk % ph._K_TILE
+    kp = np.concatenate([kept, np.full(kpad, 0x5555555555555555, np.uint64)])
+    q_lo = (queries & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(-1, ph._Q_LANE)
+    q_hi = (queries >> np.uint64(32)).astype(np.uint32).reshape(-1, ph._Q_LANE)
+    k_lo = (kp & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(1, -1)
+    k_hi = (kp >> np.uint64(32)).astype(np.uint32).reshape(1, -1)
+    kb_lo = (k_lo ^ np.uint32(0x80000000)).view(np.int32)
+    kb_hi = (k_hi ^ np.uint32(0x80000000)).view(np.int32)
+    run = ph._build_kernel()
+
+    def build(k):
+        @jax.jit
+        def chain(q_lo, q_hi, k_lo, k_hi, kb_lo, kb_hi):
+            def body(_i, q):
+                ql, qh = q
+                cnt, rlo, rhi = run(ql, qh, k_lo, k_hi, kb_lo, kb_hi, False)
+                return (
+                    ql ^ (cnt.astype(jnp.uint32) & jnp.uint32(1)),
+                    qh,
+                )
+
+            ql, qh = jax.lax.fori_loop(0, k, body, (q_lo, q_hi))
+            return ql
+
+        args = tuple(
+            jnp.asarray(x) for x in (q_lo, q_hi, k_lo, k_hi, kb_lo, kb_hi)
+        )
+        return (lambda: chain(*args)), ()
+
+    per_round, t1, t2 = _two_point(build, 1, 5)
+    pairs = len(q_lo.ravel()) * len(kp)
+    ops = pairs * 30
+    return {
+        "kernel": f"Pallas Hamming<=1 ({nq}x{len(kp)}), fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 2),
+        "pair_dist_per_s": f"{pairs / per_round / 1e9:.2f}G",
+        "model_int32_ops": ops,
+        "achieved_Tops": round(ops / per_round / 1e12, 3),
+        "vpu_utilization_pct_est": round(100 * ops / per_round / VPU_I32_OPS, 1),
+        "raw": {"K": [1, 5], "t_s": [round(t1, 4), round(t2, 4)]},
     }
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write JSON results here")
+    ap.add_argument(
+        "--only", default=None,
+        help="comma list from: em,em_usa,wta,cc,hamming",
+    )
+    args = ap.parse_args()
     import jax
 
-    print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
-          file=sys.stderr)
+    print(
+        f"backend: {jax.default_backend()} devices: {jax.devices()}",
+        file=sys.stderr,
+    )
+    table = {
+        "em": lambda: profile_em(False),
+        "em_usa": lambda: profile_em(True),
+        "wta": profile_wta,
+        "cc": profile_pug_cc,
+        "hamming": profile_hamming,
+    }
+    names = args.only.split(",") if args.only else list(table)
     results = []
-    for f in (profile_em, profile_wta, profile_pug_cc, profile_hamming):
+    for name in names:
         try:
-            results.append(f())
-            print(json.dumps(results[-1]), flush=True)
+            r = table[name]()
+            results.append(r)
+            print(json.dumps(r), flush=True)
         except Exception as e:  # noqa: BLE001
-            print(json.dumps({"kernel": f.__name__, "error": str(e)}),
-                  flush=True)
+            r = {"kernel": name, "error": repr(e)}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=1))
 
 
 if __name__ == "__main__":
