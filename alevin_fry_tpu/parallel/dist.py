@@ -80,6 +80,17 @@ def host_chunk_plan(num_chunks: int, world: int, rank: int) -> Tuple[int, int]:
     return start, end
 
 
+def barrier(name: str = "aft_barrier") -> None:
+    """Block until every process reaches this point (no-op single-host).
+    Used where one rank writes a file the others will read next."""
+    rank, world = rank_world()
+    if world == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def allgather_ragged(arr: np.ndarray) -> List[np.ndarray]:
     """All-gather a 1-D array whose length differs per process.
     Returns the per-process arrays in rank order (every host gets the

@@ -146,6 +146,66 @@ def collation_order_device(ranks: np.ndarray, n_cells: int):
     return order, per_cell
 
 
+def _gather_bucket_payload(rec_bytes: np.ndarray, ranks: np.ndarray, schema):
+    """Assemble one spill bucket into its final chunk bytes: stable-sort
+    the re-encoded records by cell rank, prepend an 8-byte chunk header
+    per cell, return (out_buf, n_chunks).  Shared by the single-host
+    file gather and the multi-host DCN gather."""
+    from ..radz import _native
+
+    if _native.available():
+        rec_starts, num_aln = _native.walk_records(
+            rec_bytes, np.asarray([0], np.int64),
+            np.asarray([len(ranks)], np.int64),
+            schema.read_bytes, schema.aln_bytes,
+        )
+    else:
+        from ..radz.chunkio import _walk_records_py
+
+        rec_starts, num_aln = _walk_records_py(
+            rec_bytes, [0], [len(ranks)],
+            schema.read_bytes, schema.aln_bytes,
+        )
+    sizes = 4 + schema.read_bytes + num_aln * schema.aln_bytes
+    order = np.argsort(ranks, kind="stable")
+    out_sizes = sizes[order]
+    rs = ranks[order]
+    newc = np.ones(len(rs), bool)
+    newc[1:] = rs[1:] != rs[:-1]
+    starts = np.flatnonzero(newc)
+    ends = np.append(starts[1:], len(rs))
+    chunk_of = np.cumsum(newc) - 1
+    dst = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(out_sizes, out=dst[1:])
+    rec_dst = dst[:-1] + 8 * (chunk_of + 1)
+    total = int(dst[-1]) + 8 * len(starts)
+    out_buf = np.empty(total, np.uint8)
+    if _native.available():
+        _native.gather_records(
+            rec_bytes, rec_starts, sizes, order, rec_dst, out_buf
+        )
+    else:
+        gidx = np.repeat(rec_starts[order], out_sizes) + (
+            np.arange(int(dst[-1]))
+            - np.repeat(dst[:-1], out_sizes)
+        )
+        tgt = np.repeat(rec_dst, out_sizes) + (
+            np.arange(int(dst[-1]))
+            - np.repeat(dst[:-1], out_sizes)
+        )
+        out_buf[tgt] = rec_bytes[gidx]
+    # chunk headers: [nbytes:u32][nrec:u32] at each cell's start
+    hdr_pos = rec_dst[starts] - 8
+    nrec_c = (ends - starts).astype(np.uint32)
+    nbytes_c = (dst[ends] - dst[starts] + 8).astype(np.uint32)
+    hv = out_buf.view(np.uint8)
+    for field, off in ((nbytes_c, 0), (nrec_c, 4)):
+        le = field.astype("<u4").view(np.uint8).reshape(-1, 4)
+        for k in range(4):
+            hv[hdr_pos + off + k] = le[:, k]
+    return out_buf, len(starts)
+
+
 def _gather_rank_buckets(
     out_path: Path,
     spill_dir: Path,
@@ -163,8 +223,6 @@ def _gather_rank_buckets(
     backpatched, and a header over-claiming chunks would make readers
     hit EOF (cells may lose all reads to the orientation filter).
     Returns (n_written, per_cell_record_counts)."""
-    from ..radz import _native
-
     per_cell = np.zeros(n_cells, np.int64)
     for b in range(n_buckets):
         ranks = np.fromfile(spill_dir / f"bucket_{b}.rank", np.uint32)
@@ -196,66 +254,10 @@ def _gather_rank_buckets(
         ranks = np.fromfile(spill_dir / f"bucket_{b}.rank", np.uint32)
         if len(ranks) == 0:
             continue
-        if _native.available():
-            rec_starts, num_aln = _native.walk_records(
-                rec_bytes, np.asarray([0], np.int64),
-                np.asarray([len(ranks)], np.int64),
-                schema.read_bytes, schema.aln_bytes,
-            )
-        else:
-            from ..radz.chunkio import _walk_records_py
-
-            rec_starts, num_aln = _walk_records_py(
-                rec_bytes, [0], [len(ranks)],
-                schema.read_bytes, schema.aln_bytes,
-            )
-        sizes = 4 + schema.read_bytes + num_aln * schema.aln_bytes
-        order = np.argsort(ranks, kind="stable")
-        out_sizes = sizes[order]
-        # chunk boundaries per cell within the bucket
-        rs = ranks[order]
-        newc = np.ones(len(rs), bool)
-        newc[1:] = rs[1:] != rs[:-1]
-        starts = np.flatnonzero(newc)
-        ends = np.append(starts[1:], len(rs))
-        # destination offsets for every record, with an 8-byte chunk
-        # header gap before each cell's run; the whole bucket is
-        # assembled in one buffer (threaded memcpy gather) and written
-        # with one call
-        chunk_of = np.cumsum(newc) - 1
-        dst = np.zeros(len(order) + 1, np.int64)
-        np.cumsum(out_sizes, out=dst[1:])
-        rec_dst = dst[:-1] + 8 * (chunk_of + 1)
-        total = int(dst[-1]) + 8 * len(starts)
-        out_buf = np.empty(total, np.uint8)
-        if _native.available():
-            _native.gather_records(
-                rec_bytes, rec_starts, sizes, order, rec_dst, out_buf
-            )
-        else:
-            gidx = np.repeat(rec_starts[order], out_sizes) + (
-                np.arange(int(dst[-1]))
-                - np.repeat(dst[:-1], out_sizes)
-            )
-            tgt = np.repeat(rec_dst, out_sizes) + (
-                np.arange(int(dst[-1]))
-                - np.repeat(dst[:-1], out_sizes)
-            )
-            out_buf[tgt] = rec_bytes[gidx]
-        # chunk headers: [nbytes:u32][nrec:u32] at each cell's start
-        hdr_pos = rec_dst[starts] - 8
-        nrec_c = (ends - starts).astype(np.uint32)
-        nbytes_c = (
-            dst[ends] - dst[starts] + 8
-        ).astype(np.uint32)
-        hv = out_buf.view(np.uint8)
-        for field, off in ((nbytes_c, 0), (nrec_c, 4)):
-            le = field.astype("<u4").view(np.uint8).reshape(-1, 4)
-            for k in range(4):
-                hv[hdr_pos + off + k] = le[:, k]
+        out_buf, n_chunks = _gather_bucket_payload(rec_bytes, ranks, schema)
         w = frame if compress_out else sink
         w.write(out_buf.tobytes())
-        n_written += len(starts)
+        n_written += n_chunks
         (spill_dir / f"bucket_{b}.rec").unlink()
         (spill_dir / f"bucket_{b}.rank").unlink()
     if compress_out:
@@ -273,6 +275,89 @@ def _gather_rank_buckets(
     return n_written, per_cell
 
 
+def _gather_rank_buckets_multihost(
+    out_path: Path,
+    spill_dir: Path,
+    n_buckets: int,
+    schema,
+    prelude,
+    ftm,
+    compress_out: bool,
+    n_cells: int,
+):
+    """Multi-host gather: every host holds spill buckets for ITS chunk
+    range; per bucket, the record/rank streams are all-gathered over DCN
+    and concatenated in rank order (= global input chunk order, so the
+    stable per-bucket sort reproduces the single-host byte stream
+    exactly), and rank 0 writes the collated file.  All ranks execute
+    the collectives; only rank 0 touches the output.  This is the DCN
+    analog of the reference's temp-bucket gather (collate.rs:823-905),
+    the stage SURVEY §5 prescribes collectives for."""
+    from ..parallel import dist
+
+    rank, world = dist.rank_world()
+    # pass 1: all-gather the (small) rank sidecars — yields the exact
+    # chunk count (compressed output cannot be backpatched) and keeps
+    # the per-bucket streams for pass 2 on rank 0 only
+    per_cell = np.zeros(n_cells, np.int64)
+    rank_streams = []
+    for b in range(n_buckets):
+        local = np.fromfile(spill_dir / f"bucket_{b}.rank", np.uint32)
+        parts = dist.allgather_ragged(local)
+        cat = np.concatenate(parts) if parts else local
+        if rank == 0:
+            rank_streams.append(cat)
+            if len(cat):
+                per_cell += np.bincount(cat.astype(np.int64), minlength=n_cells)
+        del parts, cat
+    n_expected = int((per_cell > 0).sum())
+
+    n_written = 0
+    sink = raw_sink = frame = None
+    if rank == 0:
+        raw_sink = open(out_path, "wb")
+        if compress_out:
+            from ..radz.snappyz import SnappyFrameWriter
+            import io
+
+            head = io.BytesIO()
+            prelude.hdr.num_chunks = n_expected
+            prelude.write(head)
+            prelude.write_file_tag_values(head, ftm)
+            frame = SnappyFrameWriter(raw_sink)
+            frame.write(head.getvalue())
+        else:
+            sink = raw_sink
+            prelude.hdr.num_chunks = n_expected
+            prelude.write(sink)
+            prelude.write_file_tag_values(sink, ftm)
+
+    for b in range(n_buckets):
+        local = np.fromfile(spill_dir / f"bucket_{b}.rec", np.uint8)
+        parts = dist.allgather_ragged(local)
+        if rank == 0:
+            rec_bytes = np.concatenate(parts) if parts else local
+            ranks = rank_streams[b]
+            if len(ranks):
+                out_buf, n_chunks = _gather_bucket_payload(
+                    rec_bytes, ranks, schema
+                )
+                (frame if compress_out else sink).write(out_buf.tobytes())
+                n_written += n_chunks
+        del parts
+        (spill_dir / f"bucket_{b}.rec").unlink()
+        (spill_dir / f"bucket_{b}.rank").unlink()
+
+    if rank == 0:
+        if compress_out:
+            frame.flush()
+        raw_sink.close()
+        assert n_written == n_expected, (n_written, n_expected)
+    # all hosts wait until the file exists before the next stage reads it
+    dist.barrier("collate_gather_done")
+    return n_written, per_cell
+
+
 def _collate_out_of_core(
     input_dir: Path,
     rad_dir: Path,
@@ -285,6 +370,8 @@ def _collate_out_of_core(
     max_records: int,
     compress_out: bool,
     expect_atac: bool = False,
+    chunk_range: tuple | None = None,
+    multihost: bool = False,
 ) -> None:
     """Bounded-memory collation: scatter corrected records into
     rank-range spill buckets (each <= max_records), then gather each
@@ -308,6 +395,21 @@ def _collate_out_of_core(
             )
         schema = RecordSchema.from_prelude(prelude)
 
+        if multihost and chunk_range is None:
+            from ..parallel import dist
+
+            rank, world = dist.rank_world()
+            nchunks = int(prelude.hdr.num_chunks)
+            if nchunks <= 0:
+                raise ValueError(
+                    "multi-host collate needs a chunk count in the RAD header"
+                )
+            chunk_range = dist.host_chunk_plan(nchunks, world, rank)
+            log.info(
+                "multi-host collate: host %d/%d scatters chunks [%d, %d)",
+                rank, world, chunk_range[0], chunk_range[1],
+            )
+
         # bucket planning over the descending-count cell ranks
         csum = np.zeros(len(cell_cts) + 1, np.int64)
         np.cumsum(cell_cts.astype(np.int64), out=csum[1:])
@@ -322,7 +424,13 @@ def _collate_out_of_core(
         sort_perm = np.argsort(cell_bcs, kind="stable")
         cell_sorted = cell_bcs[sort_perm]
 
-        spill_dir = input_dir / "_collate_tmp"
+        if multihost:
+            from ..parallel import dist
+
+            rank, _world = dist.rank_world()
+            spill_dir = input_dir / f"_collate_tmp_r{rank}"
+        else:
+            spill_dir = input_dir / "_collate_tmp"
         spill_dir.mkdir(exist_ok=True)
         bucket_files = [
             (open(spill_dir / f"bucket_{b}.rec", "wb"),
@@ -342,7 +450,7 @@ def _collate_out_of_core(
             pb = pb_ctx.__enter__()
             for batch in iter_decoded_blocks(
                 fh, schema, prelude.hdr.num_chunks or None, max_records,
-                prefetch=True,
+                prefetch=True, chunk_range=chunk_range,
             ):
                 pb.update(batch.n_reads)
                 corrected, keep_read, keep_aln, new_offsets, _ = (
@@ -388,7 +496,11 @@ def _collate_out_of_core(
                 "velo.map.collated.rad" if velo_mode
                 else ("map.collated.rad.sz" if compress_out else "map.collated.rad")
             )
-            n_written, _per_cell = _gather_rank_buckets(
+            gather = (
+                _gather_rank_buckets_multihost if multihost
+                else _gather_rank_buckets
+            )
+            n_written, _per_cell = gather(
                 input_dir / cfname, spill_dir, n_buckets, schema, prelude,
                 ftm, compress_out, len(cell_bcs),
             )
@@ -603,27 +715,42 @@ def collate(
     map_keys, map_vals = bincodeio.read_u64_map_file(input_dir / "permit_map.bin")
     log.info("deserialized correction map of length: %d", len(map_keys))
 
-    # unmapped counts
-    bcs_u, cts_u = unmappedio.read_raw_unmapped(rad_dir / "unmapped_bc_count.bin")
-    if len(bcs_u):
-        hit, corr = _lookup_map(map_keys, map_vals, bcs_u)
-        cb, inv = np.unique(corr[hit], return_inverse=True)
-        agg = np.zeros(len(cb), np.uint64)
-        np.add.at(agg, inv, cts_u[hit].astype(np.uint64))
-        unmappedio.write_collated_single(
-            input_dir / "unmapped_bc_count_collated.bin", cb, agg.astype(np.uint32)
-        )
-    else:
-        unmappedio.write_collated_single(
-            input_dir / "unmapped_bc_count_collated.bin",
-            np.zeros(0, np.uint64), np.zeros(0, np.uint32),
-        )
+    from ..parallel import dist
 
-    write_json(input_dir / "collate.json", {
-        "cmd": cmdline,
-        "version_str": version,
-        "compressed_output": compress_out,
-    })
+    rank, world = dist.rank_world()
+
+    # unmapped counts (sidecars are rank-0 writes under multi-host)
+    if rank == 0:
+        bcs_u, cts_u = unmappedio.read_raw_unmapped(rad_dir / "unmapped_bc_count.bin")
+        if len(bcs_u):
+            hit, corr = _lookup_map(map_keys, map_vals, bcs_u)
+            cb, inv = np.unique(corr[hit], return_inverse=True)
+            agg = np.zeros(len(cb), np.uint64)
+            np.add.at(agg, inv, cts_u[hit].astype(np.uint64))
+            unmappedio.write_collated_single(
+                input_dir / "unmapped_bc_count_collated.bin", cb, agg.astype(np.uint32)
+            )
+        else:
+            unmappedio.write_collated_single(
+                input_dir / "unmapped_bc_count_collated.bin",
+                np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+            )
+
+        write_json(input_dir / "collate.json", {
+            "cmd": cmdline,
+            "version_str": version,
+            "compressed_output": compress_out,
+        })
+
+    # multi-host: every host scatters its chunk range into rank-local
+    # spill buckets; the gather all-gathers per-bucket streams over DCN
+    # and rank 0 writes the byte-identical collated file
+    if world > 1:
+        return _collate_out_of_core(
+            input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
+            expected_ori, velo_mode, max_records, compress_out,
+            multihost=True,
+        )
 
     # out-of-core path for datasets beyond the in-memory record bound
     # (the reference's --max-records scatter/gather, collate.rs:584-905)

@@ -47,6 +47,28 @@ elif mode == "quantdb":
         output_dir=Path(sys.argv[4]), resolution="cr-like-em", cmdline="mh",
         dump_eq=True, num_bootstraps=2, summary_stat=True,
     ))
+elif mode == "chain":
+    # the full gpl -> collate -> quant pipeline inside one distributed
+    # session; rank 0 writes each stage's artifacts, barriers keep the
+    # other rank from reading them early
+    from alevin_fry_tpu.parallel import dist
+    from alevin_fry_tpu.pipeline.gpl import (
+        CellFilterMethod, GenPermitListOpts, generate_permit_list,
+    )
+    from alevin_fry_tpu.pipeline.collate import collate
+    from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+    rad = Path(sys.argv[3]); base = Path(sys.argv[4])
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad, output_dir=base / "gpl",
+        fmeth=CellFilterMethod("unfiltered", path=rad / "wl.txt", min_reads=1),
+        expected_ori="fw", cmdline="mh",
+    ))
+    dist.barrier("gpl_done")
+    collate(base / "gpl", rad, cmdline="mh", max_records=257)
+    quantify(QuantOpts(
+        input_dir=base / "gpl", tg_map=rad / "t2g.tsv",
+        output_dir=base / "quant", resolution="cr-like", cmdline="mh",
+    ))
 else:
     from alevin_fry_tpu.pipeline.gpl import (
         CellFilterMethod, GenPermitListOpts, generate_permit_list,
@@ -253,3 +275,73 @@ def test_two_process_gpl_matches_single(tmp_path):
     meta_s = json.loads((ref_gpl / "generate_permit_list.json").read_text())
     meta_m = json.loads((out / "generate_permit_list.json").read_text())
     assert meta_s["max-ambig-record"] == meta_m["max-ambig-record"]
+
+
+def test_two_process_full_chain_matches_single(tmp_path):
+    """The whole gpl -> collate -> quant pipeline under one 2-process
+    jax.distributed session: every artifact — including the collated
+    RAD, the first stage with a real DCN shuffle — must match the
+    single-process run byte-for-byte (VERDICT r2 item 3)."""
+    rng = np.random.RandomState(41)
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT", "ACGTACGT"]
+    refs = [f"t{i}" for i in range(12)]
+    reads = []
+    for i in range(1500):
+        bc = bcs[rng.randint(len(bcs))]
+        if rng.rand() < 0.08:  # 1-edit noise exercises the rescue
+            bc = bc[:-1] + ("T" if bc[-1] == "A" else "A")
+        tids = sorted(set(rng.randint(0, 12, rng.randint(1, 3)).tolist()))
+        reads.append((pack_seq(bc), int(rng.randint(1 << 18)),
+                      [(t, True) for t in tids]))
+    chunks = [reads[i : i + 111] for i in range(0, len(reads), 111)]
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, chunks, bc_len=8, umi_len=10)
+    (rad_dir / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+    (rad_dir / "t2g.tsv").write_text(
+        "".join(f"t{i}\tg{i//3}\n" for i in range(12))
+    )
+
+    # single-process reference chain (same small max_records so the
+    # single-host comparison also runs the spill path's block sizes)
+    sbase = tmp_path / "single"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=sbase / "gpl",
+        fmeth=CellFilterMethod("unfiltered", path=rad_dir / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="mh",
+    ))
+    collate(sbase / "gpl", rad_dir, cmdline="mh", max_records=257)
+    quantify(QuantOpts(
+        input_dir=sbase / "gpl", tg_map=rad_dir / "t2g.tsv",
+        output_dir=sbase / "quant", resolution="cr-like", cmdline="mh",
+    ))
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    mbase = tmp_path / "multi"
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("AFT_", "XLA_", "JAX_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(pid), coord, str(rad_dir),
+             str(mbase), repo, "chain"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    logs = [p.communicate(timeout=360)[0].decode() for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{lg[-4000:]}"
+    assert any("multi-host collate" in lg for lg in logs)
+
+    for name in (
+        "gpl/permit_freq.bin", "gpl/permit_map.bin",
+        "gpl/map.collated.rad", "gpl/unmapped_bc_count_collated.bin",
+        "quant/alevin/quants_mat.mtx", "quant/alevin/quants_mat_rows.txt",
+        "quant/alevin/quants_mat_cols.txt", "quant/featureDump.txt",
+    ):
+        assert (mbase / name).read_bytes() == (sbase / name).read_bytes(), name
