@@ -65,11 +65,66 @@ def pack_adjacency(
     return nbrs, node_valid
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _dense_cc_run(B: int, N: int, fixed_rounds: int = 0):
+    """Build the dense MXU formulation: reachability by repeated matrix
+    squaring in a boolean semiring (R <- (R @ R > 0)), then per-node
+    component label = min reachable node index.
+
+    The label-propagation formulation is gather-bound — measured at
+    ~0.8 GB/s on v5e (random (B, N*D) gathers serialize on the VPU; see
+    BASELINE.md utilization table) — while squaring runs B x N^3 MACs
+    per round on the MXU with ceil(log2(N)) rounds total.  0/1 matrices
+    in bf16 with f32 accumulation are exact (sums <= N <= 2^15)."""
+    import jax
+    import jax.numpy as jnp
+
+    rounds = fixed_rounds if fixed_rounds > 0 else max(1, (N - 1).bit_length())
+
+    @jax.jit
+    def run(nbrs, node_valid):
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        v_idx = jnp.arange(N, dtype=jnp.int32)[None, :, None]
+        # one-hot adjacency; pad slots (= N) land in the dropped column
+        A = (
+            jnp.zeros((B, N, N + 1), jnp.bfloat16)
+            .at[b_idx, v_idx, nbrs]
+            .set(jnp.bfloat16(1))[:, :, :N]
+        )
+        eye = jnp.eye(N, dtype=jnp.bfloat16)[None]
+        R0 = jnp.maximum(A, eye * node_valid[:, :, None].astype(jnp.bfloat16))
+
+        def body(_i, R):
+            prod = jnp.einsum(
+                "bij,bjk->bik", R, R, preferred_element_type=jnp.float32
+            )
+            return (prod > 0).astype(jnp.bfloat16)
+
+        R = jax.lax.fori_loop(0, rounds, body, R0)
+        iota = jnp.arange(N, dtype=jnp.int32)[None, None, :]
+        labels = jnp.min(
+            jnp.where(R > 0, iota, jnp.int32(N)), axis=2
+        )
+        return jnp.where(node_valid, labels, jnp.int32(N))
+
+    return run
+
+
+def cc_dense_enabled() -> bool:
+    import os
+
+    return os.environ.get("AFT_PUG_CC_DENSE", "auto") != "0"
+
+
 def connected_components_batched(
     nbrs: np.ndarray,
     node_valid: np.ndarray,
     mesh=None,
     fixed_rounds: int = 0,
+    dense: bool | None = None,
 ):
     """Min-label-propagation connected components, batched over cells.
 
@@ -88,6 +143,24 @@ def connected_components_batched(
 
     B, N, D = nbrs.shape
     INF = np.int32(N)
+
+    # dense MXU path (default): N^2 adjacency + log2(N) squarings on
+    # the systolic array, sub-batched so the f32 matmul intermediate
+    # stays under ~512 MB; the gather formulation remains for huge N
+    # and as the AFT_PUG_CC_DENSE=0 escape hatch
+    if dense is None:
+        dense = cc_dense_enabled() and N <= 2048
+    if dense and mesh is None:
+        b_sub = max(1, (256 << 20) // max(N * N * 4, 1))
+        out = np.empty((B, N), np.int32)
+        nbrs32 = np.asarray(nbrs, np.int32)
+        for s in range(0, B, b_sub):
+            e = min(s + b_sub, B)
+            run_d = _dense_cc_run(e - s, N, fixed_rounds)
+            out[s:e] = np.asarray(
+                run_d(jnp.asarray(nbrs32[s:e]), jnp.asarray(node_valid[s:e]))
+            )
+        return out
 
     @jax.jit
     def run(nbrs, node_valid):

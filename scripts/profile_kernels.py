@@ -49,11 +49,14 @@ VPU_I32_OPS = 3.9e12  # v5e VPU int32 estimate (see module docstring)
 
 
 def _time_once(fn, *args):
-    import jax
-
+    """Time one call.  The timed callable must return a SCALAR that
+    data-depends on the full computation: through the axon tunnel,
+    ``block_until_ready`` alone does not force remote execution — only
+    fetching bytes does, so we fetch the scalar (4-8 bytes, constant
+    cost that cancels in the two-point difference)."""
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    out = np.asarray(out)
     return time.perf_counter() - t0, out
 
 
@@ -91,8 +94,13 @@ def profile_em(usa: bool):
     seeds = jnp.zeros((B,), jnp.uint32)
 
     def build(k):
+        import jax
+
         fn = _get_em_kernel(usa, False, fixed_rounds=k)
-        return (lambda: fn(labels, lens, counts, seeds, uoff, aoff, R, False)), ()
+        summed = jax.jit(
+            lambda l, n, c, s: fn(l, n, c, s, uoff, aoff, R, False).sum()
+        )
+        return (lambda: summed(labels, lens, counts, seeds)), ()
 
     per_round, t1, t2 = _two_point(build, 10, 110)
     gathers = 6 if usa else 4
@@ -133,20 +141,25 @@ def profile_wta():
     key_np = (c << np.uint64(ubits + gbits)) | (u << np.uint64(gbits)) | g
 
     def build(k):
-        with jax.enable_x64(True):
-            @jax.jit
-            def chain(key):
-                def body(_i, key):
-                    ok, oc = _kernel(key, ubits, gbits, n_rows)
-                    # feed output back: flip the gene low bit where the
-                    # emitted segment-start key was odd — keeps the key
-                    # distribution realistic and defeats loop hoisting
-                    return key ^ (ok & jnp.uint64(1))
+        @jax.jit
+        def chain(key):
+            def body(_i, key):
+                ok, oc = _kernel(key, ubits, gbits, n_rows)
+                # feed output back: flip the gene low bit where the
+                # emitted segment-start key was odd — keeps the key
+                # distribution realistic and defeats loop hoisting
+                return key ^ (ok & jnp.uint64(1))
 
-                return jax.lax.fori_loop(0, k, body, key)
+            out = jax.lax.fori_loop(0, k, body, key)
+            return (out >> jnp.uint64(32)).astype(jnp.uint32).sum()
 
-            arg = jnp.asarray(key_np)
-        return (lambda: chain(arg)), ()
+        def call():
+            # enable_x64 must wrap the CALL: tracing happens lazily at
+            # first invocation, and u64 demotes to u32 outside the scope
+            with jax.enable_x64(True):
+                return chain(jnp.asarray(key_np))
+
+        return call, ()
 
     per_round, t1, t2 = _two_point(build, 2, 12)
     return {
@@ -180,7 +193,9 @@ def profile_pug_cc():
 
     def build(k):
         return (
-            lambda: connected_components_batched(nbrs, valid, fixed_rounds=k)
+            lambda: connected_components_batched(
+                nbrs, valid, fixed_rounds=k, dense=False
+            )
         ), ()
 
     per_round, t1, t2 = _two_point(build, 4, 36)
@@ -194,6 +209,38 @@ def profile_pug_cc():
             100 * bytes_moved / per_round / 1e9 / HBM_GBS, 1
         ),
         "raw": {"K": [4, 36], "t_s": [round(t1, 4), round(t2, 4)]},
+    }
+
+
+def profile_cc_dense():
+    """Dense MXU CC: reachability by matrix squaring, B x N^3 MACs per
+    round on the systolic array (the production formulation for
+    N <= 2048; ops/pug_device.py::_dense_cc_run)."""
+    from alevin_fry_tpu.ops.pug_device import connected_components_batched
+
+    B, N, D = 1024, 256, 16
+    nbrs = np.full((B, N, D), N, np.int32)
+    v = np.arange(N)
+    nbrs[:, :, 0] = (v + 1) % N
+    nbrs[:, :, 1] = (v - 1) % N
+    valid = np.ones((B, N), bool)
+
+    def build(k):
+        return (
+            lambda: connected_components_batched(
+                nbrs, valid, fixed_rounds=k, dense=True
+            )
+        ), ()
+
+    per_round, t1, t2 = _two_point(build, 2, 10)
+    flops = 2 * B * N ** 3
+    return {
+        "kernel": f"PUG CC dense squaring (B={B},N={N}), fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 3),
+        "model_flops_per_round": flops,
+        "achieved_TFLOPs": round(flops / per_round / 1e12, 1),
+        "mxu_utilization_pct": round(100 * flops / per_round / PEAK_BF16, 1),
+        "raw": {"K": [2, 10], "t_s": [round(t1, 4), round(t2, 4)]},
     }
 
 
@@ -234,7 +281,7 @@ def profile_hamming():
                 )
 
             ql, qh = jax.lax.fori_loop(0, k, body, (q_lo, q_hi))
-            return ql
+            return ql.sum()
 
         args = tuple(
             jnp.asarray(x) for x in (q_lo, q_hi, k_lo, k_hi, kb_lo, kb_hi)
@@ -274,6 +321,7 @@ def main():
         "em_usa": lambda: profile_em(True),
         "wta": profile_wta,
         "cc": profile_pug_cc,
+        "cc_dense": profile_cc_dense,
         "hamming": profile_hamming,
     }
     names = args.only.split(",") if args.only else list(table)

@@ -485,3 +485,30 @@ def test_gpl_device_histogram_matches_host(tmp_path, monkeypatch):
         }
     monkeypatch.delenv("AFT_GPL_MESH")
     assert outs["host"] == outs["mesh"]
+
+
+def test_dense_cc_matches_gather_formulation():
+    """The MXU reachability-squaring CC (ops/pug_device._dense_cc_run)
+    must produce exactly the min-label components of the gather
+    formulation on random graphs, including invalid-node padding and
+    sub-batched shapes."""
+    from alevin_fry_tpu.ops.pug_device import (
+        connected_components_batched, pack_adjacency,
+    )
+
+    rng = np.random.RandomState(17)
+    for trial in range(3):
+        B, N = 9, 30 + 40 * trial
+        adjs = []
+        for _ in range(B):
+            n = rng.randint(1, N)
+            adj = [[] for _ in range(n)]
+            for _ in range(rng.randint(0, 3 * n)):
+                a, b = rng.randint(0, n, size=2)
+                if a != b:
+                    adj[a].append(b)
+            adjs.append(adj)
+        nbrs, valid = pack_adjacency(adjs)
+        d = connected_components_batched(nbrs, valid, dense=True)
+        g = connected_components_batched(nbrs, valid, dense=False)
+        assert np.array_equal(d, g)
