@@ -172,10 +172,126 @@ def _parse_bam_tags_py(buf: bytes):
     return cr, ur, as_score
 
 
+class _BgzfReader:
+    """Forward-only threaded BGZF reader.
+
+    BAM's container format is BGZF: independent gzip members <= 64 KB,
+    each carrying its compressed size in a BC extra subfield.  The
+    reference inflates them with a multithreaded bgzf reader
+    (convert.rs:205-220); the Python ``gzip`` module is a single
+    sequential stream and was the convert bottleneck once the record
+    scan went native.  Here the boundary scan is a cheap per-block
+    Python loop over raw file chunks and the payload inflation fans out
+    across threads in native code (radc_bgzf_inflate)."""
+
+    def __init__(self, path, chunk_bytes: int = 8 << 20):
+        self._fh = open(path, "rb")
+        self._chunk = chunk_bytes
+        self._carry = b""
+        self._out = b""
+        self._pos = 0
+        self._eof = False
+
+    @staticmethod
+    def sniff(head: bytes) -> bool:
+        """True when ``head`` (>= 18 bytes) starts a BGZF member."""
+        if len(head) < 18 or head[:2] != b"\x1f\x8b" or head[2] != 8:
+            return False
+        if not head[3] & 4:  # FEXTRA
+            return False
+        xlen = int.from_bytes(head[10:12], "little")
+        extra = head[12 : 12 + min(xlen, len(head) - 12)]
+        pos = 0
+        while pos + 4 <= len(extra):
+            si1, si2 = extra[pos], extra[pos + 1]
+            slen = int.from_bytes(extra[pos + 2 : pos + 4], "little")
+            if si1 == 66 and si2 == 67 and slen == 2:
+                return True
+            pos += 4 + slen
+        return False
+
+    def _scan_blocks(self, raw: bytes):
+        offs, lens, isizes = [], [], []
+        pos = 0
+        while pos + 18 <= len(raw):
+            if raw[pos : pos + 2] != b"\x1f\x8b" or raw[pos + 2] != 8:
+                raise ValueError("corrupt BGZF member header")
+            xlen = int.from_bytes(raw[pos + 10 : pos + 12], "little")
+            extra = raw[pos + 12 : pos + 12 + xlen]
+            if len(extra) < xlen:
+                break  # header split across chunks
+            bsize = None
+            e = 0
+            while e + 4 <= xlen:
+                si1, si2 = extra[e], extra[e + 1]
+                slen = int.from_bytes(extra[e + 2 : e + 4], "little")
+                if si1 == 66 and si2 == 67 and slen == 2:
+                    bsize = int.from_bytes(extra[e + 4 : e + 6], "little") + 1
+                e += 4 + slen
+            if bsize is None:
+                raise ValueError("gzip member without a BGZF BC subfield")
+            if pos + bsize > len(raw):
+                break
+            offs.append(pos + 12 + xlen)
+            lens.append(bsize - 12 - xlen - 8)
+            isizes.append(
+                int.from_bytes(raw[pos + bsize - 4 : pos + bsize], "little")
+            )
+            pos += bsize
+        return offs, lens, isizes, pos
+
+    def _fill(self) -> None:
+        data = self._fh.read(self._chunk)
+        raw = self._carry + data
+        if not data:
+            self._eof = True
+            if raw:
+                raise ValueError("truncated BGZF stream")
+            return
+        offs, lens, isizes, consumed = self._scan_blocks(raw)
+        self._carry = raw[consumed:]
+        if not offs:
+            return
+        out_offs = np.zeros(len(isizes) + 1, np.int64)
+        np.cumsum(np.asarray(isizes, np.int64), out=out_offs[1:])
+        out = np.empty(int(out_offs[-1]), np.uint8)
+        native.bgzf_inflate(
+            np.frombuffer(raw, np.uint8),
+            np.asarray(offs, np.int64), np.asarray(lens, np.int64),
+            out_offs[:-1], np.asarray(isizes, np.int64), out,
+        )
+        self._out = self._out[self._pos :] + out.tobytes()
+        self._pos = 0
+
+    def read(self, n: int) -> bytes:
+        while len(self._out) - self._pos < n and not self._eof:
+            self._fill()
+        b = self._out[self._pos : self._pos + n]
+        self._pos += len(b)
+        return b
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def _open_bam_stream(path: Path):
+    """BGZF-threaded reader when the native library is built and the
+    file really is BGZF; plain ``gzip`` stream otherwise (valid BAMs in
+    a bare gzip member decode identically, just single-threaded)."""
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(64)
+    except OSError:
+        head = b""
+    if native.available() and _BgzfReader.sniff(head):
+        return _BgzfReader(path)
+    return gzip.open(path, "rb")
+
+
 def iter_bam_columns(path: Path) -> Tuple[List[str], Iterator[dict]]:
     """Columnar batches from a BAM file (native scanner when built,
     pure-Python fallback otherwise — same column contract)."""
-    fh = gzip.open(path, "rb")
+    fh = _open_bam_stream(path)
     magic = fh.read(4)
     if magic != b"BAM\x01":
         fh.close()

@@ -235,6 +235,12 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.radc_bgzf_inflate.restype = ctypes.c_int64
+        lib.radc_bgzf_inflate.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
         lib.radc_intern_label_sets.restype = ctypes.c_int64
         lib.radc_intern_label_sets.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -993,6 +999,26 @@ def gather_records(
         np.ascontiguousarray(dst_off, np.int64).ctypes.data,
         out.ctypes.data, _NTHREADS,
     )
+
+
+def bgzf_inflate(
+    buf: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+    out_offs: np.ndarray, isizes: np.ndarray, out: np.ndarray,
+) -> None:
+    """Inflate BGZF block payloads concurrently (raw deflate per block,
+    convert.rs:205-220 semantics).  Raises ValueError on a corrupt
+    block."""
+    lib = _load()
+    rc = lib.radc_bgzf_inflate(
+        np.ascontiguousarray(buf, np.uint8).ctypes.data,
+        np.ascontiguousarray(offs, np.int64).ctypes.data,
+        np.ascontiguousarray(lens, np.int64).ctypes.data,
+        np.ascontiguousarray(out_offs, np.int64).ctypes.data,
+        np.ascontiguousarray(isizes, np.int64).ctypes.data,
+        len(offs), out.ctypes.data, _NTHREADS,
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt BGZF block at index {-rc - 1}")
 
 
 def bam_scan(buf, qname_state: np.ndarray):

@@ -2358,3 +2358,58 @@ extern "C" int64_t radc_bam_scan(
   *bytes_consumed = pos;
   return rec;
 }
+
+// --- BGZF threaded inflate --------------------------------------------------
+//
+// BGZF (the BAM container framing) is a series of independent gzip
+// members, each <= 64 KB with its compressed size in a BC extra
+// subfield; the reference decompresses them with a multithreaded bgzf
+// reader (convert.rs:205-220).  Block independence makes the inflate
+// embarrassingly parallel: the caller scans block boundaries (cheap)
+// and this entry point inflates all payloads concurrently with
+// raw-deflate zlib streams.
+
+#include <zlib.h>
+
+// Inflate n_blocks raw-deflate payloads (buf+offs[i], lens[i]) into
+// out+out_offs[i], each expected to produce isizes[i] bytes.  Returns 0
+// on success or -(i+1) for the first failing block.
+extern "C" int64_t radc_bgzf_inflate(
+    const uint8_t* buf, const int64_t* offs, const int64_t* lens,
+    const int64_t* out_offs, const int64_t* isizes, int64_t n_blocks,
+    uint8_t* out, int32_t nthreads) {
+  if (n_blocks <= 0) return 0;
+  int nt = nthreads > 0 ? nthreads : 1;
+  if (nt > n_blocks) nt = static_cast<int>(n_blocks);
+  std::vector<int64_t> status(nt, 0);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    workers.emplace_back([&, t]() {
+      z_stream strm;
+      for (int64_t i = t; i < n_blocks; i += nt) {
+        std::memset(&strm, 0, sizeof(strm));
+        if (inflateInit2(&strm, -15) != Z_OK) {
+          if (!status[t]) status[t] = -(i + 1);
+          return;
+        }
+        strm.next_in = const_cast<Bytef*>(buf + offs[i]);
+        strm.avail_in = static_cast<uInt>(lens[i]);
+        strm.next_out = out + out_offs[i];
+        strm.avail_out = static_cast<uInt>(isizes[i]);
+        int rc = inflate(&strm, Z_FINISH);
+        bool ok = (rc == Z_STREAM_END) &&
+                  (static_cast<int64_t>(strm.total_out) == isizes[i]);
+        inflateEnd(&strm);
+        if (!ok && !status[t]) {
+          status[t] = -(i + 1);
+          return;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  for (int t = 0; t < nt; ++t)
+    if (status[t]) return status[t];
+  return 0;
+}

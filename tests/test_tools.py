@@ -233,3 +233,89 @@ def test_bootstrap_pipeline(tmp_path):
     # bootstrap means should hover near the point estimates
     assert abs(mean.sum() - 110) < 5
     assert (qdir / "alevin" / "bootstraps_var.mtx").exists()
+
+
+def _bgzf_compress(payload: bytes, block_payload: int = 3000) -> bytes:
+    """Hand-rolled BGZF writer: split ``payload`` into members with the
+    BC extra subfield, ending with the standard BGZF EOF block."""
+    import struct as _s
+    import zlib
+
+    out = io.BytesIO()
+    for i in range(0, len(payload), block_payload) if payload else [0]:
+        part = payload[i : i + block_payload]
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        body = c.compress(part) + c.flush()
+        bsize = 12 + 6 + len(body) + 8
+        out.write(b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff")
+        out.write(_s.pack("<H", 6))  # XLEN
+        out.write(b"BC" + _s.pack("<HH", 2, bsize - 1))
+        out.write(body)
+        out.write(_s.pack("<II", zlib.crc32(part), len(part) & 0xFFFFFFFF))
+    # EOF marker block (empty payload)
+    out.write(bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"
+    ))
+    return out.getvalue()
+
+
+def test_convert_bam_bgzf_threaded(tmp_path):
+    """A real multi-block BGZF BAM must decode through the threaded
+    native inflate path to the same RAD as the plain-gzip stream."""
+    import struct
+
+    from alevin_fry_tpu.pipeline.convert import _BgzfReader, _open_bam_stream
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+
+    refs = ["tx_a", "tx_b"]
+    bam = io.BytesIO()
+    bam.write(b"BAM\x01")
+    bam.write(struct.pack("<i", 0))
+    bam.write(struct.pack("<i", 2))
+    for nm in refs:
+        bam.write(struct.pack("<i", len(nm) + 1) + nm.encode() + b"\x00"
+                  + struct.pack("<i", 1000))
+    rng = np.random.RandomState(3)
+    for r in range(400):
+        qname = f"read{r}".encode() + b"\x00"
+        rec_core = struct.pack(
+            "<iiBBHHHiiii", int(rng.randint(2)), 0, len(qname), 255,
+            0, 0, 0, 4, -1, -1, 0,
+        )
+        aux = (b"CRZ" + b"ACGT"[r % 4 : r % 4 + 1] * 8 + b"\x00"
+               + b"URZCCCAAA\x00ASi" + struct.pack("<i", 5 + r % 7))
+        body = rec_core + qname + b"\x12\x48" + b"\xff" * 4 + aux
+        bam.write(struct.pack("<i", len(body)))
+        bam.write(body)
+    payload = bam.getvalue()
+
+    p_bgzf = tmp_path / "t_bgzf.bam"
+    p_bgzf.write_bytes(_bgzf_compress(payload, block_payload=777))
+    p_gz = tmp_path / "t_gz.bam"
+    with gzip.open(p_gz, "wb") as fh:
+        fh.write(payload)
+
+    # the sniffer must route each file to the right reader
+    assert isinstance(_open_bam_stream(p_bgzf), _BgzfReader)
+    assert not isinstance(_open_bam_stream(p_gz), _BgzfReader)
+
+    r1 = tmp_path / "bgzf.rad"
+    r2 = tmp_path / "gz.rad"
+    bam2rad(p_bgzf, r1)
+    bam2rad(p_gz, r2)
+    assert r1.read_bytes() == r2.read_bytes()
+
+    # corrupt one block body -> loud failure
+    blob = bytearray(p_bgzf.read_bytes())
+    blob[60] ^= 0xFF
+    p_bad = tmp_path / "bad.bam"
+    p_bad.write_bytes(bytes(blob))
+    import pytest
+
+    with pytest.raises(ValueError):
+        bam2rad(p_bad, tmp_path / "bad.rad")
