@@ -330,20 +330,24 @@ def wta_counts_device(
     n_rows: int,
     usa: bool = False,
     prefer_ambig: bool = False,
+    async_: bool = False,
 ):
     """cr-like WTA resolution + counting on device: gene-unique (non-
     USA) or USA tie-set slotting (``usa=True``; gene ids must be the
     interleaved USA ids and ``n_rows`` the 3-section space;
     ``prefer_ambig`` switches to gene-pair aggregation).  Returns
-    COO triplets (rows, cols, counts[f32]) or None when the key doesn't
-    fit the packed-u64 bit budget (caller falls back to host)."""
+    COO triplets (rows, cols, counts[f32]) — or, with ``async_``, a
+    PendingWta whose .get() yields them after the device finishes — or
+    None when the key doesn't fit the packed-u64 bit budget (caller
+    falls back to host)."""
     from .crlike_device import resolve_crlike_wta_device
 
     pair_read, pair_gene = _dedup_read_genes(refs, aln_offsets, tid_to_gid)
     c = cell_of_read[pair_read]
     u = umi[pair_read]
     g = pair_gene
-    cbits = _bits_for(int(c.max()) + 1 if len(c) else 1)
+    max_cell = int(c.max()) if len(c) else 0
+    cbits = _bits_for(max_cell + 1 if len(c) else 1)
     ubits = _bits_for(int(u.max()) + 1 if len(u) else 1)
     gbits = _bits_for(int(g.max()) + 1 if len(g) else 1)
     if cbits + ubits + gbits > 64 or len(c) == 0:
@@ -354,7 +358,8 @@ def wta_counts_device(
         | g.astype(np.uint64)
     )
     return resolve_crlike_wta_device(
-        key, ubits, gbits, n_rows, usa=usa, prefer_ambig=prefer_ambig
+        key, ubits, gbits, n_rows, usa=usa, prefer_ambig=prefer_ambig,
+        async_=async_, n_cells=max_cell + 1,
     )
 
 

@@ -26,6 +26,7 @@ no collectives are needed until the final count-matrix assembly.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import numpy as np
@@ -196,9 +197,113 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     return out_key, out_cnt
 
 
+def _compact(out_key, out_cnt, pack32: bool):
+    """Compact the scattered (key, count) output on device: valid
+    entries sort to the front in key order (PAD is the u64 maximum), so
+    the host only fetches an nnz-sized prefix instead of the full
+    padded array — the dominant cost when the device sits behind a
+    network tunnel, and a bandwidth saving on any topology.
+
+    ``pack32`` (host-static: max key < 2^32) fuses key and count into
+    one u64 so the prefix fetch moves 8 bytes/entry instead of 12."""
+    import jax
+    import jax.numpy as jnp
+
+    valid = out_key != PAD
+    nnz = valid.sum(dtype=jnp.int32)
+    if pack32:
+        packed = jnp.where(
+            valid,
+            (out_key << jnp.uint64(32)) | out_cnt.astype(jnp.uint64),
+            PAD,
+        )
+        return nnz, jnp.sort(packed)
+    sk, sc = jax.lax.sort((out_key, out_cnt), num_keys=1)
+    return nnz, sk, sc
+
+
+@functools.lru_cache(maxsize=None)
+def _slice_fn(b: int):
+    import jax
+
+    return jax.jit(lambda x: x[:b])
+
+
+def _fetch_prefix(arr, nnz: int, pad_to: int):
+    """Fetch the first ``nnz`` entries of a device array, rounded up to
+    a power-of-two bucket so the slice-program count stays bounded."""
+    import jax
+
+    if nnz == 0:
+        return np.zeros(0, np.dtype(arr.dtype))
+    b = 1 << max(int(nnz - 1).bit_length(), 10)
+    if b >= pad_to:
+        return np.asarray(arr)[:nnz]
+    with jax.enable_x64(True):
+        return np.asarray(_slice_fn(b)(arr))[:nnz]
+
+
+class PendingWta:
+    """A submitted-but-unfetched device WTA resolution.  Holding the
+    fetch until ``get()`` lets JAX's async dispatch overlap the
+    host→device transfer and on-chip sort of block k with the host-side
+    decode of block k+1 (the reference's reader/worker overlap,
+    quant.rs:1527-1743, reborn as an input pipeline)."""
+
+    def __init__(self, nnz_dev, arrays, n_rows: int, pack32: bool, pad_to: int):
+        self._nnz = nnz_dev
+        self._arrays = arrays
+        self._n_rows = n_rows
+        self._pack32 = pack32
+        self._pad_to = pad_to
+
+    def get(self):
+        n_rows = self._n_rows
+        nnz = int(np.asarray(self._nnz))
+        if self._pack32:
+            packed = _fetch_prefix(self._arrays[0], nnz, self._pad_to)
+            uniq = (packed >> np.uint64(32)).astype(np.int64)
+            cnt = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:
+            uniq = _fetch_prefix(self._arrays[0], nnz, self._pad_to).astype(
+                np.int64
+            )
+            cnt = _fetch_prefix(self._arrays[1], nnz, self._pad_to)
+        self._arrays = None
+        return (
+            (uniq // n_rows).astype(np.int64),
+            (uniq % n_rows).astype(np.int64),
+            cnt.astype(np.float32),
+        )
+
+
+def _pad_bucket(n: int) -> int:
+    """Padded key-array length: power-of-two ladder with midpoints
+    (1.5x steps) — halves the average padding waste vs pure powers of
+    two while keeping the compiled-program count bounded."""
+    n = max(n, 1024)
+    p = 1 << (int(n - 1).bit_length())
+    mid = (p >> 1) + (p >> 2)
+    return mid if n <= mid else p
+
+
+@functools.lru_cache(maxsize=None)
+def _wta_compact_fn(usa: bool, pack32: bool):
+    import jax
+
+    def run(k, ub, gb, nr, pa):
+        ok, oc = (
+            _kernel_usa(k, ub, gb, nr, pa) if usa else _kernel(k, ub, gb, nr)
+        )
+        return _compact(ok, oc, pack32)
+
+    return jax.jit(run, static_argnums=(1, 2, 3, 4))
+
+
 def resolve_crlike_wta_device(
     key: np.ndarray, ubits: int, gbits: int, n_rows: int, pad_to: int | None = None,
-    usa: bool = False, prefer_ambig: bool = False,
+    usa: bool = False, prefer_ambig: bool = False, async_: bool = False,
+    n_cells: int | None = None,
 ):
     """Resolve packed (cell, umi, gene) keys on device; returns COO
     triplets (rows, cols, counts[f32]) sorted by (cell, gene) —
@@ -208,35 +313,31 @@ def resolve_crlike_wta_device(
     ``key`` must already be deduplicated per (read, gene) — i.e. the
     output of _dedup_read_genes repacked — duplicates from one read
     would inflate multiplicities.
+
+    ``async_=True`` returns a :class:`PendingWta` immediately after
+    submitting the program; the caller fetches later, letting device
+    work overlap host decode of subsequent blocks.
     """
     import jax
     import jax.numpy as jnp
 
     n = len(key)
     if pad_to is None:
-        # pad to the next power-of-two bucket to bound program count
-        pad_to = 1 << max(int(n - 1).bit_length(), 10)
+        pad_to = _pad_bucket(n)
     buf = np.full(pad_to, PAD, np.uint64)
     buf[:n] = key
+    # counts are bounded by the block's pair count, so they always fit
+    # 32 bits; keys pack alongside when the (cell, gene) space does
+    max_cells = n_cells if n_cells is not None else 1 << (64 - ubits - gbits)
+    # strict bound: a key of exactly 0xFFFFFFFF packed with a count of
+    # 0xFFFFFFFF would collide with PAD
+    pack32 = max_cells * n_rows < (1 << 32)
+
+    fn = _wta_compact_fn(usa, pack32)
     with jax.enable_x64(True):
-        if usa:
-            fn = jax.jit(_kernel_usa, static_argnums=(1, 2, 3, 4))
-            out_key, out_cnt = fn(
-                jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig
-            )
-        else:
-            fn = jax.jit(_kernel, static_argnums=(1, 2, 3))
-            out_key, out_cnt = fn(jnp.asarray(buf), ubits, gbits, n_rows)
-        out_key = np.asarray(out_key)
-        out_cnt = np.asarray(out_cnt)
-    keep = out_key != PAD
-    uniq = out_key[keep].astype(np.int64)  # segment starts are already sorted
-    cnt = out_cnt[keep]
-    return (
-        (uniq // n_rows).astype(np.int64),
-        (uniq % n_rows).astype(np.int64),
-        cnt.astype(np.float32),
-    )
+        out = fn(jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig)
+    pending = PendingWta(out[0], out[1:], n_rows, pack32, pad_to)
+    return pending if async_ else pending.get()
 
 
 def sharded_crlike_wta(mesh, keys_per_shard, ubits: int, gbits: int, n_rows: int):

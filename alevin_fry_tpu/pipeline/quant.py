@@ -224,6 +224,26 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
         np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.float32)
     )
 
+    # device-path pipelining: blocks are submitted to the accelerator
+    # asynchronously and fetched a bounded number of blocks later, so
+    # transfer + on-chip sort of block k overlap host decode of block
+    # k+1 (AFT_WTA_ASYNC=0 restores synchronous per-block resolution)
+    async_device = (
+        os.environ.get("AFT_WTA_ASYNC", "1") != "0"
+        and crlike.device_backend_enabled(0)
+    )
+    async_depth = max(int(os.environ.get("AFT_WTA_QUEUE", 2)), 1)
+    from collections import deque
+
+    pending_q: deque = deque()
+
+    def _flush(res) -> None:
+        if res.pending is not None:
+            res.pending()
+        if sink is not None:
+            sink.add(res.rows, res.cols, res.vals, len(res.cells))
+            res.rows, res.cols, res.vals = empty_coo
+
     pb_ctx = stage_timer(log, "quant resolve", "reads")
     pb = pb_ctx.__enter__()
     try:
@@ -250,12 +270,22 @@ def _do_quantify(br, opts: QuantOpts, parent: Path) -> None:
             res = _resolve_cells(
                 batch, keep_local, tid_to_gid, opts, sa_model, usa_mode,
                 usa_offsets, num_genes, num_rows, sample_names,
-                cell_offset=first,
+                cell_offset=first, async_device=async_device,
             )
-            if sink is not None:
-                sink.add(res.rows, res.cols, res.vals, len(res.cells))
-                res.rows, res.cols, res.vals = empty_coo
             parts.append((first, res))
+            # the sink streams row-ordered MTX bytes, so flushes must
+            # stay in block order: a synchronous result forces any
+            # queued async blocks ahead of it to flush first
+            if res.pending is not None:
+                pending_q.append(res)
+                while len(pending_q) > async_depth:
+                    _flush(pending_q.popleft())
+            else:
+                while pending_q:
+                    _flush(pending_q.popleft())
+                _flush(res)
+        while pending_q:
+            _flush(pending_q.popleft())
         pb_ctx.__exit__(None, None, None)
 
         result = _merge_results(parts)
@@ -320,6 +350,10 @@ class CellResult:
     # per-cell QC stats (sum_umi, max_umi, num_expr, over_mean), computed
     # block-locally so the global COO need not be held in memory
     cell_stats: Optional[tuple] = None
+    # device-path async handle: a no-arg callable that fills
+    # rows/cols/vals/cell_stats once the device finishes this block
+    # (lets device compute overlap host decode of the next block)
+    pending: Optional[object] = None
 
 
 def _coo_cell_stats(rows: np.ndarray, vals: np.ndarray, n_cells: int) -> tuple:
@@ -767,6 +801,7 @@ def _resolve_cells(
     num_rows: int,
     sample_names,
     cell_offset: int = 0,
+    async_device: bool = False,
 ) -> CellResult:
     n_cells_all = len(batch.chunk_offsets) - 1
     nrec_all = np.diff(batch.chunk_offsets)
@@ -796,6 +831,7 @@ def _resolve_cells(
     alt_res_cells: List[int] = []
     dump_eq_data = None
     boot_mean = boot_var = None
+    pending_handle = None
 
     def add_coo(cells_idx, cols, vals):
         rows_l.append(cell_row[cells_idx])
@@ -826,30 +862,43 @@ def _resolve_cells(
             sub = _subset_reads(batch, read_keep)
         rcv = None
         if crlike.device_backend_enabled(len(sub["umi"])):
-            rcv = crlike.wta_counts_device(
-                sub["cell"], sub["umi"], sub["refs"], sub["offs"],
-                tid_to_gid, num_rows, usa=usa_mode,
-            )
-        if rcv is None:
-            rcv = crlike.wta_counts_native(
-                sub["cell"], sub["umi"], sub["refs"], sub["offs"],
-                tid_to_gid, num_rows,
-                usa_offsets=usa_offsets if usa_mode else None,
-            )
-        if rcv is None:
-            groups = crlike.resolve_crlike(
-                sub["cell"], sub["umi"], sub["refs"], sub["offs"],
-                tid_to_gid, prefer_ambig=False,
-            )
-            if usa_mode:
-                slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
-            else:
-                slot, valid = crlike.nonusa_unique_slots(groups)
-            rcv = crlike.counts_from_slots(
-                groups.cell, slot, valid, n_cells_all, num_rows
-            )
-        add_coo(*rcv)
-        read_keep = np.zeros_like(read_keep)  # handled; skip both branches
+            if async_device:
+                # submit and return a pending handle: the device sorts
+                # this block while the host decodes the next one, and
+                # the compacted result is fetched later in block order
+                pend = crlike.wta_counts_device(
+                    sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                    tid_to_gid, num_rows, usa=usa_mode, async_=True,
+                )
+                if pend is not None:
+                    pending_handle = pend
+                    read_keep = np.zeros_like(read_keep)
+            if pending_handle is None:
+                rcv = crlike.wta_counts_device(
+                    sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                    tid_to_gid, num_rows, usa=usa_mode,
+                )
+        if pending_handle is None:
+            if rcv is None:
+                rcv = crlike.wta_counts_native(
+                    sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                    tid_to_gid, num_rows,
+                    usa_offsets=usa_offsets if usa_mode else None,
+                )
+            if rcv is None:
+                groups = crlike.resolve_crlike(
+                    sub["cell"], sub["umi"], sub["refs"], sub["offs"],
+                    tid_to_gid, prefer_ambig=False,
+                )
+                if usa_mode:
+                    slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
+                else:
+                    slot, valid = crlike.nonusa_unique_slots(groups)
+                rcv = crlike.counts_from_slots(
+                    groups.cell, slot, valid, n_cells_all, num_rows
+                )
+            add_coo(*rcv)
+            read_keep = np.zeros_like(read_keep)  # handled; skip both branches
 
     # --- small cells: always the sparse cr-like WTA fast path ------------
     sel_small = read_keep & small_cell[cell_of_read]
@@ -987,7 +1036,7 @@ def _resolve_cells(
     else:
         order = np.lexsort((cols, rows))
     rows, cols, vals = rows[order], cols[order], vals[order]
-    return CellResult(
+    result = CellResult(
         cells=processed,
         cell_bcs=cell_bcs,
         sample_idx=sample_idx,
@@ -998,8 +1047,25 @@ def _resolve_cells(
         dump_eq_data=dump_eq_data,
         boot_mean=boot_mean,
         boot_var=boot_var,
-        cell_stats=_coo_cell_stats(rows, vals, len(processed)),
+        cell_stats=(
+            None if pending_handle is not None
+            else _coo_cell_stats(rows, vals, len(processed))
+        ),
     )
+    if pending_handle is not None:
+        n_proc = len(processed)
+
+        def _finish(res=result, pend=pending_handle, cr=cell_row, n=n_proc):
+            r, c, v = pend.get()
+            rr = cr[r]
+            # device output arrives sorted by (cell, gene); cell_row is
+            # monotone over processed cells, so row order is preserved
+            res.rows, res.cols, res.vals = rr, c, v
+            res.cell_stats = _coo_cell_stats(rr, v, n)
+            res.pending = None
+
+        result.pending = _finish
+    return result
 
 
 def _subset_reads(batch: ReadBatch, read_mask: np.ndarray) -> dict:

@@ -512,3 +512,76 @@ def test_dense_cc_matches_gather_formulation():
         d = connected_components_batched(nbrs, valid, dense=True)
         g = connected_components_batched(nbrs, valid, dense=False)
         assert np.array_equal(d, g)
+
+
+def test_quant_device_async_pipeline_matches_sync(tmp_path, monkeypatch):
+    """The async device WTA pipeline (blocks submitted ahead, fetched
+    in order through the bounded queue) must write byte-identical quant
+    artifacts to the synchronous device path and the host path, across
+    several streamed blocks."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).parent))
+    from synth import write_rna_rad
+    from alevin_fry_tpu.ops.barcodes import pack_seq
+    from alevin_fry_tpu.pipeline.collate import collate
+    from alevin_fry_tpu.pipeline.gpl import (
+        CellFilterMethod, GenPermitListOpts, generate_permit_list,
+    )
+    from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+
+    rng = np.random.RandomState(23)
+    bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT", "ACACACAC"]
+    reads = []
+    for _ in range(900):
+        bc = bcs[rng.randint(len(bcs))]
+        umi = int(rng.randint(1 << 18))
+        tids = sorted(set(rng.randint(0, 10, rng.randint(1, 4)).tolist()))
+        reads.append((pack_seq(bc), umi, [(t, True) for t in tids]))
+    refs = [f"t{i}" for i in range(10)]
+
+    root = tmp_path
+    rad_dir = root / "rad"
+    rad_dir.mkdir(parents=True)
+    write_rna_rad(rad_dir / "map.rad", refs, [reads], bc_len=8, umi_len=10)
+    (root / "wl.txt").write_text("".join(b + "\n" for b in bcs))
+    (root / "t2g.tsv").write_text(
+        "".join(f"t{i}\tg{i//2}\n" for i in range(10))
+    )
+    gpl = root / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=rad_dir, output_dir=gpl,
+        fmeth=CellFilterMethod("unfiltered", path=root / "wl.txt",
+                               min_reads=1),
+        expected_ori="fw", cmdline="t",
+    ))
+    collate(gpl, rad_dir, cmdline="t")
+
+    # several blocks stream through the pending queue
+    monkeypatch.setenv("AFT_QUANT_BLOCK_RECORDS", "120")
+    outs = {}
+    for tag, env in (
+        ("host", {"AFT_CRLIKE_BACKEND": "host"}),
+        ("sync", {"AFT_CRLIKE_BACKEND": "jax", "AFT_WTA_ASYNC": "0"}),
+        ("async", {"AFT_CRLIKE_BACKEND": "jax", "AFT_WTA_ASYNC": "1",
+                   "AFT_WTA_QUEUE": "2"}),
+    ):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        qdir = root / f"q_{tag}"
+        quantify(QuantOpts(
+            input_dir=gpl, tg_map=root / "t2g.tsv", output_dir=qdir,
+            resolution="cr-like", cmdline="t",
+        ))
+        outs[tag] = {
+            p.name: p.read_bytes()
+            for p in [
+                qdir / "alevin" / "quants_mat.mtx",
+                qdir / "alevin" / "quants_mat_rows.txt",
+                qdir / "featureDump.txt",
+            ]
+        }
+        for k in env:
+            monkeypatch.delenv(k)
+    assert outs["host"] == outs["sync"] == outs["async"]
