@@ -439,6 +439,215 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False,
     return fn
 
 
+def _get_em_kernel_compact(usa: bool, with_last_round: bool,
+                           weighted: bool = False, fixed_rounds: int = 0):
+    """Compact-gene-space variant of the batched EM kernel.
+
+    The full kernel iterates a dense (B, R+1) alpha state, but each
+    cell's EM only ever reads/writes the genes in its label set (plus,
+    in USA mode, their spliced/unspliced/ambiguous partners) — at most
+    E*L (*3) distinct rows, typically hundreds, vs R in the tens of
+    thousands.  The amortized on-chip measurement put the full kernel
+    at <1% of the v5e HBM roofline because every round zero-fills and
+    scatters a (B, R+1) array and gathers from R-wide rows.  Here the
+    host maps each cell's labels to a per-cell dictionary of local ids
+    (pad -> U) and the kernel iterates a (B, U+1) state: the same
+    update, convergence mask, and thresholded last round (em.rs:178-299
+    semantics) on rows ~R/U times smaller.  USA partner coupling
+    (em.rs:94-114) arrives as precomputed local index arrays p1/p2
+    (p2 -> U for non-ambiguous labels), replacing the clip/where
+    index arithmetic with two plain gathers."""
+    import jax
+    import jax.numpy as jnp
+
+    _configure_compile_cache()
+    key = ("compact", usa, with_last_round, weighted, fixed_rounds)
+    if key in _jit_cache:
+        return _jit_cache[key]
+
+    def kernel(labels, lens, counts, p1, p2, R, U, init_uniform,
+               weights=None):
+        # labels/p1/p2: (B,E,L) int32 LOCAL ids into the per-cell
+        # dictionary (pad -> U, whose alpha is pinned 0); counts (B,E)
+        B, E, L = labels.shape
+        single = lens == 1
+        valid = lens > 0
+        lmask = jnp.arange(L)[None, None, :] < lens[:, :, None]
+        batch_idx = jnp.broadcast_to(jnp.arange(B)[:, None, None], labels.shape)
+
+        s_label = labels[:, :, 0]
+        s_contrib = jnp.where(single & valid, counts, 0.0)
+
+        seeds = jnp.zeros((B, U + 1), jnp.float32)
+        seeds = seeds.at[
+            jnp.arange(B)[:, None], jnp.where(single, s_label, U)
+        ].add(s_contrib)
+        if init_uniform:
+            # the uniform value is 1/R — R genes in the FULL space
+            # (em.rs:222-224); positions outside the dictionary hold
+            # 1/R too but are never read and never receive mass
+            init_alphas = jnp.full((B, U + 1), 1.0 / R, jnp.float32)
+        else:
+            init_alphas = (seeds + 0.5) * 1e-3
+        init_alphas = init_alphas.at[:, U].set(0.0)
+
+        def gather(alphas, idx):
+            return jnp.take_along_axis(
+                alphas, idx.reshape(B, -1), axis=1
+            ).reshape(idx.shape)
+
+        def base_out(alphas):
+            out = jnp.zeros_like(alphas)
+            out = out.at[
+                jnp.arange(B)[:, None], jnp.where(single, s_label, U)
+            ].add(s_contrib)
+            return out
+
+        def one_update(alphas):
+            ab = gather(alphas, labels)
+            if usa:
+                # partner abundances: p1 is the one-section shift, p2
+                # the second shift of ambiguous labels (else -> U = 0)
+                ab = ab + gather(alphas, p1) + gather(alphas, p2)
+            if weighted:
+                ab = ab * weights
+            ab = jnp.where(lmask, ab, 0.0)
+            multi = valid & ~single
+            denom = ab.sum(axis=2)
+            inv = jnp.where(
+                (denom > 0) & multi, counts / jnp.maximum(denom, 1e-30), 0.0
+            )
+            contrib = ab * inv[:, :, None]
+            out = base_out(alphas)
+            out = out.at[
+                batch_idx.reshape(-1), jnp.where(lmask, labels, U).reshape(-1)
+            ].add(jnp.where(multi[:, :, None], contrib, 0.0).reshape(-1))
+            out = out.at[:, U].set(0.0)
+            return out
+
+        def cond(state):
+            alphas, it, active, last = state
+            return jnp.logical_and(it < EM_MAX_ITER + 2, active.any())
+
+        def body(state):
+            alphas, it, active, last = state
+            out = one_update(alphas)
+            check = out > ALPHA_CHECK_CUTOFF
+            rel = jnp.abs(alphas - out)
+            not_conv = (check & (rel > EM_REL_DIFF_TOLERANCE)).any(axis=1)
+            new_alphas = jnp.where(active[:, None], out, alphas)
+            it1 = it + 1
+            conv = ~not_conv
+            if with_last_round:
+                stop = last
+                enter_last = active & ~last & conv & (it1 >= EM_MIN_ITER)
+                timeout = active & ~last & ~enter_last & (it1 >= EM_MAX_ITER)
+                new_alphas = jnp.where(
+                    enter_last[:, None] & (new_alphas < MIN_OUTPUT_ALPHA),
+                    0.0,
+                    new_alphas,
+                )
+                new_last = jnp.where(active, enter_last, last)
+                new_active = active & ~stop & ~timeout
+            else:
+                done = (conv & (it1 >= EM_MIN_ITER)) | (it1 >= EM_MAX_ITER)
+                new_active = active & ~done
+                new_last = last
+            return (new_alphas, it1, new_active, new_last)
+
+        import jax.lax as lax
+
+        if fixed_rounds > 0:
+            alphas = lax.fori_loop(
+                0, fixed_rounds, lambda _i, a: one_update(a), init_alphas
+            )
+        else:
+            alphas, _, _, _ = lax.while_loop(
+                cond,
+                body,
+                (
+                    init_alphas,
+                    jnp.zeros((), jnp.int32),
+                    jnp.ones((B,), bool),
+                    jnp.zeros((B,), bool),
+                ),
+            )
+        alphas = jnp.where(alphas < MIN_OUTPUT_ALPHA, 0.0, alphas)
+        gathered = gather(alphas, labels)
+        return jnp.where(lmask, gathered, 0.0)
+
+    fn = jax.jit(kernel, static_argnums=(5, 6, 7))
+    if weighted:
+        base = fn
+        fn = lambda labels, lens, counts, p1, p2, R, U, iu, w: base(
+            labels, lens, counts, p1, p2, R, U, iu, weights=w
+        )
+    _jit_cache[key] = fn
+    return fn
+
+
+def compact_local_ids(
+    lab_pad: np.ndarray, R: int, usa_offsets: Optional[Tuple[int, int]],
+    ladder_lo: int = 32,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Build per-cell gene dictionaries and local index arrays for the
+    compact EM kernel.
+
+    ``lab_pad``: (B, E, L) int global gene ids, pad -> R.  Returns
+    (labels_local, p1_local, p2_local, U): int32 arrays shaped like
+    ``lab_pad`` with values in [0, U]; pad (and absent partners) -> U.
+    Non-USA mode returns empty p1/p2 (the kernel ignores them).
+
+    Fully vectorized: candidates sort per row, run-length unique, and
+    one flat searchsorted over the concatenated (row-major, thus
+    globally sorted) dictionaries maps every id to its local slot."""
+    b = lab_pad.shape[0]
+    flat = lab_pad.reshape(b, -1).astype(np.int64)
+    if usa_offsets is not None:
+        uoff, aoff = usa_offsets
+        idx = flat
+        pad = idx >= R
+        amb = (idx >= aoff) & ~pad
+        uns = (idx >= uoff) & ~amb & ~pad
+        p1g = np.where(
+            amb, idx - uoff, np.where(uns, idx + uoff, idx + aoff)
+        )
+        p1g = np.where(pad, R, p1g)
+        p2g = np.where(amb, idx - aoff, R)
+        cand = np.concatenate([idx, p1g, p2g], axis=1)
+    else:
+        p1g = p2g = None
+        cand = flat
+
+    cs = np.sort(cand, axis=1)
+    firstm = np.ones_like(cs, bool)
+    firstm[:, 1:] = cs[:, 1:] != cs[:, :-1]
+    uniq = firstm & (cs < R)
+    u_counts = uniq.sum(axis=1)
+    U = _pad_pow2(int(u_counts.max()) if b else 1, ladder_lo)
+    dict_pad = np.full((b, U), R, np.int64)
+    tgt = np.cumsum(uniq, axis=1) - 1
+    rr, cc = np.nonzero(uniq)
+    dict_pad[rr, tgt[rr, cc]] = cs[rr, cc]
+    # rows are ascending with R-pad tails, so the row-major flattened
+    # keyspace (row * (R+1) + id) is globally non-decreasing
+    flat_dict = (np.arange(b, dtype=np.int64)[:, None] * (R + 1) + dict_pad).ravel()
+
+    def loc(ids):
+        keys = np.arange(b, dtype=np.int64)[:, None] * (R + 1) + ids
+        pos = np.searchsorted(flat_dict, keys.ravel()).reshape(b, -1)
+        pos = pos - np.arange(b, dtype=np.int64)[:, None] * U
+        return np.where(ids >= R, U, pos).astype(np.int32)
+
+    lab_loc = loc(flat).reshape(lab_pad.shape)
+    if usa_offsets is not None:
+        p1_loc = loc(p1g).reshape(lab_pad.shape)
+        p2_loc = loc(p2g).reshape(lab_pad.shape)
+    else:
+        p1_loc = p2_loc = np.zeros((b, 1, 1), np.int32)
+    return lab_loc, p1_loc, p2_loc, U
+
+
 def _pad_pow2(x: int, lo: int = 1) -> int:
     return max(lo, 1 << (max(x, 1) - 1).bit_length())
 
@@ -641,7 +850,18 @@ def em_cells_batched(
     for ci in outlier_cells:
         _np_one(ci)
 
+    import os as _os
+
+    # compact-gene-space kernel (default): per-cell local dictionaries
+    # shrink the alpha state from (B, R+1) to (B, U+1), U ~ hundreds —
+    # the full-space kernel measured <1% of HBM roofline on chip.
+    # AFT_EM_COMPACT=0 restores the full-space kernel.
+    use_compact = _os.environ.get("AFT_EM_COMPACT", "1") != "0"
     kern = _get_em_kernel(
+        usa_offsets is not None, with_last_round,
+        weighted=class_weights is not None,
+    )
+    kern_c = _get_em_kernel_compact(
         usa_offsets is not None, with_last_round,
         weighted=class_weights is not None,
     )
@@ -691,6 +911,12 @@ def em_cells_batched(
                     cls_cell[el_class], cls_slot[el_class], el_pos
                 ] = class_weights[el_gather]
 
+            compact_here = use_compact
+            if compact_here:
+                lab_loc, p1_loc, p2_loc, U = compact_local_ids(
+                    lab_pad, R, usa_offsets
+                )
+                compact_here = U + 1 < R  # else the full state is smaller
             if mesh is not None:
                 # shard the cell batch across the device mesh; the jitted
                 # kernel runs SPMD with no cross-cell collectives
@@ -698,25 +924,23 @@ def em_cells_batched(
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-                args = (
-                    jax.device_put(jnp.asarray(lab_pad), shard),
-                    jax.device_put(jnp.asarray(len_pad), shard),
-                    jax.device_put(jnp.asarray(ct_pad), shard),
-                )
-                if w_pad is not None:
-                    w_args = (jax.device_put(jnp.asarray(w_pad), shard),)
+                put = lambda x: jax.device_put(jnp.asarray(x), shard)
             else:
-                args = (
-                    jnp.asarray(lab_pad), jnp.asarray(len_pad),
-                    jnp.asarray(ct_pad),
+                put = jnp.asarray
+            if compact_here:
+                args = (put(lab_loc), put(len_pad), put(ct_pad),
+                        put(p1_loc), put(p2_loc))
+                out = np.asarray(
+                    kern_c(*args, R, U, bool(init_uniform),
+                           *((put(w_pad),) if w_pad is not None else ()))
                 )
-                if w_pad is not None:
-                    w_args = (jnp.asarray(w_pad),)
-            out = np.asarray(
-                kern(*args, jnp.zeros(B, jnp.uint32), uoff, aoff, R,
-                     bool(init_uniform),
-                     *(w_args if w_pad is not None else ()))
-            )
+            else:
+                args = (put(lab_pad), put(len_pad), put(ct_pad))
+                out = np.asarray(
+                    kern(*args, jnp.zeros(B, jnp.uint32), uoff, aoff, R,
+                         bool(init_uniform),
+                         *((put(w_pad),) if w_pad is not None else ()))
+                )
             # out holds final alphas gathered at the label positions;
             # dedupe (cell, label) pairs in one sort and drop zeros
             vals_flat = out[

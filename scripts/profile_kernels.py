@@ -119,6 +119,55 @@ def profile_em(usa: bool):
     }
 
 
+def profile_em_compact(usa: bool):
+    """Compact-gene-space EM round at the same production shape as
+    profile_em, but on the (B, U+1) local-dictionary state the pipeline
+    now uses by default (ops/em.py::_get_em_kernel_compact).  Byte
+    model per round: out zero+write 2*B*(U+1)*4; label gather +
+    scatter RMW (+2 partner gathers in USA) over B*E*L*4 each."""
+    import jax
+    import jax.numpy as jnp
+
+    from alevin_fry_tpu.ops.em import _get_em_kernel_compact, compact_local_ids
+
+    B, E, L = 4096, 64, 8
+    R = 3 * 8192 if usa else 8192
+    uoff, aoff = (8192, 16384) if usa else (R, R)
+    rng = np.random.RandomState(0)
+    lab = rng.randint(0, R, (B, E, L)).astype(np.int64)
+    lens = jnp.asarray(rng.randint(1, L + 1, (B, E)), jnp.int32)
+    counts = jnp.asarray(rng.randint(1, 50, (B, E)), jnp.float32)
+    lab_loc, p1, p2, U = compact_local_ids(
+        lab, R, (uoff, aoff) if usa else None
+    )
+    labels = jnp.asarray(lab_loc)
+    p1 = jnp.asarray(p1)
+    p2 = jnp.asarray(p2)
+
+    def build(k):
+        fn = _get_em_kernel_compact(usa, False, fixed_rounds=k)
+        summed = jax.jit(
+            lambda l, n, c, a, b2: fn(l, n, c, a, b2, R, U, False).sum()
+        )
+        return (lambda: summed(labels, lens, counts, p1, p2)), ()
+
+    per_round, t1, t2 = _two_point(build, 10, 110)
+    gathers = 6 if usa else 4
+    bytes_moved = 2 * B * (U + 1) * 4 + gathers * B * E * L * 4
+    return {
+        "kernel": f"EM round compact{' (USA)' if usa else ''} "
+                  f"(B={B},E={E},L={L},U={U}), fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 4),
+        "cells_per_s_per_round": round(B / per_round),
+        "model_bytes": bytes_moved,
+        "achieved_GBs": round(bytes_moved / per_round / 1e9, 1),
+        "hbm_utilization_pct": round(
+            100 * bytes_moved / per_round / 1e9 / HBM_GBS, 1
+        ),
+        "raw": {"K": [10, 110], "t_s": [round(t1, 4), round(t2, 4)]},
+    }
+
+
 def profile_wta():
     """Device cr-like WTA over 4M packed keys.  Each round runs the
     full production kernel (two u64 sorts + segmented scatters) on the
@@ -161,12 +210,16 @@ def profile_wta():
 
         return call, ()
 
-    per_round, t1, t2 = _two_point(build, 2, 12)
+    # wide K spread: the two-point difference must dwarf the ~ms-level
+    # run-to-run noise of the tunnel's fixed cost, or the per-round
+    # number is noise (a [2,12] spread once yielded an impossible
+    # 7G keys/s)
+    per_round, t1, t2 = _two_point(build, 2, 102)
     return {
         "kernel": f"cr-like WTA ({n>>20}M keys), fori_loop chained",
         "per_round_ms": round(per_round * 1e3, 3),
         "keys_per_s": round(n / per_round),
-        "raw": {"K": [2, 12], "t_s": [round(t1, 4), round(t2, 4)]},
+        "raw": {"K": [2, 102], "t_s": [round(t1, 4), round(t2, 4)]},
     }
 
 
@@ -232,7 +285,7 @@ def profile_cc_dense():
             )
         ), ()
 
-    per_round, t1, t2 = _two_point(build, 2, 10)
+    per_round, t1, t2 = _two_point(build, 2, 42)
     flops = 2 * B * N ** 3
     return {
         "kernel": f"PUG CC dense squaring (B={B},N={N}), fori_loop chained",
@@ -240,7 +293,7 @@ def profile_cc_dense():
         "model_flops_per_round": flops,
         "achieved_TFLOPs": round(flops / per_round / 1e12, 1),
         "mxu_utilization_pct": round(100 * flops / per_round / PEAK_BF16, 1),
-        "raw": {"K": [2, 10], "t_s": [round(t1, 4), round(t2, 4)]},
+        "raw": {"K": [2, 42], "t_s": [round(t1, 4), round(t2, 4)]},
     }
 
 
@@ -319,6 +372,8 @@ def main():
     table = {
         "em": lambda: profile_em(False),
         "em_usa": lambda: profile_em(True),
+        "em_compact": lambda: profile_em_compact(False),
+        "em_compact_usa": lambda: profile_em_compact(True),
         "wta": profile_wta,
         "cc": profile_pug_cc,
         "cc_dense": profile_cc_dense,

@@ -155,3 +155,84 @@ def test_count_conservation():
     out = _em_np(label_lists, counts, R)
     # total mass conserved up to the output floor
     assert abs(out.sum() - sum(counts)) < 0.05 * len(counts)
+
+
+@pytest.mark.parametrize("usa", [None, (100, 200)])
+@pytest.mark.parametrize("with_last_round", [True, False])
+def test_compact_kernel_matches_full_and_numpy(usa, with_last_round, monkeypatch):
+    """The compact-gene-space device kernel (per-cell local
+    dictionaries, ops/em.py::_get_em_kernel_compact) must agree with
+    both the full-space device kernel and the per-cell NumPy reference
+    at a gene-space size that actually engages it (U + 1 < R)."""
+    rng = np.random.RandomState(3)
+    R = 300  # >> the padded dictionary width
+    C = 23
+    cell_eq_offsets = [0]
+    lab_offsets = [0]
+    labels = []
+    counts = []
+    for _ in range(C):
+        ne = rng.randint(1, 10)
+        for _ in range(ne):
+            ll = rng.randint(1, 5)
+            labels.extend(rng.choice(R, size=ll, replace=False).tolist())
+            lab_offsets.append(len(labels))
+            counts.append(rng.randint(1, 25))
+        cell_eq_offsets.append(cell_eq_offsets[-1] + ne)
+    cell_eq_offsets = np.asarray(cell_eq_offsets, np.int64)
+    lab_offsets = np.asarray(lab_offsets, np.int64)
+    labels = np.asarray(labels, np.uint32)
+    counts = np.asarray(counts, np.uint32)
+
+    res_np = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, usa, False,
+        with_last_round, use_jax=False,
+    )
+    monkeypatch.setenv("AFT_EM_COMPACT", "1")
+    res_c = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, usa, False,
+        with_last_round, use_jax=True,
+    )
+    monkeypatch.setenv("AFT_EM_COMPACT", "0")
+    res_f = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, usa, False,
+        with_last_round, use_jax=True,
+    )
+    for ci, ((ni, nv), (jci, jcv), (jfi, jfv)) in enumerate(
+        zip(res_np, res_c, res_f)
+    ):
+        np.testing.assert_array_equal(ni, jci, err_msg=f"cell {ci} support")
+        np.testing.assert_allclose(nv, jcv, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"cell {ci} values")
+        np.testing.assert_array_equal(jfi, jci, err_msg=f"cell {ci} full/compact")
+        np.testing.assert_allclose(jfv, jcv, rtol=2e-4, atol=2e-4)
+
+
+def test_compact_local_ids_partner_coverage():
+    """USA partner ids must always resolve inside the dictionary: for
+    every label, its one- and two-shift coupling partners
+    (em.rs:94-114) map to real local slots, and local ids round-trip
+    to the original global ids."""
+    from alevin_fry_tpu.ops.em import compact_local_ids
+
+    rng = np.random.RandomState(9)
+    R, uoff, aoff = 300, 100, 200
+    lab = rng.randint(0, R, (5, 7, 3)).astype(np.int64)
+    lab[0, 0, :] = R  # pad slots
+    lab_loc, p1, p2, U = compact_local_ids(lab, R, (uoff, aoff))
+    assert lab_loc.max() <= U and p1.max() <= U and p2.max() <= U
+    # reconstruct dictionaries per row and check the mapping
+    for b in range(5):
+        ids = lab[b].ravel()
+        ids = ids[ids < R]
+        amb = ids >= aoff
+        uns = (ids >= uoff) & ~amb
+        p1g = np.where(amb, ids - uoff, np.where(uns, ids + uoff, ids + aoff))
+        p2g = ids[amb] - aoff
+        want = np.unique(np.concatenate([ids, p1g, p2g]))
+        d = np.full(U + 1, R)
+        d[np.sort(np.unique(lab_loc[b][lab[b] < R]))] = 0  # touched slots exist
+        # every global id and partner resolves to a slot < U
+        got_lab = lab_loc[b][lab[b] < R]
+        assert (got_lab < U).all()
+        assert len(want) <= U
