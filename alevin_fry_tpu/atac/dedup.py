@@ -89,28 +89,44 @@ def deduplicate(
 
                 # per-cell sort + dedup (cells are contiguous chunks;
                 # sorting with the cell as the outer key preserves
-                # per-cell grouping)
-                order = np.lexsort((bcs, flens, starts, chrs, cell))
-                cell, chrs, starts, flens, bcs = (
-                    cell[order], chrs[order], starts[order], flens[order],
-                    bcs[order],
-                )
-                new = np.ones(len(cell), bool)
-                if len(cell):
-                    new[1:] = (
-                        (cell[1:] != cell[:-1]) | (chrs[1:] != chrs[:-1])
-                        | (starts[1:] != starts[:-1])
-                        | (flens[1:] != flens[:-1]) | (bcs[1:] != bcs[:-1])
+                # per-cell grouping).  Device segmented-sort kernel
+                # when an accelerator is attached (ops/atac_device.py),
+                # host lexsort otherwise — identical order either way
+                # (deduplicate.rs:202-210).
+                from ..ops import atac_device
+
+                dev = None
+                if len(cell) and atac_device.device_backend_enabled():
+                    dev = atac_device.sort_rle_device(
+                        [cell, chrs, starts, flens, bcs]
                     )
-                si = np.flatnonzero(new)
-                counts = np.diff(np.append(si, len(cell)))
+                if dev is not None:
+                    (_cell_u, chrs_u, starts_u, flens_u, bcs_u), counts = dev
+                    bcs_u = bcs_u.astype(np.uint64)
+                else:
+                    order = np.lexsort((bcs, flens, starts, chrs, cell))
+                    cell, chrs, starts, flens, bcs = (
+                        cell[order], chrs[order], starts[order],
+                        flens[order], bcs[order],
+                    )
+                    new = np.ones(len(cell), bool)
+                    if len(cell):
+                        new[1:] = (
+                            (cell[1:] != cell[:-1]) | (chrs[1:] != chrs[:-1])
+                            | (starts[1:] != starts[:-1])
+                            | (flens[1:] != flens[:-1]) | (bcs[1:] != bcs[:-1])
+                        )
+                    si = np.flatnonzero(new)
+                    counts = np.diff(np.append(si, len(cell)))
+                    chrs_u, starts_u = chrs[si], starts[si]
+                    flens_u, bcs_u = flens[si], bcs[si]
                 stats["num_dedup"] += int((counts > 1).sum())
                 stats["num_frag_len_over_max"] += int(
-                    (flens[si] >= MAX_ATAC_FRAG_LEN).sum()
+                    (flens_u >= MAX_ATAC_FRAG_LEN).sum()
                 )
                 out.write(format_bed_rows(
                     prelude.hdr.ref_names,
-                    chrs[si], starts[si], flens[si], bcs[si], counts,
+                    chrs_u, starts_u, flens_u, bcs_u, counts,
                     bc_len, rev, num_threads,
                 ))
     finally:

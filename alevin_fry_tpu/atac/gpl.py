@@ -70,6 +70,26 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
         bclen = int(ftm["cblen"])
         ref_lens = np.asarray(ftm["ref_lengths"], np.uint64)
 
+        # whitelist (optionally reverse-complemented,
+        # atac/cellfilter.rs:104-139) — read up front so the device
+        # histogram path can count matches against it on the mesh
+        wl, first_bclen = read_barcode_file(opts.unfiltered_pl)
+        if opts.rc:
+            wl = bcops.revcomp_packed(wl, first_bclen)
+        wl_sorted = np.sort(np.unique(wl))
+        log.info("number of unfiltered bcs read = %d", len(wl_sorted))
+
+        # device regime (same dispatcher as the RNA gpl): the genomic
+        # bin histogram scatter-adds on the mesh and the barcode
+        # histogram accumulates matched counts on device, with only the
+        # unmatched tail histogrammed on host for the 1-edit rescue
+        from ..pipeline.gpl import gpl_mesh_from_env
+
+        gpl_mesh = gpl_mesh_from_env()
+        wl_dev_counts = (
+            np.zeros(len(wl_sorted), np.int64) if gpl_mesh is not None else None
+        )
+
         # genomic bin histogram over uniquely-mapped reads
         # (start_pos.len() == 1, atac/cellfilter.rs:92-99); both
         # histograms accumulate over streamed blocks so memory is
@@ -97,17 +117,28 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
                 uref = batch.refs[first_aln].astype(np.int64)
                 upos = batch.aln_cols["start_pos"][first_aln].astype(np.int64)
                 bin_idx = blens[uref].astype(np.int64) + upos // ATAC_BIN_SIZE
-                np.add.at(bins, bin_idx, 1)
-                b_bc, b_ct = _histogram(batch.barcode())
-                h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
-    bmax = int(bins.max()) if tot_bins else 0
+                bcs_blk = batch.barcode()
+                if gpl_mesh is not None:
+                    from ..parallel.mesh import (
+                        sharded_bin_histogram, sharded_histogram,
+                    )
 
-    # whitelist (optionally reverse-complemented, atac/cellfilter.rs:104-139)
-    wl, first_bclen = read_barcode_file(opts.unfiltered_pl)
-    if opts.rc:
-        wl = bcops.revcomp_packed(wl, first_bclen)
-    wl_sorted = np.sort(np.unique(wl))
-    log.info("number of unfiltered bcs read = %d", len(wl_sorted))
+                    if len(bin_idx):
+                        bins += sharded_bin_histogram(
+                            gpl_mesh, bin_idx, tot_bins
+                        ).astype(np.uint64)
+                    if len(bcs_blk):
+                        cnt, _unm, hit = sharded_histogram(
+                            gpl_mesh, bcs_blk, wl_sorted
+                        )
+                        wl_dev_counts += np.asarray(cnt, np.int64)
+                        bcs_blk = bcs_blk[~hit]
+                else:
+                    np.add.at(bins, bin_idx, 1)
+                if len(bcs_blk):
+                    b_bc, b_ct = _histogram(bcs_blk)
+                    h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
+    bmax = int(bins.max()) if tot_bins else 0
 
     out_dir = Path(opts.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -115,12 +146,24 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
     bincodeio.write_u64_vec_file(out_dir / "bin_lens.bin", blens)
 
     # barcode histogram + unique-1-edit rescue (same machinery as RNA)
-    uniq, counts = h_bc, h_ct
-    idx = np.searchsorted(wl_sorted, uniq)
-    idx_c = np.minimum(idx, max(len(wl_sorted) - 1, 0))
-    in_wl = (len(wl_sorted) > 0) & (idx < len(wl_sorted)) & (wl_sorted[idx_c] == uniq)
-    matched_bc, matched_ct = uniq[in_wl], counts[in_wl]
-    unmatched_bc, unmatched_ct = uniq[~in_wl], counts[~in_wl]
+    if wl_dev_counts is not None:
+        # device regime: matched counts accumulated on the mesh; the
+        # host histogram holds only the unmatched tail
+        nz = wl_dev_counts > 0
+        matched_bc = wl_sorted[nz]
+        matched_ct = wl_dev_counts[nz].astype(np.uint64)
+        unmatched_bc, unmatched_ct = h_bc, h_ct
+    else:
+        uniq, counts = h_bc, h_ct
+        idx = np.searchsorted(wl_sorted, uniq)
+        idx_c = np.minimum(idx, max(len(wl_sorted) - 1, 0))
+        in_wl = (
+            (len(wl_sorted) > 0)
+            & (idx < len(wl_sorted))
+            & (wl_sorted[idx_c] == uniq)
+        )
+        matched_bc, matched_ct = uniq[in_wl], counts[in_wl]
+        unmatched_bc, unmatched_ct = uniq[~in_wl], counts[~in_wl]
     num_unmatched_reads = int(unmatched_ct.sum())
     if num_reads > 0 and num_unmatched_reads / num_reads >= 0.3:
         log.warning(

@@ -124,27 +124,45 @@ def _extract_cols(batch, map_keys, map_vals):
 
 
 def _sort_dedup_emit(rows: np.ndarray, ref_names, bc_len, rc, fh, n_threads):
-    """Sort one bucket's rows, RLE-dedup, render and write BED."""
+    """Sort one bucket's rows, RLE-dedup, render and write BED.
+
+    Sorting routes through the device segmented-sort kernel when an
+    accelerator is attached (ops/atac_device.py, AFT_ATAC_SORT_BACKEND
+    dispatches like crlike); the host lexsort is the CPU fallback —
+    both orders equal atac/sort.rs:45-62's HitInfo ordering."""
     if len(rows) == 0:
         return 0
     chrs = rows["chr"].astype(np.int64)
     starts = rows["start"]
     flens = rows["flen"].astype(np.int64)
     cbc = rows["bc"]
-    order = np.lexsort((cbc, flens, starts, chrs))
-    chrs, starts, flens, cbc = chrs[order], starts[order], flens[order], cbc[order]
-    new = np.ones(len(chrs), bool)
-    new[1:] = (
-        (chrs[1:] != chrs[:-1]) | (starts[1:] != starts[:-1])
-        | (flens[1:] != flens[:-1]) | (cbc[1:] != cbc[:-1])
-    )
-    starts_i = np.flatnonzero(new)
-    counts = np.diff(np.append(starts_i, len(chrs)))
+    dev = None
+    from ..ops import atac_device
+
+    if atac_device.device_backend_enabled():
+        dev = atac_device.sort_rle_device([chrs, starts, flens, cbc])
+    if dev is not None:
+        (chrs_u, starts_u, flens_u, cbc_u), counts = dev
+        cbc_u = cbc_u.astype(np.uint64)
+    else:
+        order = np.lexsort((cbc, flens, starts, chrs))
+        chrs, starts, flens, cbc = (
+            chrs[order], starts[order], flens[order], cbc[order]
+        )
+        new = np.ones(len(chrs), bool)
+        new[1:] = (
+            (chrs[1:] != chrs[:-1]) | (starts[1:] != starts[:-1])
+            | (flens[1:] != flens[:-1]) | (cbc[1:] != cbc[:-1])
+        )
+        starts_i = np.flatnonzero(new)
+        counts = np.diff(np.append(starts_i, len(chrs)))
+        chrs_u, starts_u = chrs[starts_i], starts[starts_i]
+        flens_u, cbc_u = flens[starts_i], cbc[starts_i]
     fh.write(format_bed_rows(
-        ref_names, chrs[starts_i], starts[starts_i], flens[starts_i],
-        cbc[starts_i], counts, bc_len, rc, n_threads,
+        ref_names, chrs_u, starts_u, flens_u, cbc_u, counts, bc_len, rc,
+        n_threads,
     ))
-    return len(starts_i)
+    return len(chrs_u)
 
 
 def sort(

@@ -110,6 +110,34 @@ def sharded_histogram(mesh: Mesh, bcs: jnp.ndarray, wl_sorted: jnp.ndarray):
         return cnt, unm, np.asarray(hit)[:n]
 
 
+def sharded_bin_histogram(mesh: Mesh, idx: np.ndarray, n_bins: int):
+    """Genomic-bin scatter-add histogram over the mesh (the ATAC gpl
+    bin pass, atac/cellfilter.rs:67-102): bin indices shard over the
+    data axis, each shard scatter-adds into a replicated bin array, and
+    a psum over ICI merges the partials.  Returns int64 counts[n_bins].
+    """
+    axis = mesh.axis_names[0]
+
+    def local(ix, v):
+        cnt = jnp.zeros(n_bins, jnp.int32).at[
+            jnp.where(v, ix, 0)
+        ].add(v.astype(jnp.int32))
+        return jax.lax.psum(cnt, axis)
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
+    )
+    n = len(idx)
+    n_dev = int(np.prod(mesh.devices.shape))
+    pad = (-n) % n_dev
+    ix = np.concatenate([np.asarray(idx, np.int32), np.zeros(pad, np.int32)])
+    valid = np.ones(n + pad, bool)
+    valid[n:] = False
+    i = jax.device_put(ix, NamedSharding(mesh, P(axis)))
+    v = jax.device_put(valid, NamedSharding(mesh, P(axis)))
+    return np.asarray(fn(i, v)).astype(np.int64)
+
+
 def sharded_em_step(mesh: Mesh):
     """Returns a jitted one-round EM update with the cell batch sharded
     over the mesh: gather alpha over labels, normalize by class totals,

@@ -297,3 +297,101 @@ def test_format_bed_native_matches_numpy(tmp_path):
     finally:
         _native._LIB = lib
     assert nat == pure
+
+
+def test_atac_device_backends_match_host(tmp_path, monkeypatch):
+    """Full ATAC pipeline (gpl -> collate -> sort; collate -> dedup)
+    with the device backends forced — mesh bin/barcode histograms
+    (parallel/mesh.py) and the device segmented sort+RLE kernel
+    (ops/atac_device.py) — writes byte-identical artifacts to the host
+    path."""
+    rng = np.random.RandomState(31)
+    refs = ["chr1", "chr2", "chr3"]
+    ref_lens = [250_000, 150_000, 400_000]
+    wl_bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT"]
+    chunks = []
+    for _ in range(3):
+        recs = []
+        for _ in range(150):
+            b = wl_bcs[rng.randint(4)]
+            na = 1 if rng.rand() < 0.9 else 2
+            alns = []
+            for _ in range(na):
+                c = rng.randint(3)
+                alns.append((
+                    c, 4 if rng.rand() < 0.9 else 2,
+                    int(rng.randint(0, ref_lens[c] - 3000)),
+                    int(rng.randint(50, 2500)),
+                ))
+            recs.append((pack_seq(b), alns))
+        chunks.append(recs)
+    outs = {}
+    for tag, env in (
+        ("host", {"AFT_GPL_MESH": "0", "AFT_ATAC_SORT_BACKEND": "host"}),
+        ("dev", {"AFT_GPL_MESH": "auto", "AFT_ATAC_SORT_BACKEND": "jax"}),
+    ):
+        root = tmp_path / tag
+        rad_dir = root / "rad"
+        rad_dir.mkdir(parents=True)
+        write_atac_rad(rad_dir / "map.rad", refs, ref_lens, chunks,
+                       bc_len=BC_LEN)
+        wl = root / "wl.txt"
+        wl.write_text("".join(
+            unpack_seq(int(revcomp_packed(
+                np.asarray([pack_seq(b)], np.uint64), BC_LEN)[0]), BC_LEN)
+            + "\n" for b in wl_bcs
+        ))
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        gpl = root / "gpl"
+        assert main([
+            "atac", "generate-permit-list", "-i", str(rad_dir),
+            "-o", str(gpl), "-u", str(wl), "-m", "1", "-d", "rc",
+        ]) == 0
+        assert main([
+            "atac", "collate", "-i", str(gpl), "-r", str(rad_dir),
+        ]) == 0
+        assert main([
+            "atac", "sort", "-i", str(gpl), "-r", str(rad_dir),
+        ]) == 0
+        bed_sorted = (gpl / "map.bed").read_bytes()
+        assert main(["atac", "deduplicate", "-i", str(gpl)]) == 0
+        outs[tag] = {
+            "bin_recs": (gpl / "bin_recs.bin").read_bytes(),
+            "permit_freq": (gpl / "permit_freq.bin").read_bytes(),
+            "permit_map": (gpl / "permit_map.bin").read_bytes(),
+            "bed_sorted": bed_sorted,
+            "bed_dedup": (gpl / "map.bed").read_bytes(),
+        }
+        for k in env:
+            monkeypatch.delenv(k)
+    assert outs["host"] == outs["dev"]
+
+
+def test_sort_rle_device_matches_lexsort():
+    """ops/atac_device.py::sort_rle_device == np.lexsort + RLE across
+    column counts and bit widths (incl. a 2-word packing)."""
+    from alevin_fry_tpu.ops.atac_device import sort_rle_device
+
+    rng = np.random.RandomState(7)
+    for ncols, hi in ((2, 1 << 8), (4, 1 << 20), (5, 1 << 30)):
+        cols = [
+            rng.randint(0, hi, 500).astype(np.int64) for _ in range(ncols)
+        ]
+        got = sort_rle_device(cols)
+        assert got is not None
+        (g_cols, g_cnt) = got
+        order = np.lexsort(tuple(cols[::-1]))
+        sc = [c[order] for c in cols]
+        new = np.ones(500, bool)
+        for c in sc:
+            new[1:] |= False
+        neq = np.zeros(499, bool)
+        for c in sc:
+            neq |= c[1:] != c[:-1]
+        new[1:] = neq
+        si = np.flatnonzero(new)
+        cnt = np.diff(np.append(si, 500))
+        np.testing.assert_array_equal(g_cnt, cnt)
+        for gc, c in zip(g_cols, sc):
+            np.testing.assert_array_equal(gc, c[si])
