@@ -103,6 +103,12 @@ def allgather_ragged(arr: np.ndarray) -> List[np.ndarray]:
     from jax.experimental import multihost_utils
 
     arr = np.asarray(arr)
+    if arr.dtype.itemsize == 8:
+        # jax demotes 64-bit dtypes to 32 bits unless x64 is enabled,
+        # which would silently truncate e.g. composite (sample, cell)
+        # keys — ship 8-byte elements as u32 pairs instead
+        parts = allgather_ragged(arr.view(np.uint32))
+        return [np.ascontiguousarray(p).view(arr.dtype) for p in parts]
     n = np.asarray([arr.shape[0]], np.int64)
     lens = np.asarray(multihost_utils.process_allgather(n)).reshape(world)
     m = int(lens.max())

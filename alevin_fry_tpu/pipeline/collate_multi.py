@@ -270,11 +270,25 @@ def collate_multi_bc(
                 maps.append(None)
         ctx["round2_maps"] = maps
 
+    from ..parallel import dist
+
+    dist.initialize()
+    rank, world = dist.rank_world()
+
     expected_total = int(comp_counts.sum())
     with open(rad_dir / "map.rad", "rb") as fh:
         prelude, ftm, _ = read_prelude(fh)
         schema = RecordSchema.from_prelude(prelude)
-        if expected_total > max_records:
+        if world > 1:
+            # multi-host: every host scatters its chunk range into
+            # rank-local spill buckets; the gather all-gathers bucket
+            # streams over DCN and rank 0 writes the collated file
+            # (same shape as the single-BC multi-host collate)
+            n_written, per_cell = _collate_multi_out_of_core(
+                fh, input_dir, schema, prelude, ftm, ctx, comp_counts,
+                max_records, compress_out, multihost=True,
+            )
+        elif expected_total > max_records:
             n_written, per_cell = _collate_multi_out_of_core(
                 fh, input_dir, schema, prelude, ftm, ctx, comp_counts,
                 max_records, compress_out,
@@ -285,6 +299,11 @@ def collate_multi_bc(
             n_written, per_cell = _collate_multi_in_memory(
                 batch, input_dir, schema, prelude, ftm, ctx, compress_out,
             )
+
+    if world > 1 and rank != 0:
+        # sidecars below are rank-0 writes; wait for them and return
+        dist.barrier("collate_multi_done")
+        return
 
     # the reference's two-round mode records its mode in collate.json
     # (collate.rs:2447-2454); the fast mode omits the key (:1368-1374)
@@ -326,6 +345,8 @@ def collate_multi_bc(
         ))
         chunk_offset += nch
     manifest.write_to_file(input_dir / "collation_manifest.bin")
+    if world > 1:
+        dist.barrier("collate_multi_done")
     log.info(
         "Multi-barcode collation complete: %d output chunks across %d samples",
         n_written, len(present),
@@ -397,14 +418,35 @@ def _collate_multi_in_memory(
 
 def _collate_multi_out_of_core(
     fh, input_dir, schema, prelude, ftm, ctx, comp_counts, max_records,
-    compress_out,
+    compress_out, multihost: bool = False,
 ):
     """Bounded-memory multi-BC collation: block-streamed correction,
     re-encoded records scattered to rank-range spill buckets (each
     <= max_records planned from the per-sample permit frequencies,
-    mirroring collate.rs:1413-1480), then the shared byte-sort gather."""
+    mirroring collate.rs:1413-1480), then the shared byte-sort gather.
+
+    ``multihost``: each host scatters only its contiguous chunk range
+    and the gather runs over the DCN (collate.py's multi-host gather),
+    producing byte-identical output at rank 0."""
     from ..radz.chunkio import encode_records, iter_decoded_blocks
     from .progress import stage_timer
+
+    chunk_range = None
+    if multihost:
+        from ..parallel import dist
+
+        mh_rank, mh_world = dist.rank_world()
+        nchunks = int(prelude.hdr.num_chunks)
+        if nchunks <= 0:
+            raise ValueError(
+                "multi-host multi-BC collate needs a chunk count in the "
+                "RAD header"
+            )
+        chunk_range = dist.host_chunk_plan(nchunks, mh_world, mh_rank)
+        log.info(
+            "multi-host multi-BC collate: host %d/%d scatters chunks "
+            "[%d, %d)", mh_rank, mh_world, chunk_range[0], chunk_range[1],
+        )
 
     n_cells = ctx["n_cells"]
     csum = np.zeros(n_cells + 1, np.int64)
@@ -416,7 +458,10 @@ def _collate_multi_out_of_core(
         int(csum[-1]), n_buckets,
     )
 
-    spill_dir = input_dir / "_collate_tmp"
+    if multihost:
+        spill_dir = input_dir / f"_collate_tmp_r{mh_rank}"
+    else:
+        spill_dir = input_dir / "_collate_tmp"
     spill_dir.mkdir(exist_ok=True)
     bucket_files = [
         (open(spill_dir / f"bucket_{b}.rec", "wb"),
@@ -428,7 +473,7 @@ def _collate_multi_out_of_core(
         pb = pb_ctx.__enter__()
         for batch in iter_decoded_blocks(
             fh, schema, prelude.hdr.num_chunks or None, max_records,
-            prefetch=True,
+            prefetch=True, chunk_range=chunk_range,
         ):
             pb.update(batch.n_reads)
             kept_reads, rank, ord_arr, corr_cell, keep_aln2, nal = (
@@ -471,6 +516,13 @@ def _collate_multi_out_of_core(
         out_path = input_dir / (
             "map.collated.rad.sz" if compress_out else "map.collated.rad"
         )
+        if multihost:
+            from .collate import _gather_rank_buckets_multihost
+
+            return _gather_rank_buckets_multihost(
+                out_path, spill_dir, n_buckets, schema, prelude, ftm,
+                compress_out, n_cells,
+            )
         return _gather_rank_buckets(
             out_path, spill_dir, n_buckets, schema, prelude, ftm,
             compress_out, n_cells,

@@ -247,13 +247,25 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
                 'To process atac-seq data, you should use the "atac" sub-command'
             )
         if rec_type == KnownRecordType.RNA_MULTI_BC:
+            from ..parallel import dist
             from ..radz.chunkio import iter_decoded_blocks
             from .gpl_multi import do_generate_permit_list_multi_bc
 
+            dist.initialize()
+            mb_rank, mb_world = dist.rank_world()
+            mb_range = None
+            if mb_world > 1:
+                mb_range = dist.host_chunk_plan(
+                    prelude.hdr.num_chunks, mb_world, mb_rank
+                )
+                log.info(
+                    "multi-host multi-BC gpl: process %d/%d owns chunks "
+                    "[%d, %d)", mb_rank, mb_world, mb_range[0], mb_range[1],
+                )
             schema = RecordSchema.from_prelude(prelude)
             blocks = iter_decoded_blocks(
                 fh, schema, prelude.hdr.num_chunks, GPL_BLOCK_RECORDS,
-                prefetch=True,
+                prefetch=True, chunk_range=mb_range,
             )
             return do_generate_permit_list_multi_bc(
                 opts, prelude, ftm, blocks, info

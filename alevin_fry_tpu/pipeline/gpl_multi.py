@@ -163,6 +163,31 @@ def do_generate_permit_list_multi_bc(
         comp = (sidx << cbits) | cbc[known]
         b_key, b_ct = _histogram(comp)
         h_key, h_ct = _merge_histograms(h_key, h_ct, b_key, b_ct)
+    # multi-host: each host histogrammed its chunk range (the caller
+    # scoped block_iter); merge the composite histograms and the read
+    # counters over the DCN so every rank holds the global view
+    # (cellfilter.rs:627-755 is single-host; this is its pod analog)
+    from ..parallel import dist
+
+    rank, world = dist.rank_world()
+    if world > 1:
+        key_parts = dist.allgather_ragged(h_key)
+        ct_parts = dist.allgather_ragged(h_ct.astype(np.uint64))
+        h_key = np.zeros(0, np.uint64)
+        h_ct = np.zeros(0, np.uint64)
+        for kp, cp in zip(key_parts, ct_parts):
+            h_key, h_ct = _merge_histograms(h_key, h_ct, kp, cp)
+        scal = dist.allgather_ragged(np.asarray(
+            [total_reads, matched_reads, unmatched_reads], np.int64
+        ))
+        total_reads, matched_reads, unmatched_reads = (
+            np.sum(np.stack(scal), axis=0).tolist()
+        )
+        log.info(
+            "multi-host multi-BC gpl: merged %d per-host histograms "
+            "(%d composite keys)", world, len(h_key),
+        )
+    write_files = rank == 0
     log.info(
         "First pass complete: %d total reads, %d matched to samples, %d unmatched",
         total_reads, matched_reads, unmatched_reads,
@@ -179,12 +204,14 @@ def do_generate_permit_list_multi_bc(
         min_reads = int(opts.fmeth.min_reads)
         log.info("Loaded %d cell barcodes from whitelist", len(wl_sorted))
 
-    # write sample_permit_map.bin
-    bincodeio.write_u64_map_file(
-        out_dir / "sample_permit_map.bin",
-        np.asarray(list(permit.keys()), np.uint64),
-        np.asarray(list(permit.values()), np.uint64),
-    )
+    # write sample_permit_map.bin (rank-0 only under multi-host; every
+    # rank computed the identical merged state)
+    if write_files:
+        bincodeio.write_u64_map_file(
+            out_dir / "sample_permit_map.bin",
+            np.asarray(list(permit.keys()), np.uint64),
+            np.asarray(list(permit.values()), np.uint64),
+        )
 
     # per-sample filtering over the accumulated composite histogram
     total_cells = 0
@@ -205,43 +232,49 @@ def do_generate_permit_list_multi_bc(
                 "num_reads": 0, "num_cells": 0,
             })
             continue
-        sample_dir.mkdir(parents=True, exist_ok=True)
         kept_bc, kept_ct, map_keys, map_vals = _filter_sample_cells(
             opts, uniq, counts, wl_sorted, min_reads, cell_bc_len, name
         )
-        bincodeio.write_u64_map_file(sample_dir / "permit_map.bin", map_keys, map_vals)
-        bincodeio.write_permit_freq(
-            sample_dir / "permit_freq.bin", cell_bc_len, kept_bc, kept_ct
-        )
+        if write_files:
+            sample_dir.mkdir(parents=True, exist_ok=True)
+            bincodeio.write_u64_map_file(
+                sample_dir / "permit_map.bin", map_keys, map_vals
+            )
+            bincodeio.write_permit_freq(
+                sample_dir / "permit_freq.bin", cell_bc_len, kept_bc, kept_ct
+            )
         total_cells += len(kept_bc)
         sample_entries.append({
             "name": name, "barcode": f"0x{canon_order[si]:x}",
             "num_reads": int(kept_ct.sum()), "num_cells": int(len(kept_bc)),
         })
 
-    write_json(out_dir / "sample_info.json", {
-        "num_samples": num_samples,
-        "num_barcodes": num_barcodes,
-        "total_cells": total_cells,
-        "total_reads": total_reads,
-        "matched_reads": matched_reads,
-        "unmatched_reads": unmatched_reads,
-        "sample_correction_mode": (
-            "OneEdit" if opts.sample_correction_mode == "1-edit" else "Exact"
-        ),
-        "sample_bc_ori": "Reverse" if reverse else "Forward",
-        "samples": sample_entries,
-    })
+    if write_files:
+        write_json(out_dir / "sample_info.json", {
+            "num_samples": num_samples,
+            "num_barcodes": num_barcodes,
+            "total_cells": total_cells,
+            "total_reads": total_reads,
+            "matched_reads": matched_reads,
+            "unmatched_reads": unmatched_reads,
+            "sample_correction_mode": (
+                "OneEdit" if opts.sample_correction_mode == "1-edit" else "Exact"
+            ),
+            "sample_bc_ori": "Reverse" if reverse else "Forward",
+            "samples": sample_entries,
+        })
 
-    write_json(out_dir / "generate_permit_list.json", {
-        "velo_mode": opts.velo_mode,
-        "expected_ori": strand,
-        "version_str": opts.version,
-        "cmd": opts.cmdline,
-        "permit-list-type": opts.fmeth.describe(),
-        "multi_barcode": True,
-        "num_barcodes": num_barcodes,
-    })
+        write_json(out_dir / "generate_permit_list.json", {
+            "velo_mode": opts.velo_mode,
+            "expected_ori": strand,
+            "version_str": opts.version,
+            "cmd": opts.cmdline,
+            "permit-list-type": opts.fmeth.describe(),
+            "multi_barcode": True,
+            "num_barcodes": num_barcodes,
+        })
+    # all ranks wait for the artifacts before the next stage reads them
+    dist.barrier("gpl_multi_done")
     log.info(
         "Multi-barcode permit list generation complete: %d samples, %d total cells",
         num_samples, total_cells,
