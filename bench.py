@@ -50,6 +50,10 @@ if DEVICE_MODE:
     # with the host ordering is covered by tests/test_collate_order.py)
     os.environ.setdefault("AFT_COLLATE_BACKEND", "host")
     os.environ.setdefault("AFT_RESCUE_BACKEND", "auto")
+    # several blocks per run so the async WTA queue overlaps host
+    # decode with device transfer + on-chip sort (pipeline/quant.py)
+    os.environ.setdefault("AFT_QUANT_BLOCK_RECORDS", "500000")
+    os.environ.setdefault("AFT_WTA_ASYNC", "1")
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/aft_jax_cache"
     )
@@ -152,6 +156,7 @@ def main():
         # the host shows multi-x run-to-run variance (co-tenancy, lazily
         # provisioned pages); take the best of three full pipeline runs
         best = None
+        best_stages = None
         for rep in range(3):
             t0 = time.perf_counter()
             generate_permit_list(GenPermitListOpts(
@@ -161,14 +166,23 @@ def main():
                 ),
                 expected_ori="fw", cmdline="bench",
             ))
+            t1 = time.perf_counter()
             collate(d / f"gpl{rep}", d / "rad", cmdline="bench")
+            t2 = time.perf_counter()
             quantify(QuantOpts(
                 input_dir=d / f"gpl{rep}", tg_map=d / "t2g.tsv",
                 output_dir=d / f"quant{rep}", resolution="cr-like",
                 cmdline="bench",
             ))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            t3 = time.perf_counter()
+            dt = t3 - t0
+            if best is None or dt < best:
+                best = dt
+                best_stages = {
+                    "gpl_s": round(t1 - t0, 3),
+                    "collate_s": round(t2 - t1, 3),
+                    "quant_s": round(t3 - t2, 3),
+                }
 
         reads_per_sec = N_READS / best
         label = "device" if DEVICE_MODE else "host"
@@ -180,6 +194,15 @@ def main():
             "value": round(reads_per_sec, 1),
             "unit": "reads/s",
             "vs_baseline": round(reads_per_sec / REF_READS_PER_SEC, 3),
+            # keep the caveat attached to the ratio itself: the
+            # denominator is a documented estimate, not a measurement
+            # (no Rust toolchain in this image — BASELINE.md)
+            "baseline_note": (
+                "vs_baseline divides by a paper-derived estimate of the "
+                "reference's end-to-end throughput (800k reads/s, 16-thread "
+                "server); the reference binary cannot be built or timed in "
+                "this image"
+            ),
         }
         print(json.dumps(line))
         if DEVICE_MODE:
@@ -198,9 +221,34 @@ def main():
                 == (d / "quant0" / "alevin" / "quants_mat.mtx").read_bytes()
             )
             os.environ["AFT_CRLIKE_BACKEND"] = "jax"
+            # transfer-bandwidth context: every key/count byte of the
+            # quant resolve rides this link in this image, so the
+            # residual vs the host path is attributable to it
+            # (scripts/profile_kernels.py --only transfer measures the
+            # same thing standalone)
+            import jax
+
+            buf = np.random.RandomState(0).randint(
+                0, 255, 16 << 20, np.uint8
+            )
+            dput = jax.device_put(buf)
+            dput.block_until_ready()
+            np.asarray(dput)
+            t0 = time.perf_counter()
+            dput = jax.device_put(buf)
+            dput.block_until_ready()
+            up_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(dput)
+            down_s = time.perf_counter() - t0
             Path("BENCH_DEVICE.json").write_text(json.dumps({
                 **line,
                 "mtx_identical_to_host_path": bool(ident),
+                "stage_breakdown_s": best_stages,
+                "transfer_MBps": {
+                    "h2d": round(len(buf) / up_s / 1e6, 1),
+                    "d2h": round(len(buf) / down_s / 1e6, 1),
+                },
             }) + "\n")
     finally:
         shutil.rmtree(d, ignore_errors=True)

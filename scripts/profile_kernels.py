@@ -355,6 +355,39 @@ def profile_hamming():
     }
 
 
+def profile_transfer():
+    """Host<->device transfer bandwidth (the tunnel, when one is in the
+    path): device_put and fetch of a 32 MiB buffer, best of 3.  This is
+    the denominator for the end-to-end device-bench breakdown — on this
+    image every byte of the quant key stream rides this link."""
+    import jax
+    import jax.numpy as jnp
+
+    nbytes = 32 << 20
+    host = np.random.RandomState(0).randint(0, 255, nbytes, np.uint8)
+    # warm
+    d = jax.device_put(host)
+    d.block_until_ready()
+    np.asarray(d)
+    up = []
+    down = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = jax.device_put(host)
+        d.block_until_ready()
+        up.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = np.asarray(d)
+        down.append(time.perf_counter() - t0)
+    return {
+        "kernel": f"host<->device transfer ({nbytes >> 20} MiB)",
+        "h2d_MBps": round(nbytes / min(up) / 1e6, 1),
+        "d2h_MBps": round(nbytes / min(down) / 1e6, 1),
+        "raw": {"up_s": [round(t, 3) for t in up],
+                "down_s": [round(t, 3) for t in down]},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="write JSON results here")
@@ -378,6 +411,7 @@ def main():
         "cc": profile_pug_cc,
         "cc_dense": profile_cc_dense,
         "hamming": profile_hamming,
+        "transfer": profile_transfer,
     }
     names = args.only.split(",") if args.only else list(table)
     results = []
