@@ -36,7 +36,14 @@ def collate(
 ) -> None:
     input_dir = Path(input_dir)
     rad_dir = Path(rad_dir)
-    check_version_compat(version, input_dir / "generate_permit_list.json")
+    gpl_meta = check_version_compat(
+        version, input_dir / "generate_permit_list.json"
+    )
+
+    from ..parallel import dist
+
+    dist.initialize()
+    rank, world = dist.rank_world()
 
     bclen, freq_bc, freq_ct = bincodeio.read_permit_freq(input_dir / "permit_freq.bin")
     del bclen
@@ -46,26 +53,57 @@ def collate(
 
     map_keys, map_vals = bincodeio.read_u64_map_file(input_dir / "permit_map.bin")
 
-    bcs_u, cts_u = unmappedio.read_raw_unmapped(rad_dir / "unmapped_bc_count.bin")
-    if len(bcs_u):
-        hit, corr = _lookup_map(map_keys, map_vals, bcs_u)
-        cb, inv = np.unique(corr[hit], return_inverse=True)
-        agg = np.zeros(len(cb), np.uint64)
-        np.add.at(agg, inv, cts_u[hit].astype(np.uint64))
-        unmappedio.write_collated_single(
-            input_dir / "unmapped_bc_count_collated.bin", cb,
-            agg.astype(np.uint32),
+    if rank == 0:
+        bcs_u, cts_u = unmappedio.read_raw_unmapped(
+            rad_dir / "unmapped_bc_count.bin"
         )
-    else:
-        unmappedio.write_collated_single(
-            input_dir / "unmapped_bc_count_collated.bin",
-            np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+        if len(bcs_u):
+            hit, corr = _lookup_map(map_keys, map_vals, bcs_u)
+            cb, inv = np.unique(corr[hit], return_inverse=True)
+            agg = np.zeros(len(cb), np.uint64)
+            np.add.at(agg, inv, cts_u[hit].astype(np.uint64))
+            unmappedio.write_collated_single(
+                input_dir / "unmapped_bc_count_collated.bin", cb,
+                agg.astype(np.uint32),
+            )
+        else:
+            unmappedio.write_collated_single(
+                input_dir / "unmapped_bc_count_collated.bin",
+                np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+            )
+
+    # multi-host: per-host chunk ranges (the ATAC chunk count lives in
+    # the gpl JSON when the RAD header holds 0, atac/collate.rs:212) +
+    # the shared DCN bucket gather
+    total_to_collate = int(freq_ct.sum())
+    if world > 1:
+        from ..pipeline.collate import _collate_out_of_core
+
+        nchunks = int(gpl_meta.get("num-chunks", 0) or 0)
+        if nchunks <= 0:
+            raise ValueError(
+                "multi-host atac collate needs the chunk count from the "
+                "gpl metadata"
+            )
+        chunk_range = dist.host_chunk_plan(nchunks, world, rank)
+        log.info(
+            "multi-host atac collate: host %d/%d scatters chunks [%d, %d)",
+            rank, world, chunk_range[0], chunk_range[1],
+        )
+        if rank == 0:
+            write_json(input_dir / "collate.json", {
+                "cmd": cmdline, "version_str": version,
+                "compressed_output": compress_out,
+            })
+        return _collate_out_of_core(
+            input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
+            ".", False, max_records, compress_out, expect_atac=True,
+            chunk_range=chunk_range, multihost=True,
         )
 
     # out-of-core path for datasets beyond the in-memory record bound
     # (the reference's --max-records scatter/gather, reused from the RNA
     # collation; ATAC records carry no orientation so ori = '.')
-    total_to_collate = int(freq_ct.sum())
     if total_to_collate > max_records:
         from ..pipeline.collate import _collate_out_of_core
 

@@ -53,18 +53,38 @@ def deduplicate(
         "num_non_mapped_pair": 0,
         "num_frag_len_over_max": 0,
     }
+    from ..parallel import dist
+
+    dist.initialize()
+    rank, world = dist.rank_world()
+
     try:
         prelude, ftm, _ = read_prelude(br)
         getattr(br, "drop_history", lambda: None)()
         schema = RecordSchema.from_prelude(prelude)
         bc_len = int(ftm["cblen"])
+        chunk_range = None
+        if world > 1:
+            # per-host cell-chunk ranges; each host writes a local
+            # partial BED (output order = chunk order), stream-merged
+            # at rank 0 over bounded DCN chunks below
+            chunk_range = dist.host_chunk_plan(
+                prelude.hdr.num_chunks, world, rank
+            )
+            log.info(
+                "multi-host atac dedup: host %d/%d owns cell chunks "
+                "[%d, %d)", rank, world, chunk_range[0], chunk_range[1],
+            )
+            bed_path = input_dir / f".map.bed.r{rank}"
+        else:
+            bed_path = input_dir / "map.bed"
         # the collated file holds one chunk per cell, so streamed blocks
         # contain whole cells and per-block dedup is exact (the
         # reference's workers pop per-cell chunks, deduplicate.rs:175-226)
-        with open(input_dir / "map.bed", "wb") as out:
+        with open(bed_path, "wb") as out:
             for batch in iter_decoded_blocks(
                 br, schema, prelude.hdr.num_chunks, block_records,
-                prefetch=True,
+                prefetch=True, chunk_range=chunk_range,
             ):
                 na = batch.num_aln_per_read
                 first_aln = batch.aln_offsets[:-1]
@@ -129,6 +149,22 @@ def deduplicate(
                     chrs_u, starts_u, flens_u, bcs_u, counts,
                     bc_len, rev, num_threads,
                 ))
+        if world > 1:
+            # rank-order concatenation of the per-host partial BEDs
+            # reproduces the single-process chunk order byte-for-byte
+            out_fh = open(input_dir / "map.bed", "wb") if rank == 0 else None
+            try:
+                dist.stream_concat_files(bed_path, out_fh)
+            finally:
+                if out_fh is not None:
+                    out_fh.close()
+            bed_path.unlink(missing_ok=True)
+            sums = np.sum(np.stack(dist.allgather_ragged(np.asarray(
+                [stats[k] for k in sorted(stats)], np.int64
+            ))), axis=0)
+            for k, v in zip(sorted(stats), sums):
+                stats[k] = int(v)
+            dist.barrier("atac_dedup_done")
     finally:
         br.close()
     log.info(

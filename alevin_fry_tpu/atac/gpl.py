@@ -56,6 +56,11 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
     from ..pipeline.progress import stage_timer
     from ..radz.chunkio import iter_decoded_blocks
 
+    from ..parallel import dist
+
+    dist.initialize()
+    rank, world = dist.rank_world()
+
     i_dir = Path(opts.input_dir)
     block_records = int(os.environ.get("AFT_GPL_BLOCK_RECORDS", 20_000_000))
     with open(i_dir / "map.rad", "rb") as fh:
@@ -69,6 +74,19 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
         nc = prelude.hdr.num_chunks if prelude.hdr.num_chunks > 0 else None
         bclen = int(ftm["cblen"])
         ref_lens = np.asarray(ftm["ref_lengths"], np.uint64)
+
+        chunk_range = None
+        if world > 1:
+            if nc is None:
+                raise ValueError(
+                    "multi-host atac gpl needs a chunk count in the RAD "
+                    "header"
+                )
+            chunk_range = dist.host_chunk_plan(nc, world, rank)
+            log.info(
+                "multi-host atac gpl: process %d/%d owns chunks [%d, %d)",
+                rank, world, chunk_range[0], chunk_range[1],
+            )
 
         # whitelist (optionally reverse-complemented,
         # atac/cellfilter.rs:104-139) — read up front so the device
@@ -85,7 +103,9 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
         # unmatched tail histogrammed on host for the 1-edit rescue
         from ..pipeline.gpl import gpl_mesh_from_env
 
-        gpl_mesh = gpl_mesh_from_env()
+        # (multi-host runs merge host-local histograms over the DCN —
+        # a global-mesh device_put of host-local arrays is ill-defined)
+        gpl_mesh = gpl_mesh_from_env() if world == 1 else None
         wl_dev_counts = (
             np.zeros(len(wl_sorted), np.int64) if gpl_mesh is not None else None
         )
@@ -103,7 +123,8 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
         max_ambig = 0
         with stage_timer(log, "atac gpl histogram", "reads") as pb:
             for batch in iter_decoded_blocks(
-                fh, schema, nc, block_records, prefetch=True
+                fh, schema, nc, block_records, prefetch=True,
+                chunk_range=chunk_range,
             ):
                 pb.update(batch.n_reads)
                 num_reads += batch.n_reads
@@ -138,12 +159,34 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
                 if len(bcs_blk):
                     b_bc, b_ct = _histogram(bcs_blk)
                     h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
+    # multi-host: merge the per-host chunk-range histograms over the
+    # DCN so every rank holds the global bins + barcode histogram
+    if world > 1:
+        bin_parts = dist.allgather_ragged(bins)
+        bins = np.sum(np.stack(bin_parts), axis=0).astype(np.uint64)
+        key_parts = dist.allgather_ragged(h_bc)
+        ct_parts = dist.allgather_ragged(h_ct)
+        h_bc = np.zeros(0, np.uint64)
+        h_ct = np.zeros(0, np.uint64)
+        for kp, cp in zip(key_parts, ct_parts):
+            h_bc, h_ct = _merge_histograms(h_bc, h_ct, kp, cp)
+        scal = dist.allgather_ragged(np.asarray(
+            [num_reads, num_chunks, max_ambig], np.int64
+        ))
+        sums = np.stack(scal)
+        num_reads = int(sums[:, 0].sum())
+        num_chunks = int(sums[:, 1].sum())
+        max_ambig = int(sums[:, 2].max())
+        log.info(
+            "multi-host atac gpl: merged %d per-host histograms", world
+        )
     bmax = int(bins.max()) if tot_bins else 0
 
     out_dir = Path(opts.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    bincodeio.write_u64_vec_file(out_dir / "bin_recs.bin", bins)
-    bincodeio.write_u64_vec_file(out_dir / "bin_lens.bin", blens)
+    if rank == 0:
+        bincodeio.write_u64_vec_file(out_dir / "bin_recs.bin", bins)
+        bincodeio.write_u64_vec_file(out_dir / "bin_lens.bin", blens)
 
     # barcode histogram + unique-1-edit rescue (same machinery as RNA)
     if wl_dev_counts is not None:
@@ -193,10 +236,15 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
         num_corrected,
     )
 
-    bincodeio.write_permit_freq(out_dir / "permit_freq.bin", bclen, kept_bc, kept_ct)
     map_keys = np.concatenate([kept_bc, rescue_bc[rescued]])
     map_vals = np.concatenate([kept_bc, reps[rescued]])
-    bincodeio.write_u64_map_file(out_dir / "permit_map.bin", map_keys, map_vals)
+    if rank == 0:
+        bincodeio.write_permit_freq(
+            out_dir / "permit_freq.bin", bclen, kept_bc, kept_ct
+        )
+        bincodeio.write_u64_map_file(
+            out_dir / "permit_map.bin", map_keys, map_vals
+        )
 
     meta = {
         "version_str": opts.version,
@@ -215,6 +263,9 @@ def generate_permit_list(opts: AtacGplOpts) -> int:
         },
         "max-rec-in-bin": bmax,
     }
-    write_json(out_dir / "generate_permit_list.json", meta)
+    if rank == 0:
+        write_json(out_dir / "generate_permit_list.json", meta)
+    # all ranks wait for the artifacts before the next stage reads them
+    dist.barrier("atac_gpl_done")
     log.info("total number of distinct corrected barcodes: %d", num_corrected)
     return num_corrected

@@ -182,18 +182,29 @@ def sort(
         if not (input_dir / f).exists():
             raise FileNotFoundError(f"bin file {f} does not exist; re-run atac gpl")
 
+    from ..parallel import dist
+
+    dist.initialize()
+    rank, world = dist.rank_world()
+
     map_keys, map_vals = bincodeio.read_u64_map_file(input_dir / "permit_map.bin")
     bins = bincodeio.read_u64_vec_file(input_dir / "bin_recs.bin")
     blens = bincodeio.read_u64_vec_file(input_dir / "bin_lens.bin").astype(np.int64)
     total_unique = int(bins.sum())
 
-    write_json(input_dir / "sort.json", {
-        "cmd": cmdline, "version_str": version,
-        "compressed_output": compress_out,
-    })
+    if rank == 0:
+        write_json(input_dir / "sort.json", {
+            "cmd": cmdline, "version_str": version,
+            "compressed_output": compress_out,
+        })
 
     bedname = input_dir / ("map.bed.gz" if compress_out else "map.bed")
-    out_fh = gzip.open(bedname, "wb") if compress_out else open(bedname, "wb")
+    if rank == 0:
+        out_fh = gzip.open(bedname, "wb") if compress_out else open(bedname, "wb")
+    else:
+        import io
+
+        out_fh = io.BytesIO()  # discarded; rank 0 owns the output
 
     with open(rad_dir / "map.rad", "rb") as fh:
         prelude, ftm, _ = read_prelude(fh)
@@ -202,7 +213,21 @@ def sort(
         bc_len = int(ftm["cblen"])
         ref_names = prelude.hdr.ref_names
 
-        if total_unique <= max_records:
+        chunk_range = None
+        if world > 1:
+            nchunks = nc or int(mdata.get("num-chunks", 0) or 0)
+            if nchunks <= 0:
+                raise ValueError(
+                    "multi-host atac sort needs a chunk count (header or "
+                    "gpl metadata)"
+                )
+            chunk_range = dist.host_chunk_plan(nchunks, world, rank)
+            log.info(
+                "multi-host atac sort: host %d/%d scatters chunks [%d, %d)",
+                rank, world, chunk_range[0], chunk_range[1],
+            )
+
+        if world == 1 and total_unique <= max_records:
             # one bucket: global in-memory sort (identical output)
             parts = [
                 _extract_cols(batch, map_keys, map_vals)
@@ -225,7 +250,9 @@ def sort(
             "out-of-core sort: %d unique records into %d genomic-bin buckets",
             total_unique, n_buckets,
         )
-        spill_dir = input_dir / "_sort_tmp"
+        spill_dir = input_dir / (
+            f"_sort_tmp_r{rank}" if world > 1 else "_sort_tmp"
+        )
         spill_dir.mkdir(exist_ok=True)
         files = [open(spill_dir / f"bin_{b}.rows", "wb") for b in range(n_buckets)]
         try:
@@ -234,7 +261,8 @@ def sort(
             pb_ctx = stage_timer(log, "atac sort scatter", "reads")
             pb = pb_ctx.__enter__()
             for batch in iter_decoded_blocks(
-                fh, schema, nc, max_records, prefetch=True
+                fh, schema, nc, max_records, prefetch=True,
+                chunk_range=chunk_range,
             ):
                 pb.update(batch.n_reads)
                 rows = _extract_cols(batch, map_keys, map_vals)
@@ -254,7 +282,17 @@ def sort(
                 f.close()
             n_frag = 0
             for b in range(n_buckets):
-                rows = np.fromfile(spill_dir / f"bin_{b}.rows", _SPILL_DT)
+                if world > 1:
+                    # DCN bucket gather: each host scattered its chunk
+                    # range; the bucket's global sort is order-
+                    # independent, so rank-order concatenation suffices
+                    local = np.fromfile(spill_dir / f"bin_{b}.rows", np.uint8)
+                    parts = dist.allgather_ragged(local)
+                    rows = (
+                        np.concatenate(parts) if parts else local
+                    ).view(_SPILL_DT) if rank == 0 else np.empty(0, _SPILL_DT)
+                else:
+                    rows = np.fromfile(spill_dir / f"bin_{b}.rows", _SPILL_DT)
                 n_frag += _sort_dedup_emit(
                     rows, ref_names, bc_len, rc, out_fh, num_threads
                 )
@@ -270,4 +308,6 @@ def sort(
             except OSError:
                 pass
     out_fh.close()
+    if world > 1:
+        dist.barrier("atac_sort_done")
     log.info("wrote %d deduplicated fragments to %s", n_frag, bedname)

@@ -120,6 +120,43 @@ def allgather_ragged(arr: np.ndarray) -> List[np.ndarray]:
     return [gathered[r, : int(lens[r])] for r in range(world)]
 
 
+def stream_concat_files(local_path, out_fh, chunk_bytes: int = 8 << 20) -> int:
+    """Concatenate every rank's local file into ``out_fh`` (rank 0
+    writes; other ranks pass their bytes) in rank order, over bounded
+    DCN chunks so memory stays flat regardless of file size.  Every
+    rank must call this (collective).  Returns total bytes written."""
+    import os as _os
+
+    rank, world = rank_world()
+    n = _os.path.getsize(local_path)
+    if world == 1:
+        with open(local_path, "rb") as fh:
+            while True:
+                b = fh.read(chunk_bytes)
+                if not b:
+                    break
+                out_fh.write(b)
+        return n
+    sizes = [int(p[0]) for p in allgather_ragged(np.asarray([n], np.int64))]
+    total = 0
+    fh = open(local_path, "rb")
+    try:
+        for r in range(world):
+            rounds = (sizes[r] + chunk_bytes - 1) // chunk_bytes
+            for _ in range(rounds):
+                if r == rank:
+                    data = np.frombuffer(fh.read(chunk_bytes), np.uint8)
+                else:
+                    data = np.zeros(0, np.uint8)
+                parts = allgather_ragged(data)
+                if rank == 0 and out_fh is not None:
+                    out_fh.write(parts[r].tobytes())
+                total += len(parts[r])
+    finally:
+        fh.close()
+    return total
+
+
 def merge_partial_coo(
     rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     row_offset: int,

@@ -91,6 +91,24 @@ elif mode == "multibc":
         input_dir=base / "gpl", tg_map=rad / "t2g.tsv",
         output_dir=base / "quant", resolution="trivial", cmdline="mh",
     ))
+elif mode == "atac":
+    # ATAC chain: gpl -> collate -> sort -> dedup under one distributed
+    # session (chunk-range histograms + DCN merges; the sort's genomic-
+    # bin buckets and the dedup's per-cell BED stream gather over DCN)
+    from alevin_fry_tpu.atac.gpl import AtacGplOpts, generate_permit_list
+    from alevin_fry_tpu.atac.collate import collate as atac_collate
+    from alevin_fry_tpu.atac.sort import sort as atac_sort
+    from alevin_fry_tpu.atac.dedup import deduplicate
+    rad = Path(sys.argv[3]); base = Path(sys.argv[4])
+    generate_permit_list(AtacGplOpts(
+        input_dir=rad, output_dir=base / "gpl",
+        unfiltered_pl=rad / "wl.txt", min_reads=1, rc=True, cmdline="mh",
+    ))
+    atac_collate(base / "gpl", rad, cmdline="mh", max_records=97)
+    atac_sort(base / "gpl", rad, cmdline="mh", max_records=97)
+    import shutil
+    shutil.copy(base / "gpl" / "map.bed", base / "gpl" / "map.sorted.bed")
+    deduplicate(base / "gpl", cmdline="mh")
 else:
     from alevin_fry_tpu.pipeline.gpl import (
         CellFilterMethod, GenPermitListOpts, generate_permit_list,
@@ -508,5 +526,85 @@ def test_two_process_multi_bc_chain_matches_single(tmp_path):
         "gpl/map.collated.rad", "gpl/collation_manifest.bin",
         "quant/alevin/quants_mat.mtx", "quant/alevin/quants_mat_rows.txt",
         "quant/featureDump.txt",
+    ):
+        assert (mbase / name).read_bytes() == (sbase / name).read_bytes(), name
+
+
+def test_two_process_atac_chain_matches_single(tmp_path):
+    """The ATAC chain — gpl -> collate -> sort -> deduplicate — under
+    one 2-process jax.distributed session must match the single-process
+    run byte-for-byte: chunk-range histograms merge over the DCN, the
+    collation and the genomic-bin sort gather their buckets over the
+    DCN, and the dedup BED stream-merges at rank 0."""
+    import shutil
+    from synth import write_atac_rad
+    from alevin_fry_tpu.ops.barcodes import revcomp_packed, unpack_seq
+    from alevin_fry_tpu.atac.gpl import AtacGplOpts
+    from alevin_fry_tpu.atac.gpl import generate_permit_list as atac_gpl
+    from alevin_fry_tpu.atac.collate import collate as atac_collate
+    from alevin_fry_tpu.atac.sort import sort as atac_sort
+    from alevin_fry_tpu.atac.dedup import deduplicate
+
+    rng = np.random.RandomState(53)
+    refs = ["chr1", "chr2"]
+    ref_lens = [250_000, 150_000]
+    wl_bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG"]
+    chunks = []
+    for _ in range(4):
+        recs = []
+        for _ in range(60):
+            b = wl_bcs[rng.randint(3)]
+            c = int(rng.randint(2))
+            recs.append((pack_seq(b), [(
+                c, 4 if rng.rand() < 0.9 else 2,
+                int(rng.randint(0, ref_lens[c] - 3000)),
+                int(rng.randint(50, 2500)),
+            )]))
+        chunks.append(recs)
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_atac_rad(rad_dir / "map.rad", refs, ref_lens, chunks, bc_len=8)
+    (rad_dir / "wl.txt").write_text("".join(
+        unpack_seq(int(revcomp_packed(
+            np.asarray([pack_seq(b)], np.uint64), 8)[0]), 8) + "\n"
+        for b in wl_bcs
+    ))
+
+    sbase = tmp_path / "single"
+    atac_gpl(AtacGplOpts(
+        input_dir=rad_dir, output_dir=sbase / "gpl",
+        unfiltered_pl=rad_dir / "wl.txt", min_reads=1, rc=True, cmdline="mh",
+    ))
+    atac_collate(sbase / "gpl", rad_dir, cmdline="mh", max_records=97)
+    atac_sort(sbase / "gpl", rad_dir, cmdline="mh", max_records=97)
+    shutil.copy(sbase / "gpl" / "map.bed", sbase / "gpl" / "map.sorted.bed")
+    deduplicate(sbase / "gpl", cmdline="mh")
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    mbase = tmp_path / "multi"
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("AFT_", "XLA_", "JAX_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(pid), coord, str(rad_dir),
+             str(mbase), repo, "atac"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    logs = [p.communicate(timeout=360)[0].decode() for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{lg[-4000:]}"
+    assert any("multi-host atac gpl" in lg for lg in logs)
+    assert any("multi-host atac sort" in lg for lg in logs)
+    assert any("multi-host atac dedup" in lg for lg in logs)
+
+    for name in (
+        "gpl/bin_recs.bin", "gpl/permit_freq.bin", "gpl/permit_map.bin",
+        "gpl/map.collated.rad", "gpl/map.sorted.bed", "gpl/map.bed",
     ):
         assert (mbase / name).read_bytes() == (sbase / name).read_bytes(), name
