@@ -194,13 +194,22 @@ def profile_wta():
         def chain(key):
             def body(_i, key):
                 ok, oc = _kernel(key, ubits, gbits, n_rows)
-                # feed output back: flip the gene low bit where the
-                # emitted segment-start key was odd — keeps the key
-                # distribution realistic and defeats loop hoisting
-                return key ^ (ok & jnp.uint64(1))
+                # feed output back across the LOW gene bits AND read
+                # them in the final sum: an earlier chain flipped only
+                # bit 0 and summed only the high words, and XLA proved
+                # the high words loop-invariant and dead-code-
+                # eliminated every round (t(K=4002) == t(K=0)); this
+                # variant makes every round's sort reachable from the
+                # output
+                return key ^ (ok & jnp.uint64(0x3FF)) ^ (
+                    oc.astype(jnp.uint64) & jnp.uint64(0x3)
+                )
 
             out = jax.lax.fori_loop(0, k, body, key)
-            return (out >> jnp.uint64(32)).astype(jnp.uint32).sum()
+            return (
+                (out & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).sum()
+                + (out >> jnp.uint64(32)).astype(jnp.uint32).sum()
+            )
 
         def call():
             # enable_x64 must wrap the CALL: tracing happens lazily at
