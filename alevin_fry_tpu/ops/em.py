@@ -440,7 +440,8 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False,
 
 
 def _get_em_kernel_compact(usa: bool, with_last_round: bool,
-                           weighted: bool = False, fixed_rounds: int = 0):
+                           weighted: bool = False, fixed_rounds: int = 0,
+                           dense: bool = False):
     """Compact-gene-space variant of the batched EM kernel.
 
     The full kernel iterates a dense (B, R+1) alpha state, but each
@@ -461,7 +462,7 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
     import jax.numpy as jnp
 
     _configure_compile_cache()
-    key = ("compact", usa, with_last_round, weighted, fixed_rounds)
+    key = ("compact", usa, with_last_round, weighted, fixed_rounds, dense)
     if key in _jit_cache:
         return _jit_cache[key]
 
@@ -470,6 +471,34 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
         # labels/p1/p2: (B,E,L) int32 LOCAL ids into the per-cell
         # dictionary (pad -> U, whose alpha is pinned 0); counts (B,E)
         B, E, L = labels.shape
+        if dense:
+            # MXU formulation: the E-step gather and the M-step
+            # scatter-add are LINEAR maps of alpha with loop-invariant
+            # one-hot matrices (USA partner coupling folds into the
+            # same matrix: abundance = (A_self + A_p1 + A_p2) @ alpha).
+            # Measured on v5e: 2.0 ms/round vs 36 ms for the
+            # gather/scatter formulation at B=4096, E*L=512, U=512 —
+            # random gather/scatter costs ~10 ns/element on the VPU
+            # while the MXU streams the same contraction.  HIGHEST
+            # precision keeps f32-level accuracy (A is exactly 0/1).
+            iota_u = jnp.arange(U + 1, dtype=jnp.int32)
+            lab_flat = labels.reshape(B, E * L)
+            a_self = (lab_flat[:, :, None] == iota_u).astype(jnp.float32)
+            if usa:
+                a_gather = (
+                    a_self
+                    + (p1.reshape(B, E * L)[:, :, None] == iota_u).astype(
+                        jnp.float32
+                    )
+                    + (p2.reshape(B, E * L)[:, :, None] == iota_u).astype(
+                        jnp.float32
+                    )
+                )
+                # column U collects pad and absent-partner ones; its
+                # alpha is pinned 0, so they contribute nothing
+            else:
+                a_gather = a_self
+            hi = jax.lax.Precision.HIGHEST
         single = lens == 1
         valid = lens > 0
         lmask = jnp.arange(L)[None, None, :] < lens[:, :, None]
@@ -504,11 +533,16 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
             return out
 
         def one_update(alphas):
-            ab = gather(alphas, labels)
-            if usa:
-                # partner abundances: p1 is the one-section shift, p2
-                # the second shift of ambiguous labels (else -> U = 0)
-                ab = ab + gather(alphas, p1) + gather(alphas, p2)
+            if dense:
+                ab = jnp.einsum(
+                    "bku,bu->bk", a_gather, alphas, precision=hi
+                ).reshape(labels.shape)
+            else:
+                ab = gather(alphas, labels)
+                if usa:
+                    # partner abundances: p1 is the one-section shift,
+                    # p2 the second shift of ambiguous labels (-> U = 0)
+                    ab = ab + gather(alphas, p1) + gather(alphas, p2)
             if weighted:
                 ab = ab * weights
             ab = jnp.where(lmask, ab, 0.0)
@@ -518,10 +552,19 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
                 (denom > 0) & multi, counts / jnp.maximum(denom, 1e-30), 0.0
             )
             contrib = ab * inv[:, :, None]
-            out = base_out(alphas)
-            out = out.at[
-                batch_idx.reshape(-1), jnp.where(lmask, labels, U).reshape(-1)
-            ].add(jnp.where(multi[:, :, None], contrib, 0.0).reshape(-1))
+            if dense:
+                sc = jnp.where(multi[:, :, None], contrib, 0.0).reshape(
+                    B, E * L
+                )
+                out = base_out(alphas) + jnp.einsum(
+                    "bku,bk->bu", a_self, sc, precision=hi
+                )
+            else:
+                out = base_out(alphas)
+                out = out.at[
+                    batch_idx.reshape(-1),
+                    jnp.where(lmask, labels, U).reshape(-1),
+                ].add(jnp.where(multi[:, :, None], contrib, 0.0).reshape(-1))
             out = out.at[:, U].set(0.0)
             return out
 
@@ -857,6 +900,18 @@ def em_cells_batched(
     # the full-space kernel measured <1% of HBM roofline on chip.
     # AFT_EM_COMPACT=0 restores the full-space kernel.
     use_compact = _os.environ.get("AFT_EM_COMPACT", "1") != "0"
+    # dense MXU variant: one-hot matmul E/M steps (18x the
+    # gather/scatter round on v5e).  Default on accelerators; on CPU
+    # only when forced (CPU matmul of one-hot matrices loses to
+    # gathers).  AFT_EM_DENSE=0 disables, =1 forces.
+    dense_mode = _os.environ.get("AFT_EM_DENSE", "auto")
+    if dense_mode == "auto":
+        from .crlike import accelerator_present
+
+        use_dense = accelerator_present() or mesh is not None
+    else:
+        use_dense = dense_mode == "1"
+    dense_cap = int(_os.environ.get("AFT_EM_DENSE_BYTES", 6 << 30))
     kern = _get_em_kernel(
         usa_offsets is not None, with_last_round,
         weighted=class_weights is not None,
@@ -864,6 +919,10 @@ def em_cells_batched(
     kern_c = _get_em_kernel_compact(
         usa_offsets is not None, with_last_round,
         weighted=class_weights is not None,
+    )
+    kern_d = _get_em_kernel_compact(
+        usa_offsets is not None, with_last_round,
+        weighted=class_weights is not None, dense=True,
     )
     for (Ep, Lp), cells in buckets.items():
         # batch size bounded by memory: B*(R+1) floats and B*Ep*Lp ints;
@@ -928,11 +987,16 @@ def em_cells_batched(
             else:
                 put = jnp.asarray
             if compact_here:
+                dense_here = (
+                    use_dense
+                    and b * Ep * Lp * (U + 1) * 4 <= dense_cap
+                )
+                kc = kern_d if dense_here else kern_c
                 args = (put(lab_loc), put(len_pad), put(ct_pad),
                         put(p1_loc), put(p2_loc))
                 out = np.asarray(
-                    kern_c(*args, R, U, bool(init_uniform),
-                           *((put(w_pad),) if w_pad is not None else ()))
+                    kc(*args, R, U, bool(init_uniform),
+                       *((put(w_pad),) if w_pad is not None else ()))
                 )
             else:
                 args = (put(lab_pad), put(len_pad), put(ct_pad))

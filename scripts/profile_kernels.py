@@ -119,6 +119,50 @@ def profile_em(usa: bool):
     }
 
 
+def profile_em_dense(usa: bool):
+    """Dense MXU EM round (one-hot matmul E/M steps) at the same
+    production shape — ops/em.py::_get_em_kernel_compact(dense=True),
+    the default on accelerators.  FLOP model per round: 2 batched
+    contractions of (B, E*L, U+1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from alevin_fry_tpu.ops.em import _get_em_kernel_compact, compact_local_ids
+
+    B, E, L = 4096, 64, 8
+    R = 3 * 8192 if usa else 8192
+    uoff, aoff = (8192, 16384) if usa else (R, R)
+    rng = np.random.RandomState(0)
+    lab = rng.randint(0, R, (B, E, L)).astype(np.int64)
+    lens = jnp.asarray(rng.randint(1, L + 1, (B, E)), jnp.int32)
+    counts = jnp.asarray(rng.randint(1, 50, (B, E)), jnp.float32)
+    lab_loc, p1, p2, U = compact_local_ids(
+        lab, R, (uoff, aoff) if usa else None
+    )
+    labels = jnp.asarray(lab_loc)
+    p1 = jnp.asarray(p1)
+    p2 = jnp.asarray(p2)
+
+    def build(k):
+        fn = _get_em_kernel_compact(usa, False, fixed_rounds=k, dense=True)
+        summed = jax.jit(
+            lambda l, n, c, a, b2: fn(l, n, c, a, b2, R, U, False).sum()
+        )
+        return (lambda: summed(labels, lens, counts, p1, p2)), ()
+
+    per_round, t1, t2 = _two_point(build, 10, 110)
+    flops = 2 * 2 * B * E * L * (U + 1)
+    return {
+        "kernel": f"EM round dense MXU{' (USA)' if usa else ''} "
+                  f"(B={B},E={E},L={L},U={U}), fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 4),
+        "cells_per_s_per_round": round(B / per_round),
+        "model_flops_per_round": flops,
+        "achieved_TFLOPs": round(flops / per_round / 1e12, 2),
+        "raw": {"K": [10, 110], "t_s": [round(t1, 4), round(t2, 4)]},
+    }
+
+
 def profile_em_compact(usa: bool):
     """Compact-gene-space EM round at the same production shape as
     profile_em, but on the (B, U+1) local-dictionary state the pipeline
@@ -416,6 +460,8 @@ def main():
         "em_usa": lambda: profile_em(True),
         "em_compact": lambda: profile_em_compact(False),
         "em_compact_usa": lambda: profile_em_compact(True),
+        "em_dense": lambda: profile_em_dense(False),
+        "em_dense_usa": lambda: profile_em_dense(True),
         "wta": profile_wta,
         "cc": profile_pug_cc,
         "cc_dense": profile_cc_dense,

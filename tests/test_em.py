@@ -236,3 +236,53 @@ def test_compact_local_ids_partner_coverage():
         got_lab = lab_loc[b][lab[b] < R]
         assert (got_lab < U).all()
         assert len(want) <= U
+
+
+@pytest.mark.parametrize("usa", [None, (100, 200)])
+def test_dense_mxu_kernel_matches_gather(usa, monkeypatch):
+    """The dense one-hot-matmul EM variant (MXU formulation,
+    AFT_EM_DENSE=1) must agree with the compact gather kernel and the
+    NumPy reference — the E/M steps are the same linear maps expressed
+    as matmuls with HIGHEST precision."""
+    rng = np.random.RandomState(13)
+    R = 300
+    C = 31
+    cell_eq_offsets = [0]
+    lab_offsets = [0]
+    labels = []
+    counts = []
+    for _ in range(C):
+        ne = rng.randint(1, 12)
+        for _ in range(ne):
+            ll = rng.randint(1, 5)
+            labels.extend(rng.choice(R, size=ll, replace=False).tolist())
+            lab_offsets.append(len(labels))
+            counts.append(rng.randint(1, 25))
+        cell_eq_offsets.append(cell_eq_offsets[-1] + ne)
+    cell_eq_offsets = np.asarray(cell_eq_offsets, np.int64)
+    lab_offsets = np.asarray(lab_offsets, np.int64)
+    labels = np.asarray(labels, np.uint32)
+    counts = np.asarray(counts, np.uint32)
+
+    res_np = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, usa, False, True,
+        use_jax=False,
+    )
+    monkeypatch.setenv("AFT_EM_DENSE", "1")
+    res_d = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, usa, False, True,
+        use_jax=True,
+    )
+    monkeypatch.setenv("AFT_EM_DENSE", "0")
+    res_g = em_cells_batched(
+        cell_eq_offsets, lab_offsets, labels, counts, R, usa, False, True,
+        use_jax=True,
+    )
+    for ci, ((ni, nv), (di, dv), (gi, gv)) in enumerate(
+        zip(res_np, res_d, res_g)
+    ):
+        np.testing.assert_array_equal(ni, di, err_msg=f"cell {ci} support")
+        np.testing.assert_allclose(nv, dv, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"cell {ci} values")
+        np.testing.assert_array_equal(gi, di)
+        np.testing.assert_allclose(gv, dv, rtol=2e-4, atol=2e-4)
