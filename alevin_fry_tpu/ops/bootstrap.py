@@ -189,12 +189,43 @@ def run_bootstraps(
             if use_dev:
                 import jax.numpy as jnp
 
-                kern = _get_em_kernel(False, True, init_random=True)
-                out = np.asarray(kern(
-                    jnp.asarray(lab_pad), jnp.asarray(len_pad),
-                    jnp.asarray(ct_pad), jnp.asarray(seeds),
-                    0, 0, R, False,
-                ))
+                from .em import _get_em_kernel_compact, compact_local_ids
+
+                # compact dictionaries + the dense MXU E/M steps (the
+                # same formulation as the main EM; bootstraps run
+                # R_p x the EM rounds, so this is the heaviest EM
+                # consumer).  Falls back to the full-space kernel when
+                # the dictionary does not shrink the state.
+                lab_loc, p1_loc, p2_loc, U = compact_local_ids(
+                    lab_pad, R, None
+                )
+                dense_mode = os.environ.get("AFT_EM_DENSE", "auto")
+                use_dense = (
+                    dense_mode == "1" if dense_mode != "auto" else True
+                )
+                dense_cap = int(
+                    os.environ.get("AFT_EM_DENSE_BYTES", 6 << 30)
+                )
+                if U + 1 < R:
+                    dense_here = use_dense and (
+                        lab_pad.size * (U + 1) * 4 <= dense_cap
+                    )
+                    kern_c = _get_em_kernel_compact(
+                        False, True, dense=dense_here, init_random=True
+                    )
+                    out = np.asarray(kern_c(
+                        jnp.asarray(lab_loc), jnp.asarray(len_pad),
+                        jnp.asarray(ct_pad), jnp.asarray(p1_loc),
+                        jnp.asarray(p2_loc), R, U, False,
+                        rng_seeds=jnp.asarray(seeds),
+                    ))
+                else:
+                    kern = _get_em_kernel(False, True, init_random=True)
+                    out = np.asarray(kern(
+                        jnp.asarray(lab_pad), jnp.asarray(len_pad),
+                        jnp.asarray(ct_pad), jnp.asarray(seeds),
+                        0, 0, R, False,
+                    ))
             else:
                 init = np.empty((nrows, R + 1), np.float32)
                 for i in range(nrows):

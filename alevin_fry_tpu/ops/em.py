@@ -441,7 +441,7 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False,
 
 def _get_em_kernel_compact(usa: bool, with_last_round: bool,
                            weighted: bool = False, fixed_rounds: int = 0,
-                           dense: bool = False):
+                           dense: bool = False, init_random: bool = False):
     """Compact-gene-space variant of the batched EM kernel.
 
     The full kernel iterates a dense (B, R+1) alpha state, but each
@@ -462,12 +462,15 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
     import jax.numpy as jnp
 
     _configure_compile_cache()
-    key = ("compact", usa, with_last_round, weighted, fixed_rounds, dense)
+    key = (
+        "compact", usa, with_last_round, weighted, fixed_rounds, dense,
+        init_random,
+    )
     if key in _jit_cache:
         return _jit_cache[key]
 
     def kernel(labels, lens, counts, p1, p2, R, U, init_uniform,
-               weights=None):
+               weights=None, rng_seeds=None):
         # labels/p1/p2: (B,E,L) int32 LOCAL ids into the per-cell
         # dictionary (pad -> U, whose alpha is pinned 0); counts (B,E)
         B, E, L = labels.shape
@@ -511,7 +514,20 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
         seeds = seeds.at[
             jnp.arange(B)[:, None], jnp.where(single, s_label, U)
         ].add(s_contrib)
-        if init_uniform:
+        if init_random:
+            # bootstrap Random init (em.rs:225-228), generated on
+            # device over the DICTIONARY width — positions outside the
+            # dictionary never influence the trajectory, so U+1 draws
+            # per row suffice (the host/NumPy backend draws its own
+            # stream too; bootstrap inits are statistical, not a
+            # cross-backend byte contract)
+            bits = jax.vmap(
+                lambda s: jax.random.uniform(
+                    jax.random.PRNGKey(s), (U + 1,), jnp.float32
+                )
+            )(rng_seeds)
+            init_alphas = bits + 1e-5
+        elif init_uniform:
             # the uniform value is 1/R — R genes in the FULL space
             # (em.rs:222-224); positions outside the dictionary hold
             # 1/R too but are never read and never receive mass

@@ -267,12 +267,15 @@ def profile_wta():
     # run-to-run noise of the tunnel's fixed cost, or the per-round
     # number is noise (a [2,12] spread once yielded an impossible
     # 7G keys/s)
-    per_round, t1, t2 = _two_point(build, 2, 102)
+    # K=42: per-round is ~quarter-second, so 40 extra rounds give an
+    # ~8 s difference (far above tunnel noise); the K=102 chain once
+    # crashed the TPU worker (oversized program)
+    per_round, t1, t2 = _two_point(build, 2, 42)
     return {
         "kernel": f"cr-like WTA ({n>>20}M keys), fori_loop chained",
         "per_round_ms": round(per_round * 1e3, 3),
         "keys_per_s": round(n / per_round),
-        "raw": {"K": [2, 102], "t_s": [round(t1, 4), round(t2, 4)]},
+        "raw": {"K": [2, 42], "t_s": [round(t1, 4), round(t2, 4)]},
     }
 
 

@@ -286,3 +286,51 @@ def test_dense_mxu_kernel_matches_gather(usa, monkeypatch):
                                    err_msg=f"cell {ci} values")
         np.testing.assert_array_equal(gi, di)
         np.testing.assert_allclose(gv, dv, rtol=2e-4, atol=2e-4)
+
+
+def test_bootstrap_jax_compact_matches_numpy_stats(monkeypatch):
+    """The device bootstrap path (forced AFT_BOOT_BACKEND=jax; compact
+    dictionaries + dense MXU rounds) must produce replicate means close
+    to the NumPy backend's: the multinomial resamples are identical
+    per-cell host RNG streams, only the EM init generator differs, and
+    the EM converges to the same optimum."""
+    from alevin_fry_tpu.ops.bootstrap import run_bootstraps
+    from alevin_fry_tpu.ops.crlike import CellEqClasses
+
+    rng = np.random.RandomState(5)
+    R = 200  # engages the compact path (U << R)
+    C = 6
+    cell_eq_offsets = [0]
+    label_offsets = [0]
+    labels = []
+    counts = []
+    for _ in range(C):
+        ne = rng.randint(3, 8)
+        for _ in range(ne):
+            ll = rng.randint(1, 4)
+            labels.extend(rng.choice(R, size=ll, replace=False).tolist())
+            label_offsets.append(len(labels))
+            counts.append(rng.randint(5, 40))
+        cell_eq_offsets.append(cell_eq_offsets[-1] + ne)
+    eqc = CellEqClasses(
+        cell_ids=np.arange(C, dtype=np.int64),
+        cell_eq_offsets=np.asarray(cell_eq_offsets, np.int64),
+        label_offsets=np.asarray(label_offsets, np.int64),
+        labels=np.asarray(labels, np.uint32),
+        counts=np.asarray(counts, np.uint32),
+    )
+    lo = np.asarray(label_offsets, np.int64)
+    lb = np.asarray(labels, np.uint32)
+
+    monkeypatch.setenv("AFT_BOOT_BACKEND", "host")
+    (rm, cm, vm), _ = run_bootstraps(eqc, lo, lb, R, 32, False, True)
+    monkeypatch.setenv("AFT_BOOT_BACKEND", "jax")
+    (rj, cj, vj), _ = run_bootstraps(eqc, lo, lb, R, 32, False, True)
+
+    a = np.zeros((C, R))
+    a[rm, cm] = vm
+    b = np.zeros((C, R))
+    b[rj, cj] = vj
+    # totals conserved and entries close (init noise shrinks with reps)
+    np.testing.assert_allclose(a.sum(), b.sum(), rtol=1e-3)
+    np.testing.assert_allclose(a, b, atol=1.5, rtol=0.2)
