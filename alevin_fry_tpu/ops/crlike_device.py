@@ -79,17 +79,9 @@ def _kernel(key, ubits, gbits, n_rows):
     cg_start = (cg != cg_prev) & cg_valid
     cg_id = jnp.maximum(jnp.cumsum(cg_start.astype(jnp.int32)) - 1, 0)
     cg_count = jnp.zeros(N, jnp.int32).at[cg_id].add(cg_valid.astype(jnp.int32))
-    # emit (key, count) COMPACTED to the front: each segment start
-    # scatters to its segment ordinal — ascending by construction, so
-    # no third sort is needed for the prefix fetch (sorts dominate the
-    # kernel at ~100 ms per 4M u64 on v5e; this is one of three)
-    idx = jnp.where(cg_start, cg_id, N - 1)
-    out_key = jnp.full(N, PAD, jnp.uint64).at[idx].min(
-        jnp.where(cg_start, cg, PAD)
-    )
-    out_cnt = jnp.zeros(N, jnp.int32).at[idx].add(
-        jnp.where(cg_start, cg_count[cg_id], 0)
-    )
+    # emit (key, count) at the segment-start positions; PAD elsewhere
+    out_key = jnp.where(cg_start, cg, PAD)
+    out_cnt = jnp.where(cg_start, cg_count[cg_id], 0)
     return out_key, out_cnt
 
 
@@ -200,26 +192,21 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     cs_start = (cs != cs_prev) & cs_valid
     cs_id = jnp.maximum(jnp.cumsum(cs_start.astype(jnp.int32)) - 1, 0)
     cs_count = jnp.zeros(N, jnp.int32).at[cs_id].add(cs_valid.astype(jnp.int32))
-    # compact via segment-ordinal scatter (see _kernel)
-    idx = jnp.where(cs_start, cs_id, N - 1)
-    out_key = jnp.full(N, PAD, jnp.uint64).at[idx].min(
-        jnp.where(cs_start, cs, PAD)
-    )
-    out_cnt = jnp.zeros(N, jnp.int32).at[idx].add(
-        jnp.where(cs_start, cs_count[cs_id], 0)
-    )
+    out_key = jnp.where(cs_start, cs, PAD)
+    out_cnt = jnp.where(cs_start, cs_count[cs_id], 0)
     return out_key, out_cnt
 
 
 def _compact(out_key, out_cnt, pack32: bool):
-    """Shape the kernels' already-compact (key, count) prefix for the
-    host fetch: the kernels scatter each output segment to its ordinal,
-    so valid entries occupy an ascending prefix and the host only
-    fetches nnz entries — the dominant cost when the device sits behind
-    a network tunnel, and a bandwidth saving on any topology.
+    """Compact the scattered (key, count) output on device: valid
+    entries sort to the front in key order (PAD is the u64 maximum), so
+    the host only fetches an nnz-sized prefix instead of the full
+    padded array — the dominant cost when the device sits behind a
+    network tunnel, and a bandwidth saving on any topology.
 
     ``pack32`` (host-static: max key < 2^32) fuses key and count into
     one u64 so the prefix fetch moves 8 bytes/entry instead of 12."""
+    import jax
     import jax.numpy as jnp
 
     valid = out_key != PAD
@@ -230,8 +217,9 @@ def _compact(out_key, out_cnt, pack32: bool):
             (out_key << jnp.uint64(32)) | out_cnt.astype(jnp.uint64),
             PAD,
         )
-        return nnz, packed
-    return nnz, out_key, out_cnt
+        return nnz, jnp.sort(packed)
+    sk, sc = jax.lax.sort((out_key, out_cnt), num_keys=1)
+    return nnz, sk, sc
 
 
 @functools.lru_cache(maxsize=None)
