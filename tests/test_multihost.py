@@ -608,3 +608,17 @@ def test_two_process_atac_chain_matches_single(tmp_path):
         "gpl/map.collated.rad", "gpl/map.sorted.bed", "gpl/map.bed",
     ):
         assert (mbase / name).read_bytes() == (sbase / name).read_bytes(), name
+
+
+def test_stream_concat_files_single_host(tmp_path):
+    """world == 1 path: bounded-chunk local copy, any size vs chunk."""
+    from alevin_fry_tpu.parallel import dist
+
+    src = tmp_path / "src.bin"
+    data = bytes(range(256)) * 100 + b"tail"
+    src.write_bytes(data)
+    out = tmp_path / "out.bin"
+    with open(out, "wb") as fh:
+        n = dist.stream_concat_files(src, fh, chunk_bytes=1000)
+    assert n == len(data)
+    assert out.read_bytes() == data
