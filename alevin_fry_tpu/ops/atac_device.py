@@ -26,7 +26,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
+from .crlike_device import PAD, _pad_bucket
 
 _MAX_WORDS = 3
 
@@ -93,13 +93,6 @@ def _unpack_cols(
                 (word >> np.uint64(shift)) & np.uint64((1 << w) - 1)
             ).astype(np.int64)
     return out
-
-
-def _pad_bucket(n: int) -> int:
-    n = max(n, 1024)
-    p = 1 << (int(n - 1).bit_length())
-    mid = (p >> 1) + (p >> 2)
-    return mid if n <= mid else p
 
 
 @functools.lru_cache(maxsize=None)

@@ -189,19 +189,26 @@ def run_bootstraps(
             if use_dev:
                 import jax.numpy as jnp
 
+                from .crlike import accelerator_present
                 from .em import _get_em_kernel_compact, compact_local_ids
 
                 # compact dictionaries + the dense MXU E/M steps (the
                 # same formulation as the main EM; bootstraps run
                 # R_p x the EM rounds, so this is the heaviest EM
                 # consumer).  Falls back to the full-space kernel when
-                # the dictionary does not shrink the state.
-                lab_loc, p1_loc, p2_loc, U = compact_local_ids(
-                    lab_pad, R, None
+                # the dictionary does not shrink the state.  Replicate
+                # rows within a cell are identical, so the dictionary
+                # is built on the nb templates and repeated.
+                t_loc, tp1, tp2, U = compact_local_ids(
+                    lab_pad[::Rp], R, None
                 )
+                lab_loc = np.repeat(t_loc, Rp, axis=0)
+                p1_loc = np.repeat(tp1, Rp, axis=0)
+                p2_loc = np.repeat(tp2, Rp, axis=0)
                 dense_mode = os.environ.get("AFT_EM_DENSE", "auto")
                 use_dense = (
-                    dense_mode == "1" if dense_mode != "auto" else True
+                    dense_mode == "1" if dense_mode != "auto"
+                    else accelerator_present()
                 )
                 dense_cap = int(
                     os.environ.get("AFT_EM_DENSE_BYTES", 6 << 30)

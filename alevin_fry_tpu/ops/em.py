@@ -1003,9 +1003,14 @@ def em_cells_batched(
             else:
                 put = jnp.asarray
             if compact_here:
+                # USA builds a_self AND a_gather (the summed partner
+                # one-hots) of the same shape — double the resident
+                # one-hot bytes
+                onehot_copies = 2 if usa_offsets is not None else 1
                 dense_here = (
                     use_dense
-                    and b * Ep * Lp * (U + 1) * 4 <= dense_cap
+                    and onehot_copies * b * Ep * Lp * (U + 1) * 4
+                    <= dense_cap
                 )
                 kc = kern_d if dense_here else kern_c
                 args = (put(lab_loc), put(len_pad), put(ct_pad),

@@ -717,6 +717,11 @@ def collate(
 
     from ..parallel import dist
 
+    # initialize (idempotent, no-op without a coordinator): a
+    # standalone multi-host `collate` invocation must not silently run
+    # as world=1 on every host — that would race N full collations
+    # over the same output paths
+    dist.initialize()
     rank, world = dist.rank_world()
 
     # unmapped counts (sidecars are rank-0 writes under multi-host)

@@ -211,7 +211,7 @@ class _BgzfReader:
         return False
 
     def _scan_blocks(self, raw: bytes):
-        offs, lens, isizes = [], [], []
+        offs, lens, isizes, crcs = [], [], [], []
         pos = 0
         while pos + 18 <= len(raw):
             if raw[pos : pos + 2] != b"\x1f\x8b" or raw[pos + 2] != 8:
@@ -234,11 +234,14 @@ class _BgzfReader:
                 break
             offs.append(pos + 12 + xlen)
             lens.append(bsize - 12 - xlen - 8)
+            crcs.append(
+                int.from_bytes(raw[pos + bsize - 8 : pos + bsize - 4], "little")
+            )
             isizes.append(
                 int.from_bytes(raw[pos + bsize - 4 : pos + bsize], "little")
             )
             pos += bsize
-        return offs, lens, isizes, pos
+        return offs, lens, isizes, crcs, pos
 
     def _fill(self) -> None:
         data = self._fh.read(self._chunk)
@@ -248,7 +251,7 @@ class _BgzfReader:
             if raw:
                 raise ValueError("truncated BGZF stream")
             return
-        offs, lens, isizes, consumed = self._scan_blocks(raw)
+        offs, lens, isizes, crcs, consumed = self._scan_blocks(raw)
         self._carry = raw[consumed:]
         if not offs:
             return
@@ -259,6 +262,7 @@ class _BgzfReader:
             np.frombuffer(raw, np.uint8),
             np.asarray(offs, np.int64), np.asarray(lens, np.int64),
             out_offs[:-1], np.asarray(isizes, np.int64), out,
+            crcs=np.asarray(crcs, np.uint32),
         )
         self._out = self._out[self._pos :] + out.tobytes()
         self._pos = 0

@@ -238,8 +238,8 @@ def _load():
         lib.radc_bgzf_inflate.restype = ctypes.c_int64
         lib.radc_bgzf_inflate.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
         ]
         lib.radc_intern_label_sets.restype = ctypes.c_int64
         lib.radc_intern_label_sets.argtypes = [
@@ -1004,17 +1004,23 @@ def gather_records(
 def bgzf_inflate(
     buf: np.ndarray, offs: np.ndarray, lens: np.ndarray,
     out_offs: np.ndarray, isizes: np.ndarray, out: np.ndarray,
+    crcs: np.ndarray | None = None,
 ) -> None:
     """Inflate BGZF block payloads concurrently (raw deflate per block,
-    convert.rs:205-220 semantics).  Raises ValueError on a corrupt
+    convert.rs:205-220 semantics) and verify each member's CRC32
+    trailer when ``crcs`` is given.  Raises ValueError on a corrupt
     block."""
     lib = _load()
+    crcs_arr = (
+        np.ascontiguousarray(crcs, np.uint32) if crcs is not None else None
+    )
     rc = lib.radc_bgzf_inflate(
         np.ascontiguousarray(buf, np.uint8).ctypes.data,
         np.ascontiguousarray(offs, np.int64).ctypes.data,
         np.ascontiguousarray(lens, np.int64).ctypes.data,
         np.ascontiguousarray(out_offs, np.int64).ctypes.data,
         np.ascontiguousarray(isizes, np.int64).ctypes.data,
+        crcs_arr.ctypes.data if crcs_arr is not None else 0,
         len(offs), out.ctypes.data, _NTHREADS,
     )
     if rc != 0:

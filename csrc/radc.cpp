@@ -2376,8 +2376,8 @@ extern "C" int64_t radc_bam_scan(
 // on success or -(i+1) for the first failing block.
 extern "C" int64_t radc_bgzf_inflate(
     const uint8_t* buf, const int64_t* offs, const int64_t* lens,
-    const int64_t* out_offs, const int64_t* isizes, int64_t n_blocks,
-    uint8_t* out, int32_t nthreads) {
+    const int64_t* out_offs, const int64_t* isizes, const uint32_t* crcs,
+    int64_t n_blocks, uint8_t* out, int32_t nthreads) {
   if (n_blocks <= 0) return 0;
   int nt = nthreads > 0 ? nthreads : 1;
   if (nt > n_blocks) nt = static_cast<int>(n_blocks);
@@ -2401,6 +2401,14 @@ extern "C" int64_t radc_bgzf_inflate(
         bool ok = (rc == Z_STREAM_END) &&
                   (static_cast<int64_t>(strm.total_out) == isizes[i]);
         inflateEnd(&strm);
+        // per-member CRC32 check (the gzip trailer contract the
+        // sequential gzip reader enforced; bit flips that still
+        // inflate to isize bytes are caught here, in the same worker)
+        if (ok && crcs != nullptr) {
+          uLong c = crc32(0L, out + out_offs[i],
+                          static_cast<uInt>(isizes[i]));
+          ok = (static_cast<uint32_t>(c) == crcs[i]);
+        }
         if (!ok && !status[t]) {
           status[t] = -(i + 1);
           return;

@@ -449,7 +449,10 @@ def main():
     ap.add_argument("--out", default=None, help="write JSON results here")
     ap.add_argument(
         "--only", default=None,
-        help="comma list from: em,em_usa,wta,cc,hamming",
+        help=(
+            "comma list from: em, em_usa, em_compact, em_compact_usa, "
+            "em_dense, em_dense_usa, wta, cc, cc_dense, hamming, transfer"
+        ),
     )
     args = ap.parse_args()
     import jax

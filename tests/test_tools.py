@@ -319,3 +319,47 @@ def test_convert_bam_bgzf_threaded(tmp_path):
 
     with pytest.raises(ValueError):
         bam2rad(p_bad, tmp_path / "bad.rad")
+
+
+def test_convert_bgzf_crc_mismatch_raises(tmp_path):
+    """A BGZF member whose payload inflates cleanly to the right size
+    but fails the CRC32 trailer must raise — the per-member check the
+    sequential gzip reader performed, now done in the native inflate
+    workers."""
+    import struct
+
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+
+    payload = bytes(range(256)) * 40
+    blob = bytearray(_bgzf_compress(payload, block_payload=1000))
+    # flip a bit in the FIRST member's stored CRC (trailer = last 8
+    # bytes of the member: CRC32 then ISIZE); the deflate stream is
+    # untouched, so only the CRC check can catch it
+    xlen = int.from_bytes(blob[10:12], "little")
+    e = 0
+    bsize = None
+    extra = blob[12 : 12 + xlen]
+    while e + 4 <= xlen:
+        si1, si2 = extra[e], extra[e + 1]
+        slen = int.from_bytes(extra[e + 2 : e + 4], "little")
+        if si1 == 66 and si2 == 67 and slen == 2:
+            bsize = int.from_bytes(extra[e + 4 : e + 6], "little") + 1
+        e += 4 + slen
+    assert bsize is not None
+    blob[bsize - 8] ^= 0x01
+    p = tmp_path / "crc.bam"
+    p.write_bytes(bytes(blob))
+
+    from alevin_fry_tpu.pipeline.convert import _BgzfReader
+
+    rd = _BgzfReader(p)
+    import pytest
+
+    with pytest.raises(ValueError):
+        rd.read(len(payload))
+    rd.close()
