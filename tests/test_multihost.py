@@ -122,6 +122,17 @@ else:
 """
 
 
+@pytest.fixture(autouse=True)
+def _hermetic_backends(monkeypatch):
+    """The worker subprocesses strip AFT_*/XLA_*/JAX_* from their env;
+    the in-process single-host references must run under the same
+    defaults, or an externally forced backend (e.g. AFT_BOOT_BACKEND=
+    jax in a stress run) diverges reference vs workers."""
+    for k in list(os.environ):
+        if k.startswith("AFT_"):
+            monkeypatch.delenv(k, raising=False)
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
