@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_READS_PER_SEC = 800_000.0
 
 DEVICE_MODE = "--device" in sys.argv or os.environ.get("AFT_BENCH_DEVICE") == "1"
+ATAC_MODE = "--atac" in sys.argv
 
 # Backend pinning. The framework's auto policy routes resolution/EM/
 # rescue through the device whenever a real accelerator backend is up —
@@ -134,6 +135,81 @@ def make_dataset(d: Path, rng: np.random.RandomState):
     with open(d / "t2g.tsv", "w") as fh:
         for i in range(N_TXPS):
             fh.write(f"tx_{i}\tg_{i // 4}\n")
+
+
+def main_atac():
+    """ATAC side benchmark: gpl -> collate -> sort -> deduplicate over a
+    synthetic fragment RAD; writes BENCH_ATAC.json and prints one JSON
+    line (reads/s end-to-end; the reference publishes no ATAC numbers,
+    so vs_baseline reuses the RNA-path nominal as the only anchor)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synth import write_atac_rad
+    from alevin_fry_tpu.ops.barcodes import (
+        pack_seq, revcomp_packed, unpack_seqs_to_strings,
+    )
+    from alevin_fry_tpu.atac.gpl import AtacGplOpts
+    from alevin_fry_tpu.atac.gpl import generate_permit_list as atac_gpl
+    from alevin_fry_tpu.atac.collate import collate as atac_collate
+    from alevin_fry_tpu.atac.sort import sort as atac_sort
+    from alevin_fry_tpu.atac.dedup import deduplicate
+
+    rng = np.random.RandomState(9)
+    n_reads = int(os.environ.get("AFT_BENCH_ATAC_READS", 1_000_000))
+    n_cells = 2000
+    refs = [f"chr{i+1}" for i in range(8)]
+    ref_lens = [50_000_000] * 8
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = Path(tempfile.mkdtemp(prefix="aft_bench_atac_", dir=tmp_root))
+    try:
+        wl = np.unique(
+            rng.randint(0, 1 << 32, 2 * n_cells).astype(np.uint64)
+        )[:n_cells]
+        cell_of_read = rng.randint(0, n_cells, n_reads)
+        chrs = rng.randint(0, 8, n_reads)
+        poss = rng.randint(0, 49_000_000, n_reads)
+        flens = rng.randint(50, 1500, n_reads)
+        (d / "rad").mkdir()
+        chunk = 100_000
+        chunks = []
+        for s in range(0, n_reads, chunk):
+            e = min(s + chunk, n_reads)
+            chunks.append([
+                (int(wl[cell_of_read[i]]),
+                 [(int(chrs[i]), 4, int(poss[i]), int(flens[i]))])
+                for i in range(s, e)
+            ])
+        write_atac_rad(d / "rad" / "map.rad", refs, ref_lens, chunks,
+                       bc_len=16)
+        rc = revcomp_packed(wl, 16)
+        (d / "wl.txt").write_text(
+            "".join(s + "\n" for s in unpack_seqs_to_strings(rc, 16))
+        )
+        best = None
+        for rep in range(3):
+            gpl = d / f"gpl{rep}"
+            t0 = time.perf_counter()
+            atac_gpl(AtacGplOpts(
+                input_dir=d / "rad", output_dir=gpl,
+                unfiltered_pl=d / "wl.txt", min_reads=1, rc=True,
+                cmdline="bench",
+            ))
+            atac_collate(gpl, d / "rad", cmdline="bench")
+            atac_sort(gpl, d / "rad", cmdline="bench")
+            deduplicate(gpl, cmdline="bench")
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        line = {
+            "metric": "ATAC end-to-end reads/s (gpl+collate+sort+dedup)",
+            "value": round(n_reads / best, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(n_reads / best / REF_READS_PER_SEC, 3),
+        }
+        print(json.dumps(line))
+        Path("BENCH_ATAC.json").write_text(json.dumps(line) + "\n")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def main():
@@ -255,4 +331,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main_atac() if ATAC_MODE else main()
