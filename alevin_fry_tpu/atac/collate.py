@@ -116,6 +116,20 @@ def collate(
             ".", False, max_records, compress_out, expect_atac=True,
         )
 
+    # byte-level native path (no column decode / re-encode; the same
+    # engine as the RNA collation with the barcode-only key)
+    from ..pipeline.collate import _collate_in_memory_native
+
+    write_json(input_dir / "collate.json", {
+        "cmd": cmdline, "version_str": version,
+        "compressed_output": compress_out,
+    })
+    if _collate_in_memory_native(
+        input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
+        ".", False, compress_out, expect_atac=True,
+    ):
+        return
+
     with open(rad_dir / "map.rad", "rb") as fh:
         prelude, ftm, _ = read_prelude(fh)
         schema = RecordSchema.from_prelude(prelude)
@@ -156,11 +170,6 @@ def collate(
     per_cell = np.zeros(len(cell_bcs), np.int64)
     u_rank, u_ct = np.unique(rank_sorted, return_counts=True)
     per_cell[u_rank] = u_ct
-
-    write_json(input_dir / "collate.json", {
-        "cmd": cmdline, "version_str": version,
-        "compressed_output": compress_out,
-    })
 
     out_path = input_dir / ("map.collated.rad.sz" if compress_out else "map.collated.rad")
     import io

@@ -531,12 +531,17 @@ def _collate_in_memory_native(
     expected_ori: str,
     velo_mode: bool,
     compress_out: bool,
+    expect_atac: bool = False,
 ) -> bool:
     """Byte-level in-memory collation: walk record boundaries, correct
     barcodes, then gather whole records in cell-rank order with the
     barcode patched in place and alignments orientation-filtered — one
     native pass, no column decode/re-encode.  Returns False when the
-    schema isn't eligible (caller falls back to the columnar path)."""
+    schema isn't eligible (caller falls back to the columnar path).
+
+    ``expect_atac``: the ATAC collation is the same byte-level gather
+    keyed purely by barcode (atac/collate.rs:586-595; records carry no
+    orientation, so the caller passes ``expected_ori='.'``)."""
     from ..radz import _native
     from ..radz.chunkio import read_chunk_bodies, _gather_uint
 
@@ -545,9 +550,11 @@ def _collate_in_memory_native(
     with open(rad_dir / "map.rad", "rb") as fh:
         prelude, ftm, _ = read_prelude(fh)
         rec_type, _info = record_type_from_prelude(prelude, ftm)
-        if rec_type == KnownRecordType.ATAC:
+        if (rec_type == KnownRecordType.ATAC) != expect_atac:
             raise ValueError(
-                'To process atac-seq data, you should use the "atac" sub-command'
+                'To process atac-seq data, you should use the "atac" '
+                "sub-command" if rec_type == KnownRecordType.ATAC
+                else "the atac collate sub-command requires an ATAC RAD file"
             )
         schema = RecordSchema.from_prelude(prelude)
         ori_mode = {
@@ -570,8 +577,10 @@ def _collate_in_memory_native(
                 bc_width = w
                 break
             bc_off += w
+        # ATAC gpl outputs may leave num_chunks = 0 in the header
+        # (atac/collate.rs:212); None = stream until EOF
         buf, region_starts, chunk_recs = read_chunk_bodies(
-            fh, prelude.hdr.num_chunks
+            fh, prelude.hdr.num_chunks or None
         )
     rec_starts, num_aln = _native.walk_records(
         buf, region_starts, chunk_recs, schema.read_bytes, schema.aln_bytes

@@ -67,6 +67,7 @@ else:
     os.environ.setdefault("AFT_GPL_MESH", "0")
     os.environ.setdefault("AFT_EM_BACKEND", "host")
     os.environ.setdefault("AFT_PUG_CC_BACKEND", "host")
+    os.environ.setdefault("AFT_ATAC_SORT_BACKEND", "host")
 
 N_CELLS = int(os.environ.get("AFT_BENCH_CELLS", 4000))
 N_READS = int(os.environ.get("AFT_BENCH_READS", 2_000_000))

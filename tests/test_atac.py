@@ -395,3 +395,54 @@ def test_sort_rle_device_matches_lexsort():
         np.testing.assert_array_equal(g_cnt, cnt)
         for gc, c in zip(g_cols, sc):
             np.testing.assert_array_equal(gc, c[si])
+
+
+def test_atac_native_collate_matches_columnar(tmp_path, monkeypatch):
+    """The byte-level native ATAC collation (shared RNA engine, barcode
+    key) writes the identical map.collated.rad to the columnar
+    decode/re-encode fallback."""
+    from alevin_fry_tpu.atac.gpl import AtacGplOpts
+    from alevin_fry_tpu.atac.gpl import generate_permit_list as atac_gpl
+    from alevin_fry_tpu.atac.collate import collate as atac_collate
+    from alevin_fry_tpu.pipeline import collate as rna_collate_mod
+
+    rng = np.random.RandomState(71)
+    refs = ["chr1", "chr2"]
+    ref_lens = [250_000, 150_000]
+    wl_bcs = ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG"]
+    chunks = []
+    for _ in range(3):
+        recs = []
+        for _ in range(70):
+            b = wl_bcs[rng.randint(3)]
+            na = 1 if rng.rand() < 0.85 else 2
+            alns = [(
+                int(rng.randint(2)), 4, int(rng.randint(0, 200_000)),
+                int(rng.randint(50, 1500)),
+            ) for _ in range(na)]
+            recs.append((pack_seq(b), alns))
+        chunks.append(recs)
+    rad_dir = tmp_path / "rad"
+    rad_dir.mkdir()
+    write_atac_rad(rad_dir / "map.rad", refs, ref_lens, chunks, bc_len=BC_LEN)
+    wl = tmp_path / "wl.txt"
+    wl.write_text("".join(
+        unpack_seq(int(revcomp_packed(
+            np.asarray([pack_seq(b)], np.uint64), BC_LEN)[0]), BC_LEN) + "\n"
+        for b in wl_bcs
+    ))
+    gpl = tmp_path / "gpl"
+    atac_gpl(AtacGplOpts(
+        input_dir=rad_dir, output_dir=gpl, unfiltered_pl=wl,
+        min_reads=1, rc=True, cmdline="t",
+    ))
+    atac_collate(gpl, rad_dir, cmdline="t")
+    native_bytes = (gpl / "map.collated.rad").read_bytes()
+
+    # force the columnar fallback and re-collate
+    monkeypatch.setattr(
+        rna_collate_mod, "_collate_in_memory_native",
+        lambda *a, **k: False,
+    )
+    atac_collate(gpl, rad_dir, cmdline="t")
+    assert (gpl / "map.collated.rad").read_bytes() == native_bytes
