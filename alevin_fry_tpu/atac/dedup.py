@@ -115,31 +115,15 @@ def deduplicate(
                 # (deduplicate.rs:202-210).
                 from ..ops import atac_device
 
-                dev = None
-                if len(cell) and atac_device.device_backend_enabled():
-                    dev = atac_device.sort_rle_device(
-                        [cell, chrs, starts, flens, bcs]
+                if len(cell):
+                    (_cell_u, chrs_u, starts_u, flens_u, bcs_u), counts = (
+                        atac_device.sort_rle([cell, chrs, starts, flens, bcs])
                     )
-                if dev is not None:
-                    (_cell_u, chrs_u, starts_u, flens_u, bcs_u), counts = dev
                     bcs_u = bcs_u.astype(np.uint64)
                 else:
-                    order = np.lexsort((bcs, flens, starts, chrs, cell))
-                    cell, chrs, starts, flens, bcs = (
-                        cell[order], chrs[order], starts[order],
-                        flens[order], bcs[order],
-                    )
-                    new = np.ones(len(cell), bool)
-                    if len(cell):
-                        new[1:] = (
-                            (cell[1:] != cell[:-1]) | (chrs[1:] != chrs[:-1])
-                            | (starts[1:] != starts[:-1])
-                            | (flens[1:] != flens[:-1]) | (bcs[1:] != bcs[:-1])
-                        )
-                    si = np.flatnonzero(new)
-                    counts = np.diff(np.append(si, len(cell)))
-                    chrs_u, starts_u = chrs[si], starts[si]
-                    flens_u, bcs_u = flens[si], bcs[si]
+                    chrs_u = starts_u = flens_u = np.zeros(0, np.int64)
+                    bcs_u = np.zeros(0, np.uint64)
+                    counts = np.zeros(0, np.int64)
                 stats["num_dedup"] += int((counts > 1).sum())
                 stats["num_frag_len_over_max"] += int(
                     (flens_u >= MAX_ATAC_FRAG_LEN).sum()

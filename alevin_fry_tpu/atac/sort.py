@@ -136,28 +136,12 @@ def _sort_dedup_emit(rows: np.ndarray, ref_names, bc_len, rc, fh, n_threads):
     starts = rows["start"]
     flens = rows["flen"].astype(np.int64)
     cbc = rows["bc"]
-    dev = None
     from ..ops import atac_device
 
-    if atac_device.device_backend_enabled():
-        dev = atac_device.sort_rle_device([chrs, starts, flens, cbc])
-    if dev is not None:
-        (chrs_u, starts_u, flens_u, cbc_u), counts = dev
-        cbc_u = cbc_u.astype(np.uint64)
-    else:
-        order = np.lexsort((cbc, flens, starts, chrs))
-        chrs, starts, flens, cbc = (
-            chrs[order], starts[order], flens[order], cbc[order]
-        )
-        new = np.ones(len(chrs), bool)
-        new[1:] = (
-            (chrs[1:] != chrs[:-1]) | (starts[1:] != starts[:-1])
-            | (flens[1:] != flens[:-1]) | (cbc[1:] != cbc[:-1])
-        )
-        starts_i = np.flatnonzero(new)
-        counts = np.diff(np.append(starts_i, len(chrs)))
-        chrs_u, starts_u = chrs[starts_i], starts[starts_i]
-        flens_u, cbc_u = flens[starts_i], cbc[starts_i]
+    (chrs_u, starts_u, flens_u, cbc_u), counts = atac_device.sort_rle(
+        [chrs, starts, flens, cbc]
+    )
+    cbc_u = cbc_u.astype(np.uint64)
     fh.write(format_bed_rows(
         ref_names, chrs_u, starts_u, flens_u, cbc_u, counts, bc_len, rc,
         n_threads,

@@ -446,3 +446,35 @@ def test_atac_native_collate_matches_columnar(tmp_path, monkeypatch):
     )
     atac_collate(gpl, rad_dir, cmdline="t")
     assert (gpl / "map.collated.rad").read_bytes() == native_bytes
+
+
+def test_sort_rle_host_matches_lexsort():
+    """The packed-word host path (and its raw-column fallback) must
+    equal np.lexsort + RLE, including negative/huge columns that
+    exceed the word budget."""
+    from alevin_fry_tpu.ops.atac_device import sort_rle_host
+
+    rng = np.random.RandomState(17)
+    cases = [
+        [rng.randint(0, 1 << 8, 400), rng.randint(0, 1 << 26, 400),
+         rng.randint(0, 1 << 11, 400), rng.randint(0, 1 << 33, 400)],
+        # 3 wide columns -> >3 words is impossible here, but force the
+        # raw fallback with a negative column
+        [rng.randint(-5, 5, 300), rng.randint(0, 100, 300)],
+    ]
+    for cols in cases:
+        cols = [np.asarray(c, np.int64) for c in cols]
+        (g_cols), g_cnt = sort_rle_host(cols)
+        n = len(cols[0])
+        order = np.lexsort(tuple(cols[::-1]))
+        sc = [c[order] for c in cols]
+        neq = np.zeros(n - 1, bool)
+        for c in sc:
+            neq |= c[1:] != c[:-1]
+        new = np.ones(n, bool)
+        new[1:] = neq
+        si = np.flatnonzero(new)
+        cnt = np.diff(np.append(si, n))
+        np.testing.assert_array_equal(g_cnt, cnt)
+        for gc, c in zip(g_cols, sc):
+            np.testing.assert_array_equal(gc, c[si])
