@@ -72,6 +72,13 @@ def collate(
                 np.zeros(0, np.uint64), np.zeros(0, np.uint32),
             )
 
+    # stage metadata: one write, rank-0 only, ahead of every branch
+    if rank == 0:
+        write_json(input_dir / "collate.json", {
+            "cmd": cmdline, "version_str": version,
+            "compressed_output": compress_out,
+        })
+
     # multi-host: per-host chunk ranges (the ATAC chunk count lives in
     # the gpl JSON when the RAD header holds 0, atac/collate.rs:212) +
     # the shared DCN bucket gather
@@ -90,11 +97,6 @@ def collate(
             "multi-host atac collate: host %d/%d scatters chunks [%d, %d)",
             rank, world, chunk_range[0], chunk_range[1],
         )
-        if rank == 0:
-            write_json(input_dir / "collate.json", {
-                "cmd": cmdline, "version_str": version,
-                "compressed_output": compress_out,
-            })
         return _collate_out_of_core(
             input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
             ".", False, max_records, compress_out, expect_atac=True,
@@ -107,10 +109,6 @@ def collate(
     if total_to_collate > max_records:
         from ..pipeline.collate import _collate_out_of_core
 
-        write_json(input_dir / "collate.json", {
-            "cmd": cmdline, "version_str": version,
-            "compressed_output": compress_out,
-        })
         return _collate_out_of_core(
             input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
             ".", False, max_records, compress_out, expect_atac=True,
@@ -120,10 +118,6 @@ def collate(
     # engine as the RNA collation with the barcode-only key)
     from ..pipeline.collate import _collate_in_memory_native
 
-    write_json(input_dir / "collate.json", {
-        "cmd": cmdline, "version_str": version,
-        "compressed_output": compress_out,
-    })
     if _collate_in_memory_native(
         input_dir, rad_dir, cell_bcs, cell_cts, map_keys, map_vals,
         ".", False, compress_out, expect_atac=True,

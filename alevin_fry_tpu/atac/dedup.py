@@ -115,15 +115,10 @@ def deduplicate(
                 # (deduplicate.rs:202-210).
                 from ..ops import atac_device
 
-                if len(cell):
-                    (_cell_u, chrs_u, starts_u, flens_u, bcs_u), counts = (
-                        atac_device.sort_rle([cell, chrs, starts, flens, bcs])
-                    )
-                    bcs_u = bcs_u.astype(np.uint64)
-                else:
-                    chrs_u = starts_u = flens_u = np.zeros(0, np.int64)
-                    bcs_u = np.zeros(0, np.uint64)
-                    counts = np.zeros(0, np.int64)
+                (_cell_u, chrs_u, starts_u, flens_u, bcs_u), counts = (
+                    atac_device.sort_rle([cell, chrs, starts, flens, bcs])
+                )
+                bcs_u = bcs_u.astype(np.uint64)
                 stats["num_dedup"] += int((counts > 1).sum())
                 stats["num_frag_len_over_max"] += int(
                     (flens_u >= MAX_ATAC_FRAG_LEN).sum()

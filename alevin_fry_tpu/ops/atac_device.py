@@ -177,9 +177,16 @@ def sort_rle_host(cols: Sequence[np.ndarray]):
         return [c[si] for c in sc], counts
     words, layouts = packed
     if len(words) == 1:
-        order = np.argsort(words[0], kind="stable")
-    else:
-        order = np.lexsort(tuple(words[::-1]))
+        # one packed key: the fused threaded native sort+RLE kernel
+        # returns (uniq, counts) directly (same path crlike's dedup
+        # uses)
+        from .crlike import _sort_unique_counts
+
+        uniq, counts = _sort_unique_counts(
+            words[0], np.asarray([0, n], np.int64)
+        )
+        return _unpack_cols([uniq], layouts, len(cols)), counts
+    order = np.lexsort(tuple(words[::-1]))
     sw = [w[order] for w in words]
     neq = np.zeros(n - 1, bool)
     for w in sw:

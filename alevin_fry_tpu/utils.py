@@ -159,11 +159,16 @@ def _parse_tg_spliced(fh, rname_to_id, ref_count):
     gene_names: List[str] = []
     gene_name_to_id: Dict[str, int] = {}
     found = 0
-    for line in fh:
+    for lineno, line in enumerate(fh, 1):
         line = line.rstrip("\n")
-        if not line:
+        if not line.strip():
             continue
         parts = line.split("\t")
+        if len(parts) < 2:
+            raise ValueError(
+                f"tg-map line {lineno} does not have 2 tab-separated "
+                f"columns: {line!r}"
+            )
         tname, gname = parts[0], parts[1]
         gid = gene_name_to_id.get(gname)
         if gid is None:

@@ -127,7 +127,10 @@ def _hermetic_backends(monkeypatch):
     """The worker subprocesses strip AFT_*/XLA_*/JAX_* from their env;
     the in-process single-host references must run under the same
     defaults, or an externally forced backend (e.g. AFT_BOOT_BACKEND=
-    jax in a stress run) diverges reference vs workers."""
+    jax in a stress run) diverges reference vs workers.  Only AFT_* is
+    strippable here — jax/XLA read their env at import, long before
+    this fixture runs, so forced JAX_*/XLA_* settings still require a
+    fresh interpreter to neutralize."""
     for k in list(os.environ):
         if k.startswith("AFT_"):
             monkeypatch.delenv(k, raising=False)
