@@ -411,6 +411,55 @@ def profile_hamming():
     }
 
 
+def profile_atac_sort():
+    """ATAC segmented sort+RLE kernel (ops/atac_device.py::_sort_rle_fn)
+    over 4M two-word rows — the production shape for (chr, start,
+    frag_len, barcode) fragments with 16bp barcodes.  Chained by
+    xoring low bits of both words with the previous round's counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from alevin_fry_tpu.ops.atac_device import _sort_rle_fn, PAD
+
+    rng = np.random.RandomState(4)
+    n = 1 << 22
+    w0 = rng.randint(0, 1 << 40, n).astype(np.uint64)
+    w1 = rng.randint(0, 1 << 33, n).astype(np.uint64)
+
+    def build(k):
+        fn = _sort_rle_fn(2)
+
+        @jax.jit
+        def chain(a, b):
+            def body(_i, ab):
+                a, b = ab
+                nnz, sa, sb, cnt = fn(a, b)
+                return (
+                    a ^ (sa & jnp.uint64(0x3FF)),
+                    b ^ (cnt.astype(jnp.uint64) & jnp.uint64(0x3F)),
+                )
+
+            a, b = jax.lax.fori_loop(0, k, body, (a, b))
+            return (
+                (a & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).sum()
+                + (b & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).sum()
+            )
+
+        def call():
+            with jax.enable_x64(True):
+                return chain(jnp.asarray(w0), jnp.asarray(w1))
+
+        return call, ()
+
+    per_round, t1, t2 = _two_point(build, 2, 22)
+    return {
+        "kernel": f"ATAC sort+RLE ({n>>20}M rows x 2 words), fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 3),
+        "rows_per_s": round(n / per_round),
+        "raw": {"K": [2, 22], "t_s": [round(t1, 4), round(t2, 4)]},
+    }
+
+
 def profile_transfer():
     """Host<->device transfer bandwidth (the tunnel, when one is in the
     path): device_put and fetch of a 32 MiB buffer, best of 3.  This is
@@ -472,6 +521,7 @@ def main():
         "cc": profile_pug_cc,
         "cc_dense": profile_cc_dense,
         "hamming": profile_hamming,
+        "atac_sort": profile_atac_sort,
         "transfer": profile_transfer,
     }
     names = args.only.split(",") if args.only else list(table)
