@@ -300,6 +300,41 @@ def _wta_compact_fn(usa: bool, pack32: bool):
     return jax.jit(run, static_argnums=(1, 2, 3, 4))
 
 
+@functools.lru_cache(maxsize=None)
+def _wta_plain_fn(usa: bool):
+    import jax
+
+    def run(k, ub, gb, nr, pa):
+        return _kernel_usa(k, ub, gb, nr, pa) if usa else _kernel(k, ub, gb, nr)
+
+    return jax.jit(run, static_argnums=(1, 2, 3, 4))
+
+
+class PendingWtaFull:
+    """Non-compacted pending handle: fetches the full padded output and
+    filters on host.  The compaction sort costs ~100 ms per 4M keys
+    on-chip while saving ~3x the fetched bytes — the right trade
+    through a ~30 MB/s tunnel, the wrong one on a co-located chip with
+    a GB/s link; AFT_WTA_COMPACT=0 selects this variant there."""
+
+    def __init__(self, arrays, n_rows: int):
+        self._arrays = arrays
+        self._n_rows = n_rows
+
+    def get(self):
+        out_key = np.asarray(self._arrays[0])
+        out_cnt = np.asarray(self._arrays[1])
+        self._arrays = None
+        keep = out_key != PAD
+        uniq = out_key[keep].astype(np.int64)  # start slots are sorted
+        cnt = out_cnt[keep]
+        return (
+            (uniq // self._n_rows).astype(np.int64),
+            (uniq % self._n_rows).astype(np.int64),
+            cnt.astype(np.float32),
+        )
+
+
 def resolve_crlike_wta_device(
     key: np.ndarray, ubits: int, gbits: int, n_rows: int, pad_to: int | None = None,
     usa: bool = False, prefer_ambig: bool = False, async_: bool = False,
@@ -333,10 +368,18 @@ def resolve_crlike_wta_device(
     # 0xFFFFFFFF would collide with PAD
     pack32 = max_cells * n_rows < (1 << 32)
 
-    fn = _wta_compact_fn(usa, pack32)
-    with jax.enable_x64(True):
-        out = fn(jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig)
-    pending = PendingWta(out[0], out[1:], n_rows, pack32, pad_to)
+    import os
+
+    if os.environ.get("AFT_WTA_COMPACT", "1") != "0":
+        fn = _wta_compact_fn(usa, pack32)
+        with jax.enable_x64(True):
+            out = fn(jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig)
+        pending = PendingWta(out[0], out[1:], n_rows, pack32, pad_to)
+    else:
+        fn = _wta_plain_fn(usa)
+        with jax.enable_x64(True):
+            out = fn(jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig)
+        pending = PendingWtaFull(out, n_rows)
     return pending if async_ else pending.get()
 
 

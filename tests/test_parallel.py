@@ -566,6 +566,8 @@ def test_quant_device_async_pipeline_matches_sync(tmp_path, monkeypatch):
         ("sync", {"AFT_CRLIKE_BACKEND": "jax", "AFT_WTA_ASYNC": "0"}),
         ("async", {"AFT_CRLIKE_BACKEND": "jax", "AFT_WTA_ASYNC": "1",
                    "AFT_WTA_QUEUE": "2"}),
+        # non-compacted fetch variant (fast-link deployments)
+        ("plain", {"AFT_CRLIKE_BACKEND": "jax", "AFT_WTA_COMPACT": "0"}),
     ):
         for k, v in env.items():
             monkeypatch.setenv(k, v)
@@ -584,4 +586,4 @@ def test_quant_device_async_pipeline_matches_sync(tmp_path, monkeypatch):
         }
         for k in env:
             monkeypatch.delenv(k)
-    assert outs["host"] == outs["sync"] == outs["async"]
+    assert outs["host"] == outs["sync"] == outs["async"] == outs["plain"]
