@@ -34,35 +34,6 @@ import numpy as np
 PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _seg_reduce(vals, start, op, neutral):
-    """Segmented reduce-and-broadcast over CONTIGUOUS runs of a sorted
-    array: every element receives its segment's reduction.  Two
-    associative scans (forward prefix-reduce with resets at segment
-    starts, then a reverse propagation of each segment-last total) —
-    elementwise log-depth work instead of the scatter+gather pair,
-    which costs ~40 ms per 4M random accesses on v5e and made the
-    USA WTA kernel 6x slower than the plain one."""
-    import jax
-    import jax.numpy as jnp
-
-    def combine(a, b):
-        # b is the element farther along the scan direction: a reset
-        # flag on b discards the incoming prefix
-        af, av = a
-        bf, bv = b
-        return (af | bf, jnp.where(bf, bv, op(av, bv)))
-
-    _f, run = jax.lax.associative_scan(combine, (start, vals))
-    is_last = jnp.concatenate(
-        [start[1:], jnp.ones(1, bool)]
-    )
-    total_src = jnp.where(is_last, run, neutral)
-    _f2, total = jax.lax.associative_scan(
-        combine, (is_last, total_src), reverse=True
-    )
-    return total
-
-
 def _kernel(key, ubits, gbits, n_rows):
     import jax.numpy as jnp
 
@@ -72,26 +43,28 @@ def _kernel(key, ubits, gbits, n_rows):
 
     prev = jnp.concatenate([key[:1] ^ jnp.uint64(1), key[:-1]])
     trip_start = (key != prev) & valid
-    # per-triplet multiplicity, broadcast to every element of the run
-    # (the PAD tail merges into the last run but only adds zeros)
-    t_count = _seg_reduce(
-        valid.astype(jnp.int32), trip_start, jnp.add, jnp.int32(0)
-    )
+    # triplet segment ids (0-based over the sorted array; PAD tail
+    # collapses into the last segment but is masked everywhere)
+    trip_id = jnp.cumsum(trip_start.astype(jnp.int32)) - 1
+    trip_id = jnp.maximum(trip_id, 0)
+    # per-triplet multiplicity
+    t_count = jnp.zeros(N, jnp.int32).at[trip_id].add(valid.astype(jnp.int32))
 
     gkey = key >> jnp.uint64(gbits)  # (cell, umi)
     gprev = jnp.concatenate([gkey[:1] ^ jnp.uint64(1), gkey[:-1]])
     grp_start = (gkey != gprev) & valid
+    grp_id = jnp.cumsum(grp_start.astype(jnp.int32)) - 1
+    grp_id = jnp.maximum(grp_id, 0)
 
-    # per-group max triplet count (only triplet-start rows carry it)
-    t_count_at_start = jnp.where(trip_start, t_count, 0)
-    gmax = _seg_reduce(t_count_at_start, grp_start, jnp.maximum, jnp.int32(0))
-    winner = trip_start & (t_count_at_start == gmax)
+    # per-group max triplet count: scatter-max of each triplet's count
+    # at its group id (only triplet-start rows carry the count)
+    t_count_at_start = jnp.where(trip_start, t_count[trip_id], 0)
+    gmax = jnp.zeros(N, jnp.int32).at[grp_id].max(t_count_at_start)
+    winner = trip_start & (t_count_at_start == gmax[grp_id])
 
     # tie-set size per group; non-USA unique rule keeps singletons
-    tie_sz = _seg_reduce(
-        winner.astype(jnp.int32), grp_start, jnp.add, jnp.int32(0)
-    )
-    unique_win = winner & (tie_sz == 1)
+    tie_sz = jnp.zeros(N, jnp.int32).at[grp_id].add(winner.astype(jnp.int32))
+    unique_win = winner & (tie_sz[grp_id] == 1)
 
     # count matrix contribution: +1 at (cell, gene) per unique winner.
     # re-pack to (cell, gene), sort, and run-length aggregate.
@@ -104,12 +77,11 @@ def _kernel(key, ubits, gbits, n_rows):
     cg_valid = cg != PAD
     cg_prev = jnp.concatenate([cg[:1] ^ jnp.uint64(1), cg[:-1]])
     cg_start = (cg != cg_prev) & cg_valid
-    cg_count = _seg_reduce(
-        cg_valid.astype(jnp.int32), cg_start, jnp.add, jnp.int32(0)
-    )
+    cg_id = jnp.maximum(jnp.cumsum(cg_start.astype(jnp.int32)) - 1, 0)
+    cg_count = jnp.zeros(N, jnp.int32).at[cg_id].add(cg_valid.astype(jnp.int32))
     # emit (key, count) at the segment-start positions; PAD elsewhere
     out_key = jnp.where(cg_start, cg, PAD)
-    out_cnt = jnp.where(cg_start, cg_count, 0)
+    out_cnt = jnp.where(cg_start, cg_count[cg_id], 0)
     return out_key, out_cnt
 
 
@@ -131,40 +103,33 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
 
     prev = jnp.concatenate([key[:1] ^ jnp.uint64(1), key[:-1]])
     trip_start = (key != prev) & valid
-    t_count = _seg_reduce(
-        valid.astype(jnp.int32), trip_start, jnp.add, jnp.int32(0)
-    )
+    trip_id = jnp.maximum(jnp.cumsum(trip_start.astype(jnp.int32)) - 1, 0)
+    t_count = jnp.zeros(N, jnp.int32).at[trip_id].add(valid.astype(jnp.int32))
 
     gkey = key >> jnp.uint64(gbits)  # (cell, umi)
     gprev = jnp.concatenate([gkey[:1] ^ jnp.uint64(1), gkey[:-1]])
     grp_start = (gkey != gprev) & valid
+    grp_id = jnp.maximum(jnp.cumsum(grp_start.astype(jnp.int32)) - 1, 0)
 
-    # all per-group statistics below are segmented reduce+broadcasts
-    # over the contiguous (cell, umi) runs of the sorted keys
-    t_count_at_start = jnp.where(trip_start, t_count, 0)
+    t_count_at_start = jnp.where(trip_start, t_count[trip_id], 0)
     if prefer_ambig:
         # pair segments: a spliced/unspliced pair {2k, 2k+1} is adjacent
         # in the sorted keys, so key >> 1 merges it
         pkey = key >> jnp.uint64(1)
         pprev = jnp.concatenate([pkey[:1] ^ jnp.uint64(1), pkey[:-1]])
         pair_start = (pkey != pprev) & valid
-        p_count = _seg_reduce(
-            t_count_at_start, pair_start, jnp.add, jnp.int32(0)
+        pair_id = jnp.maximum(
+            jnp.cumsum(pair_start.astype(jnp.int32)) - 1, 0
         )
-        p_count_at_start = jnp.where(pair_start, p_count, 0)
-        gmax_ct = _seg_reduce(
-            p_count_at_start, grp_start, jnp.maximum, jnp.int32(0)
-        )
-        winner = trip_start & (p_count == gmax_ct)
+        p_count = jnp.zeros(N, jnp.int32).at[pair_id].add(t_count_at_start)
+        p_count_at_start = jnp.where(pair_start, p_count[pair_id], 0)
+        gmax_ct = jnp.zeros(N, jnp.int32).at[grp_id].max(p_count_at_start)
+        winner = trip_start & (p_count[pair_id] == gmax_ct[grp_id])
     else:
-        gmax_ct = _seg_reduce(
-            t_count_at_start, grp_start, jnp.maximum, jnp.int32(0)
-        )
-        winner = trip_start & (t_count_at_start == gmax_ct)
+        gmax_ct = jnp.zeros(N, jnp.int32).at[grp_id].max(t_count_at_start)
+        winner = trip_start & (t_count_at_start == gmax_ct[grp_id])
 
-    tie_sz = _seg_reduce(
-        winner.astype(jnp.int32), grp_start, jnp.add, jnp.int32(0)
-    )
+    tie_sz = jnp.zeros(N, jnp.int32).at[grp_id].add(winner.astype(jnp.int32))
 
     gi = (key & jnp.uint64((1 << gbits) - 1)).astype(jnp.int64)
     even = (gi & 1) == 0
@@ -172,31 +137,30 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     aoff = 2 * uoff
 
     BIG = jnp.int64(1) << jnp.int64(62)
-    gmin = _seg_reduce(
-        jnp.where(winner, gi, BIG), grp_start, jnp.minimum, BIG
+    gmin = jnp.full(N, BIG, jnp.int64).at[grp_id].min(
+        jnp.where(winner, gi, BIG)
     )
-    gmax = _seg_reduce(
-        jnp.where(winner, gi, -1), grp_start, jnp.maximum, jnp.int64(-1)
+    gmax = jnp.full(N, -1, jnp.int64).at[grp_id].max(
+        jnp.where(winner, gi, -1)
     )
-    nspl = _seg_reduce(
-        (winner & even).astype(jnp.int32), grp_start, jnp.add, jnp.int32(0)
+    nspl = jnp.zeros(N, jnp.int32).at[grp_id].add(
+        (winner & even).astype(jnp.int32)
     )
-    sgene = _seg_reduce(
-        jnp.where(winner & even, gi, -1), grp_start, jnp.maximum,
-        jnp.int64(-1),
+    sgene = jnp.full(N, -1, jnp.int64).at[grp_id].max(
+        jnp.where(winner & even, gi, -1)
     )
     # does the tie set contain the unique spliced gene's unspliced
-    # partner?  (second segmented pass over sgene)
+    # partner?  (second scatter pass over sgene)
     partner_elem = winner & ~even & (
-        (gi & ~jnp.int64(1)) == (sgene & ~jnp.int64(1))
+        (gi & ~jnp.int64(1)) == (sgene[grp_id] & ~jnp.int64(1))
     )
-    partner = _seg_reduce(partner_elem, grp_start, jnp.logical_or, False)
+    partner = jnp.zeros(N, bool).at[grp_id].max(partner_elem)
 
-    # slot rules evaluated per group (at grp_start rows); every
-    # statistic is already broadcast to all rows of its group
-    l_ = tie_sz
-    g1, g2 = gmin, gmax
-    sg, pt, ns = sgene, partner, nspl
+    # slot rules evaluated per group (at grp_start rows)
+    g = grp_id
+    l_ = tie_sz[g]
+    g1, g2 = gmin[g], gmax[g]
+    sg, pt, ns = sgene[g], partner[g], nspl[g]
     sp1 = (g1 & 1) == 0
     sp2 = (g2 & 1) == 0
     same = (g1 & ~jnp.int64(1)) == (g2 & ~jnp.int64(1))
@@ -226,11 +190,10 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     cs_valid = cs != PAD
     cs_prev = jnp.concatenate([cs[:1] ^ jnp.uint64(1), cs[:-1]])
     cs_start = (cs != cs_prev) & cs_valid
-    cs_count = _seg_reduce(
-        cs_valid.astype(jnp.int32), cs_start, jnp.add, jnp.int32(0)
-    )
+    cs_id = jnp.maximum(jnp.cumsum(cs_start.astype(jnp.int32)) - 1, 0)
+    cs_count = jnp.zeros(N, jnp.int32).at[cs_id].add(cs_valid.astype(jnp.int32))
     out_key = jnp.where(cs_start, cs, PAD)
-    out_cnt = jnp.where(cs_start, cs_count, 0)
+    out_cnt = jnp.where(cs_start, cs_count[cs_id], 0)
     return out_key, out_cnt
 
 
