@@ -279,6 +279,59 @@ def profile_wta():
     }
 
 
+def profile_wta_usa():
+    """USA-mode WTA over 4M keys: the tie-set slotting variant adds
+    ~8 more segmented scatter passes over the sorted keys
+    (ops/crlike_device.py::_kernel_usa); same chained protocol.
+    Measured 1881.5 ms/round (2.2M keys/s) — 6.3x the plain kernel;
+    an associative-scan reformulation of the segmented reductions was
+    correctness-verified but took >25 min per program to compile
+    through this image's tunnel compiler and was reverted (see
+    BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from alevin_fry_tpu.ops.crlike_device import _kernel_usa
+
+    rng = np.random.RandomState(1)
+    n = 1 << 22
+    ubits, gbits, n_genes = 20, 14, 4000
+    n_rows = 3 * (n_genes + 1)
+    c = np.sort(rng.randint(0, 4096, n)).astype(np.uint64)
+    u = rng.randint(0, 1 << ubits, n).astype(np.uint64)
+    g = rng.randint(0, 2 * n_genes, n).astype(np.uint64)
+    key_np = (c << np.uint64(ubits + gbits)) | (u << np.uint64(gbits)) | g
+
+    def build(k):
+        @jax.jit
+        def chain(key):
+            def body(_i, key):
+                ok, oc = _kernel_usa(key, ubits, gbits, n_rows, False)
+                return key ^ (ok & jnp.uint64(0x3FF)) ^ (
+                    oc.astype(jnp.uint64) & jnp.uint64(0x3)
+                )
+
+            out = jax.lax.fori_loop(0, k, body, key)
+            return (
+                (out & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).sum()
+                + (out >> jnp.uint64(32)).astype(jnp.uint32).sum()
+            )
+
+        def call():
+            with jax.enable_x64(True):
+                return chain(jnp.asarray(key_np))
+
+        return call, ()
+
+    per_round, t1, t2 = _two_point(build, 2, 22)
+    return {
+        "kernel": f"cr-like WTA USA ({n>>20}M keys), fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 3),
+        "keys_per_s": round(n / per_round),
+        "raw": {"K": [2, 22], "t_s": [round(t1, 4), round(t2, 4)]},
+    }
+
+
 def profile_pug_cc():
     """PUG connected components, batched label propagation.  Per-round
     byte model: neighbor-index read B*N*D*4 + label gather B*N*D*4
@@ -518,6 +571,7 @@ def main():
         "em_dense": lambda: profile_em_dense(False),
         "em_dense_usa": lambda: profile_em_dense(True),
         "wta": profile_wta,
+        "wta_usa": profile_wta_usa,
         "cc": profile_pug_cc,
         "cc_dense": profile_cc_dense,
         "hamming": profile_hamming,
