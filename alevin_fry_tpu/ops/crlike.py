@@ -340,7 +340,12 @@ def wta_counts_device(
     PendingWta whose .get() yields them after the device finishes — or
     None when the key doesn't fit the packed-u64 bit budget (caller
     falls back to host)."""
-    from .crlike_device import resolve_crlike_wta_device
+    import os
+
+    from .crlike_device import (
+        resolve_crlike_wta_device,
+        resolve_crlike_wta_device_packed,
+    )
 
     pair_read, pair_gene = _dedup_read_genes(refs, aln_offsets, tid_to_gid)
     c = cell_of_read[pair_read]
@@ -352,6 +357,25 @@ def wta_counts_device(
     gbits = _bits_for(int(g.max()) + 1 if len(g) else 1)
     if cbits + ubits + gbits > 64 or len(c) == 0:
         return None
+    # packed upload: when (umi, gene) fits 32 bits and cells arrive
+    # sorted, ship u32 low-keys + a tiny per-cell delta sideband and
+    # rebuild the u64 keys on device — half the link bytes per pair
+    # (AFT_WTA_PACKED_UPLOAD=0 restores whole-key upload)
+    if (
+        ubits + gbits <= 32
+        and cbits <= 32
+        and os.environ.get("AFT_WTA_PACKED_UPLOAD", "1") != "0"
+    ):
+        segs = _segments_of_sorted(c)
+        if segs is not None:
+            cell_ids = c[segs[:-1]].astype(np.int64)
+            lowkey = (
+                u.astype(np.uint32) << np.uint32(gbits)
+            ) | g.astype(np.uint32)
+            return resolve_crlike_wta_device_packed(
+                cell_ids, segs, lowkey, ubits, gbits, n_rows, usa=usa,
+                prefer_ambig=prefer_ambig, async_=async_,
+            )
     key = (
         (c.astype(np.uint64) << np.uint64(ubits + gbits))
         | (u.astype(np.uint64) << np.uint64(gbits))

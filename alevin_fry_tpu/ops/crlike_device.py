@@ -27,6 +27,7 @@ no collectives are needed until the final count-matrix assembly.
 from __future__ import annotations
 
 import functools
+import os
 from functools import partial
 
 import numpy as np
@@ -34,7 +35,132 @@ import numpy as np
 PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+# ---------------------------------------------------------------------------
+# Scatter-free segmented reductions over CONTIGUOUS segments.
+#
+# After the key sort every segment (triplet, (cell,umi) group, pair) is a
+# contiguous run, so segmented reductions never need scatter: a segmented
+# sum is cumsum + two boundary propagations, and a segmented min/max is two
+# cumulative ops over (segment_ordinal << bits | value) packed words.  The
+# propagations are plain lax.cummax/cummin because the propagated values
+# are monotone in row order (running sums are non-decreasing; the packed
+# words carry the non-decreasing segment ordinal in their high bits).
+#
+# Round 3 measured the scatter formulation of the USA tie-set slotting at
+# 1881 ms per 4M keys — ~8 extra `.at[grp_id].op()` passes, several on
+# 64-bit values, at tens of ms each (PROFILE_r03.json).  These helpers
+# replace every scatter in both WTA kernels; an earlier associative-scan
+# attempt (custom pair operator through lax.associative_scan) was reverted
+# for >25-min compiles (commit 63ace0e) — cumsum/cummax are single XLA
+# primitives and compile like any other op.
+# ---------------------------------------------------------------------------
+
+
+def _seg_ends(start):
+    """Bool mask of each contiguous segment's LAST row (the row before
+    the next start; the final row closes the last segment)."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([start[1:], jnp.ones((1,), bool)])
+
+
+def _seg_sum(x, start):
+    """Per-row segment total of non-negative int32 ``x`` over contiguous
+    segments delimited by ``start``.  Rows before the first start (none,
+    in sorted valid data) read garbage and must be masked by callers."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    c = jnp.cumsum(x)
+    cprev = jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
+    # running sum is non-decreasing, so cummax propagates the most
+    # recent segment's base ...
+    base = lax.cummax(jnp.where(start, cprev, x.dtype.type(-1)))
+    big = jnp.iinfo(c.dtype).max
+    # ... and the nearest end to the right holds the smallest end total
+    tot = lax.cummin(jnp.where(_seg_ends(start), c, big), reverse=True)
+    return tot - base
+
+
+def _seg_reduce(val, mark, start, grp_ord, *, minimum=False, val_bits=32):
+    """Per-row max (or min) of int64 ``val`` >= 0 over MARKED rows of the
+    row's contiguous segment; -1 where the segment has no marked row.
+
+    ``grp_ord`` is the 1-based segment ordinal (cumsum of ``start``);
+    packing it above the value makes the running cummax segment-local:
+    earlier segments' words are always smaller, so the running max at a
+    segment's end row is that segment's own reduction, and the packed
+    words at end rows are non-decreasing, so a reverse cummin broadcasts
+    each end's word back over exactly its own segment."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    mask = (jnp.int64(1) << val_bits) - 1
+    v = (mask - val) if minimum else val
+    p = (grp_ord.astype(jnp.int64) << val_bits) | v
+    run = lax.cummax(jnp.where(mark, p, jnp.int64(-1)))
+    big = jnp.iinfo(jnp.int64).max
+    r = lax.cummin(jnp.where(_seg_ends(start), run, big), reverse=True)
+    got = (r >> val_bits) == grp_ord
+    v = r & mask
+    if minimum:
+        v = mask - v
+    return jnp.where(got, v, -1)
+
+
+def _use_scatter_segred() -> bool:
+    """AFT_WTA_SEGRED=scatter selects the round-3 scatter formulation
+    (kept for A/B profiling); the default is the scatter-free cumulative
+    form, measured faster on both CPU and TPU (PROFILE_r04)."""
+    return os.environ.get("AFT_WTA_SEGRED", "cum") == "scatter"
+
+
 def _kernel(key, ubits, gbits, n_rows):
+    if _use_scatter_segred():
+        return _kernel_scatter(key, ubits, gbits, n_rows)
+    import jax.numpy as jnp
+
+    key = jnp.sort(key)
+    valid = key != PAD
+
+    prev = jnp.concatenate([key[:1] ^ jnp.uint64(1), key[:-1]])
+    trip_start = (key != prev) & valid
+
+    gkey = key >> jnp.uint64(gbits)  # (cell, umi)
+    gprev = jnp.concatenate([gkey[:1] ^ jnp.uint64(1), gkey[:-1]])
+    grp_start = (gkey != gprev) & valid
+    grp_ord = jnp.cumsum(grp_start.astype(jnp.int32))  # 1-based
+
+    # per-triplet multiplicity, broadcast to every row of the triplet
+    t_count = _seg_sum(valid.astype(jnp.int32), trip_start)
+    tc = jnp.where(trip_start, t_count, 0)
+    # per-group winning count, broadcast to every row of the group
+    gmax = _seg_reduce(tc.astype(jnp.int64), trip_start, grp_start, grp_ord)
+    winner = trip_start & (tc.astype(jnp.int64) == gmax)
+
+    # tie-set size per group; non-USA unique rule keeps singletons
+    tie_sz = _seg_sum(winner.astype(jnp.int32), grp_start)
+    unique_win = winner & (tie_sz == 1)
+
+    # count matrix contribution: +1 at (cell, gene) per unique winner.
+    # re-pack to (cell, gene), sort, and run-length aggregate.
+    cell = key >> jnp.uint64(ubits + gbits)
+    gene = key & jnp.uint64((1 << gbits) - 1)
+    cg = jnp.where(
+        unique_win, cell * jnp.uint64(n_rows) + gene, PAD
+    )
+    cg = jnp.sort(cg)
+    cg_valid = cg != PAD
+    cg_prev = jnp.concatenate([cg[:1] ^ jnp.uint64(1), cg[:-1]])
+    cg_start = (cg != cg_prev) & cg_valid
+    cg_count = _seg_sum(cg_valid.astype(jnp.int32), cg_start)
+    # emit (key, count) at the segment-start positions; PAD elsewhere
+    out_key = jnp.where(cg_start, cg, PAD)
+    out_cnt = jnp.where(cg_start, cg_count, 0)
+    return out_key, out_cnt
+
+
+def _kernel_scatter(key, ubits, gbits, n_rows):
     import jax.numpy as jnp
 
     N = key.shape[0]
@@ -95,6 +221,103 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     ``prefer_ambig``: counts aggregate per gene PAIR (spliced id) and a
     winning pair emits all its observed variants
     (pugutils.rs:505-641)."""
+    if _use_scatter_segred():
+        return _kernel_usa_scatter(key, ubits, gbits, n_rows, prefer_ambig)
+    import jax.numpy as jnp
+
+    key = jnp.sort(key)
+    valid = key != PAD
+
+    prev = jnp.concatenate([key[:1] ^ jnp.uint64(1), key[:-1]])
+    trip_start = (key != prev) & valid
+
+    gkey = key >> jnp.uint64(gbits)  # (cell, umi)
+    gprev = jnp.concatenate([gkey[:1] ^ jnp.uint64(1), gkey[:-1]])
+    grp_start = (gkey != gprev) & valid
+    grp_ord = jnp.cumsum(grp_start.astype(jnp.int32))  # 1-based
+
+    t_count = _seg_sum(valid.astype(jnp.int32), trip_start)
+    tc = jnp.where(trip_start, t_count, 0)
+    if prefer_ambig:
+        # pair segments: a spliced/unspliced pair {2k, 2k+1} is adjacent
+        # in the sorted keys, so key >> 1 merges it
+        pkey = key >> jnp.uint64(1)
+        pprev = jnp.concatenate([pkey[:1] ^ jnp.uint64(1), pkey[:-1]])
+        pair_start = (pkey != pprev) & valid
+        p_count = _seg_sum(tc, pair_start)
+        pc = jnp.where(trip_start, p_count, 0)
+        gmax_ct = _seg_reduce(
+            pc.astype(jnp.int64), trip_start, grp_start, grp_ord
+        )
+        winner = trip_start & (pc.astype(jnp.int64) == gmax_ct)
+    else:
+        gmax_ct = _seg_reduce(
+            tc.astype(jnp.int64), trip_start, grp_start, grp_ord
+        )
+        winner = trip_start & (tc.astype(jnp.int64) == gmax_ct)
+
+    tie_sz = _seg_sum(winner.astype(jnp.int32), grp_start)
+
+    gi = (key & jnp.uint64((1 << gbits) - 1)).astype(jnp.int64)
+    even = (gi & 1) == 0
+    uoff = n_rows // 3
+    aoff = 2 * uoff
+
+    # within a (cell, umi) group the rows are sorted by gene, so the
+    # winner genes arrive in ascending order; min/max/unique-spliced all
+    # reduce over the winner-marked rows of the contiguous group
+    vb = gbits + 1
+    g1 = _seg_reduce(gi, winner, grp_start, grp_ord, minimum=True, val_bits=vb)
+    g2 = _seg_reduce(gi, winner, grp_start, grp_ord, val_bits=vb)
+    nspl = _seg_sum((winner & even).astype(jnp.int32), grp_start)
+    sg = _seg_reduce(gi, winner & even, grp_start, grp_ord, val_bits=vb)
+    # does the tie set contain the unique spliced gene's unspliced
+    # partner?  sg is already broadcast per-row (-1 when no spliced
+    # winner, which can never equal a real gene's pair id)
+    partner_elem = winner & ~even & ((gi & ~jnp.int64(1)) == (sg & ~jnp.int64(1)))
+    partner = _seg_sum(partner_elem.astype(jnp.int32), grp_start) > 0
+
+    # slot rules evaluated per group (at grp_start rows); every quantity
+    # is already a per-row broadcast over its group
+    l_ = tie_sz
+    sp1 = (g1 & 1) == 0
+    sp2 = (g2 & 1) == 0
+    same = (g1 & ~jnp.int64(1)) == (g2 & ~jnp.int64(1))
+    slot1 = jnp.where(sp2, g2 >> 1, uoff + (g2 >> 1))
+    slot2 = jnp.where(
+        same, aoff + (g1 >> 1),
+        jnp.where(sp1 & ~sp2, g1 >> 1, g2 >> 1),
+    )
+    ok2 = same | (sp1 & ~sp2) | (~sp1 & sp2)
+    slot3 = jnp.where(partner, aoff + (sg >> 1), sg >> 1)
+    ok3 = nspl == 1
+    slot = jnp.where(
+        l_ == 1, slot1, jnp.where(l_ == 2, slot2, slot3)
+    )
+    ok = jnp.where(
+        l_ == 1, True,
+        jnp.where(l_ == 2, ok2, (l_ >= 3) & (l_ <= 10) & ok3),
+    )
+
+    cell = (key >> jnp.uint64(ubits + gbits)).astype(jnp.int64)
+    cs = jnp.where(
+        grp_start & ok,
+        (cell * jnp.int64(n_rows) + slot).astype(jnp.uint64),
+        PAD,
+    )
+    cs = jnp.sort(cs)
+    cs_valid = cs != PAD
+    cs_prev = jnp.concatenate([cs[:1] ^ jnp.uint64(1), cs[:-1]])
+    cs_start = (cs != cs_prev) & cs_valid
+    cs_count = _seg_sum(cs_valid.astype(jnp.int32), cs_start)
+    out_key = jnp.where(cs_start, cs, PAD)
+    out_cnt = jnp.where(cs_start, cs_count, 0)
+    return out_key, out_cnt
+
+
+def _kernel_usa_scatter(key, ubits, gbits, n_rows, prefer_ambig=False):
+    """Round-3 scatter formulation of the USA kernel (A/B reference;
+    see _use_scatter_segred)."""
     import jax.numpy as jnp
 
     N = key.shape[0]
@@ -287,8 +510,85 @@ def _pad_bucket(n: int) -> int:
     return mid if n <= mid else p
 
 
+def _cell_bucket(n: int) -> int:
+    """Padded cell-count bucket for the packed-upload sideband."""
+    return max(256, 1 << int(max(n - 1, 1)).bit_length())
+
+
 @functools.lru_cache(maxsize=None)
-def _wta_compact_fn(usa: bool, pack32: bool):
+def _wta_packed_fn(usa: bool, pack32: bool, segred: str = "cum"):
+    """Variant of _wta_compact_fn whose key stream arrives as u32
+    low-keys plus a per-cell-boundary delta sideband: the u64
+    (cell, umi, gene) keys rebuild ON DEVICE with one scatter + cumsum
+    (cells are sorted within a block, so the cell id per row is the
+    running sum of boundary deltas).  Halves host->device bytes per
+    pair vs uploading u64 keys — the dominant cost when the device sits
+    behind a slow link (BASELINE.md: the quant key stream is ~8 B/pair
+    through a ~30 MB/s tunnel; this makes it ~4 B/pair).  Matches the
+    reference's reader->worker handoff (quant.rs:1527-1743) reimagined
+    as a bandwidth-packed input pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(lowkey, pos, delta, n, ub, gb, nr, pa):
+        npad = lowkey.shape[0]
+        ind = jnp.zeros(npad, jnp.uint32).at[pos].add(
+            delta, mode="drop"
+        )
+        cid = jnp.cumsum(ind).astype(jnp.uint64)
+        key = (cid << jnp.uint64(ub + gb)) | lowkey.astype(jnp.uint64)
+        key = jnp.where(jnp.arange(npad) < n, key, PAD)
+        ok, oc = (
+            _kernel_usa(key, ub, gb, nr, pa) if usa else _kernel(key, ub, gb, nr)
+        )
+        return _compact(ok, oc, pack32)
+
+    return jax.jit(run, static_argnums=(4, 5, 6, 7))
+
+
+def resolve_crlike_wta_device_packed(
+    cell_ids: np.ndarray, segs: np.ndarray, lowkey: np.ndarray,
+    ubits: int, gbits: int, n_rows: int,
+    usa: bool = False, prefer_ambig: bool = False, async_: bool = False,
+):
+    """Packed-upload WTA resolution: ``lowkey`` holds (umi << gbits |
+    gene) per pair (must fit 32 bits), ``cell_ids``/``segs`` give the
+    sorted per-cell id and pair-offset runs (``_segments_of_sorted``
+    layout).  Semantically identical to resolve_crlike_wta_device on
+    the reassembled keys."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(lowkey)
+    n_cells = len(cell_ids)
+    pad_to = _pad_bucket(n)
+    cpad = _cell_bucket(n_cells)
+    buf = np.full(pad_to, 0xFFFFFFFF, np.uint32)
+    buf[:n] = lowkey
+    pos = np.full(cpad, pad_to, np.int32)  # OOB -> dropped by scatter
+    pos[:n_cells] = segs[:-1]
+    delta = np.zeros(cpad, np.uint32)
+    if n_cells:
+        delta[0] = cell_ids[0]
+        delta[1:n_cells] = np.diff(cell_ids).astype(np.uint32)
+    max_cells = int(cell_ids[-1]) + 1 if n_cells else 1
+    pack32 = max_cells * n_rows < (1 << 32)
+    segred = os.environ.get("AFT_WTA_SEGRED", "cum")
+    fn = _wta_packed_fn(usa, pack32, segred)
+    with jax.enable_x64(True):
+        out = fn(
+            jnp.asarray(buf), jnp.asarray(pos), jnp.asarray(delta),
+            np.int32(n), ubits, gbits, n_rows, prefer_ambig,
+        )
+    pending = PendingWta(out[0], out[1:], n_rows, pack32, pad_to)
+    return pending if async_ else pending.get()
+
+
+@functools.lru_cache(maxsize=None)
+def _wta_compact_fn(usa: bool, pack32: bool, segred: str = "cum"):
+    # ``segred`` is purely a cache key: the kernels read the env var at
+    # trace time, and without it a mode flip would silently reuse the
+    # previously traced program
     import jax
 
     def run(k, ub, gb, nr, pa):
@@ -301,7 +601,7 @@ def _wta_compact_fn(usa: bool, pack32: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _wta_plain_fn(usa: bool):
+def _wta_plain_fn(usa: bool, segred: str = "cum"):
     import jax
 
     def run(k, ub, gb, nr, pa):
@@ -368,15 +668,14 @@ def resolve_crlike_wta_device(
     # 0xFFFFFFFF would collide with PAD
     pack32 = max_cells * n_rows < (1 << 32)
 
-    import os
-
+    segred = os.environ.get("AFT_WTA_SEGRED", "cum")
     if os.environ.get("AFT_WTA_COMPACT", "1") != "0":
-        fn = _wta_compact_fn(usa, pack32)
+        fn = _wta_compact_fn(usa, pack32, segred)
         with jax.enable_x64(True):
             out = fn(jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig)
         pending = PendingWta(out[0], out[1:], n_rows, pack32, pad_to)
     else:
-        fn = _wta_plain_fn(usa)
+        fn = _wta_plain_fn(usa, segred)
         with jax.enable_x64(True):
             out = fn(jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig)
         pending = PendingWtaFull(out, n_rows)

@@ -458,13 +458,26 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
     (em.rs:94-114) arrives as precomputed local index arrays p1/p2
     (p2 -> U for non-ambiguous labels), replacing the clip/where
     index arithmetic with two plain gathers."""
+    import os as _os
+
     import jax
     import jax.numpy as jnp
 
     _configure_compile_cache()
+    # dense formulation: AFT_EM_DENSE_MODE selects how the E/M linear
+    # maps are expressed (all three are semantically identical; the
+    # r4 on-chip A/B lives in PROFILE_r04.json / scripts/em_roofline_probe.py):
+    #   onehot   — r3 form: materialized f32 one-hot batched matvecs at
+    #              HIGHEST precision (4.1 ms/round at B=4096,U=512)
+    #   vpu      — fused compare-select-reduce; no materialized one-hot,
+    #              ~30 MB/round of HBM instead of ~GBs
+    #   factored — two-digit (hi/lo) one-hot factorization: real batched
+    #              matmuls over c1- and c2-wide digit one-hots in bf16
+    #              with split-f32 accuracy
+    dmode = _os.environ.get("AFT_EM_DENSE_MODE", "vpu") if dense else ""
     key = (
         "compact", usa, with_last_round, weighted, fixed_rounds, dense,
-        init_random,
+        init_random, dmode,
     )
     if key in _jit_cache:
         return _jit_cache[key]
@@ -475,33 +488,125 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
         # dictionary (pad -> U, whose alpha is pinned 0); counts (B,E)
         B, E, L = labels.shape
         if dense:
-            # MXU formulation: the E-step gather and the M-step
+            # Accelerator formulation: the E-step gather and the M-step
             # scatter-add are LINEAR maps of alpha with loop-invariant
-            # one-hot matrices (USA partner coupling folds into the
-            # same matrix: abundance = (A_self + A_p1 + A_p2) @ alpha).
-            # Measured on v5e: 2.0 ms/round vs 36 ms for the
-            # gather/scatter formulation at B=4096, E*L=512, U=512 —
-            # random gather/scatter costs ~10 ns/element on the VPU
-            # while the MXU streams the same contraction.  HIGHEST
-            # precision keeps f32-level accuracy (A is exactly 0/1).
+            # one-hot structure (USA partner coupling folds in as two
+            # more selections: abundance = sel(lab) + sel(p1) + sel(p2);
+            # column U collects pad and absent-partner ids and its alpha
+            # is pinned 0, so they contribute nothing).  Random
+            # gather/scatter costs ~10 ns/element on TPU, so all modes
+            # express the maps gather-free; see dmode above for the
+            # three expressions and their measured costs.
             iota_u = jnp.arange(U + 1, dtype=jnp.int32)
             lab_flat = labels.reshape(B, E * L)
-            a_self = (lab_flat[:, :, None] == iota_u).astype(jnp.float32)
+            K = E * L
+            sel_labels = [lab_flat]
             if usa:
-                a_gather = (
-                    a_self
-                    + (p1.reshape(B, E * L)[:, :, None] == iota_u).astype(
-                        jnp.float32
+                sel_labels += [p1.reshape(B, K), p2.reshape(B, K)]
+            if dmode == "factored":
+                # digit decomposition: id = hi*c2 + lo.  One-hot over
+                # each digit is c1/c2 wide instead of U+1, so the
+                # loop-invariant operands shrink ~ (U+1)/(c1+c2) x; the
+                # digit matmuls run in bf16 (one-hots are exact there)
+                # with f32 values carried as split hi+lo bf16 pairs
+                c2 = 16
+                c1 = -(-(U + 1) // c2)
+                upad = c1 * c2
+                iota_c1 = jnp.arange(c1, dtype=jnp.int32)
+                iota_c2 = jnp.arange(c2, dtype=jnp.int32)
+
+                def digit_onehots(ids):
+                    # (B, c, K) layout: minor dim K avoids lane padding
+                    oh_hi = (
+                        (ids // c2)[:, None, :] == iota_c1[None, :, None]
+                    ).astype(jnp.bfloat16)
+                    oh_lo = (
+                        (ids % c2)[:, None, :] == iota_c2[None, :, None]
+                    ).astype(jnp.bfloat16)
+                    return oh_hi, oh_lo
+
+                onehots = [digit_onehots(ids) for ids in sel_labels]
+
+                def estep(alphas):
+                    a3 = jnp.pad(alphas, ((0, 0), (0, upad - (U + 1)))).reshape(
+                        B, c1, c2
                     )
-                    + (p2.reshape(B, E * L)[:, :, None] == iota_u).astype(
-                        jnp.float32
+                    ah = a3.astype(jnp.bfloat16)
+                    al = (a3 - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+                    acat = jnp.concatenate([ah, al], axis=2)  # (B,c1,2c2)
+                    ab = None
+                    for oh_hi, oh_lo in onehots:
+                        # contract the hi digit: exactly one nonzero per
+                        # output column, so bf16 accumulation is exact
+                        t1 = jax.lax.dot_general(
+                            acat, oh_hi,
+                            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.bfloat16,
+                        )  # (B, 2c2, K)
+                        sel = t1[:, :c2, :].astype(jnp.float32) + t1[
+                            :, c2:, :
+                        ].astype(jnp.float32)
+                        term = (sel * oh_lo.astype(jnp.float32)).sum(axis=1)
+                        ab = term if ab is None else ab + term
+                    return ab  # (B, K)
+
+                oh_hi0, oh_lo0 = onehots[0]
+
+                def mstep(sc):
+                    sh = sc.astype(jnp.bfloat16)
+                    sl = (sc - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    t2 = jnp.concatenate(
+                        [oh_lo0 * sh[:, None, :], oh_lo0 * sl[:, None, :]],
+                        axis=1,
+                    )  # (B, 2c2, K)
+                    o3 = jax.lax.dot_general(
+                        t2, oh_hi0,
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # (B, 2c2, c1)
+                    osum = o3[:, :c2, :] + o3[:, c2:, :]  # (B, c2, c1)
+                    return osum.transpose(0, 2, 1).reshape(B, upad)[
+                        :, : U + 1
+                    ]
+            elif dmode == "vpu":
+
+                def estep(alphas):
+                    ab = None
+                    for ids in sel_labels:
+                        term = (
+                            (ids[:, :, None] == iota_u)
+                            * alphas[:, None, :]
+                        ).sum(axis=2)
+                        ab = term if ab is None else ab + term
+                    return ab
+
+                def mstep(sc):
+                    return (
+                        (lab_flat[:, :, None] == iota_u) * sc[:, :, None]
+                    ).sum(axis=1)
+            else:  # "onehot" — the round-3 materialized-matvec form
+                a_self = (lab_flat[:, :, None] == iota_u).astype(jnp.float32)
+                if usa:
+                    a_gather = (
+                        a_self
+                        + (p1.reshape(B, K)[:, :, None] == iota_u).astype(
+                            jnp.float32
+                        )
+                        + (p2.reshape(B, K)[:, :, None] == iota_u).astype(
+                            jnp.float32
+                        )
                     )
-                )
-                # column U collects pad and absent-partner ones; its
-                # alpha is pinned 0, so they contribute nothing
-            else:
-                a_gather = a_self
-            hi = jax.lax.Precision.HIGHEST
+                else:
+                    a_gather = a_self
+                hi = jax.lax.Precision.HIGHEST
+
+                def estep(alphas):
+                    return jnp.einsum(
+                        "bku,bu->bk", a_gather, alphas, precision=hi
+                    )
+
+                def mstep(sc):
+                    return jnp.einsum("bku,bk->bu", a_self, sc, precision=hi)
         single = lens == 1
         valid = lens > 0
         lmask = jnp.arange(L)[None, None, :] < lens[:, :, None]
@@ -550,9 +655,7 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
 
         def one_update(alphas):
             if dense:
-                ab = jnp.einsum(
-                    "bku,bu->bk", a_gather, alphas, precision=hi
-                ).reshape(labels.shape)
+                ab = estep(alphas).reshape(labels.shape)
             else:
                 ab = gather(alphas, labels)
                 if usa:
@@ -572,9 +675,7 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
                 sc = jnp.where(multi[:, :, None], contrib, 0.0).reshape(
                     B, E * L
                 )
-                out = base_out(alphas) + jnp.einsum(
-                    "bku,bk->bu", a_self, sc, precision=hi
-                )
+                out = base_out(alphas) + mstep(sc)
             else:
                 out = base_out(alphas)
                 out = out.at[

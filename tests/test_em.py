@@ -238,12 +238,14 @@ def test_compact_local_ids_partner_coverage():
         assert len(want) <= U
 
 
+@pytest.mark.parametrize("dmode", ["onehot", "vpu", "factored"])
 @pytest.mark.parametrize("usa", [None, (100, 200)])
-def test_dense_mxu_kernel_matches_gather(usa, monkeypatch):
-    """The dense one-hot-matmul EM variant (MXU formulation,
-    AFT_EM_DENSE=1) must agree with the compact gather kernel and the
-    NumPy reference — the E/M steps are the same linear maps expressed
-    as matmuls with HIGHEST precision."""
+def test_dense_mxu_kernel_matches_gather(usa, dmode, monkeypatch):
+    """Every dense EM formulation (AFT_EM_DENSE=1 x AFT_EM_DENSE_MODE:
+    materialized one-hot matvecs, fused VPU compare-select, and the
+    two-digit factored bf16 matmuls) must agree with the compact gather
+    kernel and the NumPy reference — they are the same linear maps."""
+    monkeypatch.setenv("AFT_EM_DENSE_MODE", dmode)
     rng = np.random.RandomState(13)
     R = 300
     C = 31

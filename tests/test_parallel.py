@@ -129,12 +129,16 @@ def _random_crlike_case(rng, n_cells=40, n_genes=50, n_pairs=3000):
     return c, u, g
 
 
-def test_crlike_device_matches_host():
+@pytest.mark.parametrize("segred", ["cum", "scatter"])
+def test_crlike_device_matches_host(segred, monkeypatch):
     """The jitted device WTA kernel must reproduce the host resolver's
-    COO counts exactly (integer counts, same ordering)."""
+    COO counts exactly (integer counts, same ordering) — in both the
+    scatter-free cumulative segmented-reduction form (the default) and
+    the round-3 scatter form kept for A/B profiling."""
     from alevin_fry_tpu.ops import crlike
     from alevin_fry_tpu.ops.crlike_device import resolve_crlike_wta_device
 
+    monkeypatch.setenv("AFT_WTA_SEGRED", segred)
     rng = np.random.RandomState(5)
     n_cells, n_genes = 40, 50
     c, u, g = _random_crlike_case(rng, n_cells, n_genes)
@@ -160,14 +164,17 @@ def test_crlike_device_matches_host():
     np.testing.assert_array_equal(v_dev, v_h)
 
 
-def test_crlike_device_usa_matches_host():
+@pytest.mark.parametrize("segred", ["cum", "scatter"])
+def test_crlike_device_usa_matches_host(segred, monkeypatch):
     """The USA-mode device WTA (tie-set slotting, utils.rs:656-739)
     must reproduce the host usa_slots_for_groups counts exactly —
     including the len-2 same/spliced rules and the 3..10
-    single-spliced-with-partner rule."""
+    single-spliced-with-partner rule — in both segmented-reduction
+    forms."""
     from alevin_fry_tpu.ops import crlike
     from alevin_fry_tpu.ops.crlike_device import resolve_crlike_wta_device
 
+    monkeypatch.setenv("AFT_WTA_SEGRED", segred)
     rng = np.random.RandomState(11)
     n_cells, n_genes = 30, 12          # USA ids in [0, 2*n_genes)
     num_rows = 3 * (n_genes + 1)       # 3-section space w/ mid padding
@@ -219,6 +226,48 @@ def test_crlike_device_usa_matches_host():
         len(vp_h) == len(v_h)
         and np.array_equal(rp_h, r_h) and np.array_equal(vp_h, v_h)
     )
+
+
+@pytest.mark.parametrize("usa", [False, True])
+def test_crlike_packed_upload_matches_whole_key(usa, monkeypatch):
+    """The u32 low-key + cell-delta packed upload must reassemble the
+    exact key stream on device: COO output identical to the whole-u64
+    upload path for the same pairs (incl. USA slotting)."""
+    from alevin_fry_tpu.ops.crlike_device import (
+        resolve_crlike_wta_device, resolve_crlike_wta_device_packed,
+    )
+
+    rng = np.random.RandomState(7)
+    n_cells = 60
+    n_genes = 24 if usa else 48          # USA uses interleaved 2*g ids
+    n_rows = 3 * (n_genes + 1) if usa else n_genes
+    n_rows -= n_rows % 3 if usa else 0
+    n_pairs = 5000
+    c = np.sort(rng.randint(0, n_cells, n_pairs)).astype(np.int64)
+    u = rng.randint(0, 1 << 9, n_pairs).astype(np.uint64)
+    g = rng.randint(
+        0, 2 * n_genes if usa else n_genes, n_pairs
+    ).astype(np.uint64)
+    ubits, gbits = 9, 7
+    key = (
+        (c.astype(np.uint64) << np.uint64(ubits + gbits))
+        | (u << np.uint64(gbits))
+        | g
+    )
+    r0, c0, v0 = resolve_crlike_wta_device(
+        key, ubits, gbits, n_rows, usa=usa, n_cells=n_cells
+    )
+    # segments of the sorted cell array
+    bounds = np.flatnonzero(np.diff(c)) + 1
+    segs = np.concatenate([[0], bounds, [n_pairs]]).astype(np.int64)
+    cell_ids = c[segs[:-1]]
+    lowkey = (u.astype(np.uint32) << np.uint32(gbits)) | g.astype(np.uint32)
+    r1, c1, v1 = resolve_crlike_wta_device_packed(
+        cell_ids, segs, lowkey, ubits, gbits, n_rows, usa=usa
+    )
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(v0, v1)
 
 
 def test_crlike_sharded_matches_single(mesh):
