@@ -346,12 +346,15 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False,
             init_alphas = (seeds + 0.5) * 1e-3
         init_alphas = init_alphas.at[:, R].set(0.0)
 
-        def base_out(alphas):
-            out = jnp.zeros_like(alphas)
-            out = out.at[jnp.arange(B)[:, None], jnp.where(single, s_label, R)].add(
-                s_contrib
-            )
-            return out
+        # single-label contributions are loop-invariant: scatter them
+        # ONCE and add per round.  (Rebuilding this inside one_update
+        # cost a ~2.5 ms/round floor on v5e — a (B,E) random scatter
+        # every round that XLA's LICM did not hoist; see
+        # scripts/em_roofline_probe.py, PROFILE_r04.)
+        base = jnp.zeros((B, R + 1), jnp.float32)
+        base = base.at[jnp.arange(B)[:, None], jnp.where(single, s_label, R)].add(
+            s_contrib
+        )
 
         def one_update(alphas):
             if usa:
@@ -367,7 +370,7 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False,
             denom = ab.sum(axis=2)
             inv = jnp.where((denom > 0) & multi, counts / jnp.maximum(denom, 1e-30), 0.0)
             contrib = ab * inv[:, :, None]
-            out = base_out(alphas)
+            out = base
             out = out.at[
                 batch_idx.reshape(-1), jnp.where(lmask, labels, R).reshape(-1)
             ].add(jnp.where(multi[:, :, None], contrib, 0.0).reshape(-1))
@@ -474,7 +477,12 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
     #   factored — two-digit (hi/lo) one-hot factorization: real batched
     #              matmuls over c1- and c2-wide digit one-hots in bf16
     #              with split-f32 accuracy
-    dmode = _os.environ.get("AFT_EM_DENSE_MODE", "vpu") if dense else ""
+    # measured on v5e (B=4096, E*L=512, U=512, after hoisting the
+    # loop-invariant base scatter): onehot 2.01 ms/round, vpu 2.02
+    # (XLA fuses both to the same compare-select program), factored
+    # 1.03 — at ~100% of the factored formulation's own operand-byte
+    # roofline, so factored is the accelerator default
+    dmode = _os.environ.get("AFT_EM_DENSE_MODE", "factored") if dense else ""
     key = (
         "compact", usa, with_last_round, weighted, fixed_rounds, dense,
         init_random, dmode,
@@ -509,7 +517,9 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
                 # loop-invariant operands shrink ~ (U+1)/(c1+c2) x; the
                 # digit matmuls run in bf16 (one-hots are exact there)
                 # with f32 values carried as split hi+lo bf16 pairs
-                c2 = 16
+                # lo-digit width ~ sqrt(U): balances the c1-wide hi
+                # one-hot against the 2*c2-wide split intermediates
+                c2 = 16 if U + 1 <= 1024 else (32 if U + 1 <= 4096 else 64)
                 c1 = -(-(U + 1) // c2)
                 upad = c1 * c2
                 iota_c1 = jnp.arange(c1, dtype=jnp.int32)
@@ -646,12 +656,13 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
                 alphas, idx.reshape(B, -1), axis=1
             ).reshape(idx.shape)
 
-        def base_out(alphas):
-            out = jnp.zeros_like(alphas)
-            out = out.at[
-                jnp.arange(B)[:, None], jnp.where(single, s_label, U)
-            ].add(s_contrib)
-            return out
+        # single-label contributions are loop-invariant: scatter them
+        # ONCE (a per-round rebuild was a measured ~2.5 ms floor on
+        # v5e — see scripts/em_roofline_probe.py, PROFILE_r04)
+        base = jnp.zeros((B, U + 1), jnp.float32)
+        base = base.at[
+            jnp.arange(B)[:, None], jnp.where(single, s_label, U)
+        ].add(s_contrib)
 
         def one_update(alphas):
             if dense:
@@ -675,9 +686,9 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
                 sc = jnp.where(multi[:, :, None], contrib, 0.0).reshape(
                     B, E * L
                 )
-                out = base_out(alphas) + mstep(sc)
+                out = base + mstep(sc)
             else:
-                out = base_out(alphas)
+                out = base
                 out = out.at[
                     batch_idx.reshape(-1),
                     jnp.where(lmask, labels, U).reshape(-1),

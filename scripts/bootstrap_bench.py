@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Bootstrap-at-scale benchmark (VERDICT r3 #8): >=20k cells x 16
+replicates through the device bootstrap path (compact dictionaries +
+dense-MXU EM rounds, ops/bootstrap.py::run_bootstraps), with a
+100-cell slice validated against the NumPy oracle.
+
+The per-cell multinomial resamples are identical host RNG streams on
+both backends (seeded by global cell id, em.rs:427-568 semantics); only
+the EM init generator differs, so replicate means/vars agree within the
+same tolerances tests/test_em.py::test_bootstrap_jax_compact_matches_numpy_stats
+uses.
+
+Run on the chip: python scripts/bootstrap_bench.py [--cells 20000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def make_eqc(n_cells: int, R: int, seed=5):
+    from alevin_fry_tpu.ops.crlike import CellEqClasses
+
+    rng = np.random.RandomState(seed)
+    ne = rng.randint(3, 9, n_cells)
+    n_cls = int(ne.sum())
+    lens = rng.randint(1, 5, n_cls)
+    n_lab = int(lens.sum())
+    # labels drawn per class without replacement from a local window so
+    # dictionaries stay compact (mirrors real per-cell gene locality)
+    base = rng.randint(0, R - 64, n_cls)
+    off = rng.randint(0, 64, n_lab)
+    labels = (np.repeat(base, lens) + off).astype(np.uint32)
+    counts = rng.randint(2, 40, n_cls).astype(np.uint32)
+    label_offsets = np.zeros(n_cls + 1, np.int64)
+    np.cumsum(lens, out=label_offsets[1:])
+    cell_eq_offsets = np.zeros(n_cells + 1, np.int64)
+    np.cumsum(ne, out=cell_eq_offsets[1:])
+    eqc = CellEqClasses(
+        cell_ids=np.arange(n_cells, dtype=np.int64),
+        cell_eq_offsets=cell_eq_offsets,
+        label_offsets=label_offsets,
+        labels=labels,
+        counts=counts,
+    )
+    return eqc, label_offsets, labels
+
+
+def slice_eqc(eqc, label_offsets, labels, n):
+    from alevin_fry_tpu.ops.crlike import CellEqClasses
+
+    ce = eqc.cell_eq_offsets[: n + 1]
+    lo = label_offsets[: int(ce[-1]) + 1]
+    return (
+        CellEqClasses(
+            cell_ids=eqc.cell_ids[:n],
+            cell_eq_offsets=ce,
+            label_offsets=lo,
+            labels=labels[: int(lo[-1])],
+            counts=eqc.counts[: int(ce[-1])],
+        ),
+        lo,
+        labels[: int(lo[-1])],
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=20_000)
+    ap.add_argument("--reps", type=int, default=16)
+    ap.add_argument("--genes", type=int, default=8192)
+    ap.add_argument("--validate-cells", type=int, default=100)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from alevin_fry_tpu.ops.bootstrap import run_bootstraps
+
+    eqc, lo, lb = make_eqc(args.cells, args.genes)
+    R, Rp = args.genes, args.reps
+
+    os.environ["AFT_BOOT_BACKEND"] = "jax"
+    # warm the compile cache on a small prefix so the timed run measures
+    # steady-state throughput, not remote compiles
+    weqc, wlo, wlb = slice_eqc(eqc, lo, lb, 512)
+    run_bootstraps(weqc, wlo, wlb, R, Rp, False, True)
+
+    t0 = time.perf_counter()
+    (rj, cj, vj), (rv, cv, vv) = run_bootstraps(
+        eqc, lo, lb, R, Rp, False, True
+    )
+    t_dev = time.perf_counter() - t0
+
+    # oracle slice
+    n_val = args.validate_cells
+    seqc, slo, slb = slice_eqc(eqc, lo, lb, n_val)
+    os.environ["AFT_BOOT_BACKEND"] = "host"
+    (rm, cm, vm), _ = run_bootstraps(seqc, slo, slb, R, Rp, False, True)
+    a = np.zeros((n_val, R))
+    a[rm, cm] = vm
+    b = np.zeros((n_val, R))
+    sel = rj < n_val
+    b[rj[sel], cj[sel]] = vj[sel]
+    np.testing.assert_allclose(a.sum(), b.sum(), rtol=1e-3)
+    np.testing.assert_allclose(a, b, atol=1.5, rtol=0.2)
+
+    res = {
+        "kernel": f"device bootstraps ({args.cells} cells x {Rp} reps, "
+                  f"R={R}, compact+dense-MXU EM)",
+        "wall_s": round(t_dev, 2),
+        "cell_reps_per_s": round(args.cells * Rp / t_dev),
+        "validated_cells_vs_numpy": n_val,
+        "nnz_mean": int(len(vj)),
+    }
+    print(json.dumps(res))
+    if args.out:
+        Path(args.out).write_text(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
