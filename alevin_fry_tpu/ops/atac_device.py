@@ -102,6 +102,8 @@ def _sort_rle_fn(n_words: int):
 
     def kernel(*words):
         # words: n_words u64 arrays of length N; PAD rows sort last
+        from .crlike_device import _seg_sum
+
         N = words[0].shape[0]
         ws = jax.lax.sort(words, num_keys=n_words)
         valid = ws[0] != PAD
@@ -111,14 +113,16 @@ def _sort_rle_fn(n_words: int):
             neq = neq | (w[1:] != w[:-1])
         new = new.at[1:].set(neq)
         new = new & valid
-        seg = jnp.maximum(jnp.cumsum(new.astype(jnp.int32)) - 1, 0)
-        counts = jnp.zeros(N, jnp.int32).at[seg].add(valid.astype(jnp.int32))
+        # run lengths via the scatter-free contiguous-segment sum
+        # (ops/crlike_device.py toolkit) — replaces a 4M-row scatter-add
+        # plus a 4M-row gather
+        counts = _seg_sum(valid.astype(jnp.int32), new)
         nnz = new.sum(dtype=jnp.int32)
         # compact: stable-move run-start rows to the front in order
         pos = jnp.arange(N, dtype=jnp.uint64)
         skey = jnp.where(new, pos, PAD)
         packed = jax.lax.sort(
-            (skey,) + ws + (jnp.where(new, counts[seg], 0),), num_keys=1
+            (skey,) + ws + (jnp.where(new, counts, 0),), num_keys=1
         )
         return (nnz,) + packed[1:]
 

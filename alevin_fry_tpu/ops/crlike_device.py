@@ -64,10 +64,12 @@ def _seg_ends(start):
     return jnp.concatenate([start[1:], jnp.ones((1,), bool)])
 
 
-def _seg_sum(x, start):
+def _seg_sum(x, start, with_rank=False):
     """Per-row segment total of non-negative int32 ``x`` over contiguous
     segments delimited by ``start``.  Rows before the first start (none,
-    in sorted valid data) read garbage and must be masked by callers."""
+    in sorted valid data) read garbage and must be masked by callers.
+    ``with_rank`` also returns the inclusive running sum within the
+    row's segment (the row's 1-based "rank" when x marks rows)."""
     import jax.lax as lax
     import jax.numpy as jnp
 
@@ -79,12 +81,44 @@ def _seg_sum(x, start):
     big = jnp.iinfo(c.dtype).max
     # ... and the nearest end to the right holds the smallest end total
     tot = lax.cummin(jnp.where(_seg_ends(start), c, big), reverse=True)
+    if with_rank:
+        return tot - base, c - base
     return tot - base
 
 
-def _seg_reduce(val, mark, start, grp_ord, *, minimum=False, val_bits=32):
-    """Per-row max (or min) of int64 ``val`` >= 0 over MARKED rows of the
-    row's contiguous segment; -1 where the segment has no marked row.
+def _prev_marked(val, mark, grp_ord, val_bits=32):
+    """At each row, the (segment-local) value at the nearest STRICTLY
+    EARLIER marked row of the same segment; -1 when none.  One forward
+    cummax over (segment_ordinal | value) packed words plus a shift —
+    half the cost of a full segmented reduction when only
+    "look-back" visibility is needed."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    mask = (jnp.int64(1) << val_bits) - 1
+    p = (grp_ord.astype(jnp.int64) << val_bits) | val
+    run = lax.cummax(jnp.where(mark, p, jnp.int64(-1)))
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int64), run[:-1]])
+    got = (prev >> val_bits) == grp_ord
+    return jnp.where(got, prev & mask, -1)
+
+
+def _last_marked_at_or_before(val, mark, grp_ord, val_bits=32):
+    """At each row, the value at the nearest marked row AT OR BEFORE it
+    within the same segment; -1 when none.  One forward cummax."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    mask = (jnp.int64(1) << val_bits) - 1
+    p = (grp_ord.astype(jnp.int64) << val_bits) | val
+    run = lax.cummax(jnp.where(mark, p, jnp.int64(-1)))
+    got = (run >> val_bits) == grp_ord
+    return jnp.where(got, run & mask, -1)
+
+
+def _seg_reduce(val, mark, start, grp_ord, *, val_bits=32):
+    """Per-row max of int64 ``val`` >= 0 over MARKED rows of the row's
+    contiguous segment; -1 where the segment has no marked row.
 
     ``grp_ord`` is the 1-based segment ordinal (cumsum of ``start``);
     packing it above the value makes the running cummax segment-local:
@@ -96,16 +130,12 @@ def _seg_reduce(val, mark, start, grp_ord, *, minimum=False, val_bits=32):
     import jax.numpy as jnp
 
     mask = (jnp.int64(1) << val_bits) - 1
-    v = (mask - val) if minimum else val
-    p = (grp_ord.astype(jnp.int64) << val_bits) | v
+    p = (grp_ord.astype(jnp.int64) << val_bits) | val
     run = lax.cummax(jnp.where(mark, p, jnp.int64(-1)))
     big = jnp.iinfo(jnp.int64).max
     r = lax.cummin(jnp.where(_seg_ends(start), run, big), reverse=True)
     got = (r >> val_bits) == grp_ord
-    v = r & mask
-    if minimum:
-        v = mask - v
-    return jnp.where(got, v, -1)
+    return jnp.where(got, r & mask, -1)
 
 
 def _use_scatter_segred() -> bool:
@@ -256,30 +286,34 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
         )
         winner = trip_start & (tc.astype(jnp.int64) == gmax_ct)
 
-    tie_sz = _seg_sum(winner.astype(jnp.int32), grp_start)
+    tie_sz, wrank = _seg_sum(winner.astype(jnp.int32), grp_start, with_rank=True)
+    # one emission row per group: its LAST winner (winners are gene-
+    # ascending within the sorted group, so the last winner's own gene
+    # IS gmax, the previous winner's gene IS gmin when |tie|=2, and the
+    # last even winner at-or-before it IS the max spliced gene — three
+    # of the five tie-set reductions become free or one-pass look-backs)
+    last_win = winner & (wrank == tie_sz)
 
     gi = (key & jnp.uint64((1 << gbits) - 1)).astype(jnp.int64)
     even = (gi & 1) == 0
     uoff = n_rows // 3
     aoff = 2 * uoff
 
-    # within a (cell, umi) group the rows are sorted by gene, so the
-    # winner genes arrive in ascending order; min/max/unique-spliced all
-    # reduce over the winner-marked rows of the contiguous group
     vb = gbits + 1
-    g1 = _seg_reduce(gi, winner, grp_start, grp_ord, minimum=True, val_bits=vb)
-    g2 = _seg_reduce(gi, winner, grp_start, grp_ord, val_bits=vb)
+    g1p = _prev_marked(gi, winner, grp_ord, val_bits=vb)
+    sg = _last_marked_at_or_before(gi, winner & even, grp_ord, val_bits=vb)
     nspl = _seg_sum((winner & even).astype(jnp.int32), grp_start)
-    sg = _seg_reduce(gi, winner & even, grp_start, grp_ord, val_bits=vb)
     # does the tie set contain the unique spliced gene's unspliced
-    # partner?  sg is already broadcast per-row (-1 when no spliced
-    # winner, which can never equal a real gene's pair id)
-    partner_elem = winner & ~even & ((gi & ~jnp.int64(1)) == (sg & ~jnp.int64(1)))
-    partner = _seg_sum(partner_elem.astype(jnp.int32), grp_start) > 0
+    # partner?  pair ids are adjacent, so the partner row's previous
+    # winner is exactly its even pair mate (nothing sorts between 2k
+    # and 2k+1); only consumed when nspl == 1
+    podd = winner & ~even & (g1p == gi - 1)
+    partner = _seg_sum(podd.astype(jnp.int32), grp_start) > 0
 
-    # slot rules evaluated per group (at grp_start rows); every quantity
-    # is already a per-row broadcast over its group
+    # slot rules evaluated at the last-winner rows
     l_ = tie_sz
+    g2 = gi
+    g1 = jnp.where(l_ == 1, gi, g1p)
     sp1 = (g1 & 1) == 0
     sp2 = (g2 & 1) == 0
     same = (g1 & ~jnp.int64(1)) == (g2 & ~jnp.int64(1))
@@ -301,7 +335,7 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
 
     cell = (key >> jnp.uint64(ubits + gbits)).astype(jnp.int64)
     cs = jnp.where(
-        grp_start & ok,
+        last_win & ok,
         (cell * jnp.int64(n_rows) + slot).astype(jnp.uint64),
         PAD,
     )

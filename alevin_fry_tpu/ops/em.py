@@ -483,9 +483,10 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
     # 1.03 — at ~100% of the factored formulation's own operand-byte
     # roofline, so factored is the accelerator default
     dmode = _os.environ.get("AFT_EM_DENSE_MODE", "factored") if dense else ""
+    c2_env = int(_os.environ.get("AFT_EM_FACTOR_C2", "16"))
     key = (
         "compact", usa, with_last_round, weighted, fixed_rounds, dense,
-        init_random, dmode,
+        init_random, dmode, c2_env,
     )
     if key in _jit_cache:
         return _jit_cache[key]
@@ -517,9 +518,11 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
                 # loop-invariant operands shrink ~ (U+1)/(c1+c2) x; the
                 # digit matmuls run in bf16 (one-hots are exact there)
                 # with f32 values carried as split hi+lo bf16 pairs
-                # lo-digit width ~ sqrt(U): balances the c1-wide hi
-                # one-hot against the 2*c2-wide split intermediates
-                c2 = 16 if U + 1 <= 1024 else (32 if U + 1 <= 4096 else 64)
+                # lo-digit width: measured on v5e at U=2048 (USA), c2=16
+                # beats c2=32 (2.34 vs 3.91 ms/round) — the (B, 2*c2, K)
+                # split intermediates cost more than a wider hi one-hot,
+                # whose generation XLA fuses.  AFT_EM_FACTOR_C2 overrides.
+                c2 = c2_env
                 c1 = -(-(U + 1) // c2)
                 upad = c1 * c2
                 iota_c1 = jnp.arange(c1, dtype=jnp.int32)

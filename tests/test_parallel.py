@@ -228,6 +228,43 @@ def test_crlike_device_usa_matches_host(segred, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_crlike_device_usa_dense_ties_fuzz(seed):
+    """Adversarial tie-set coverage for the last-winner-emission USA
+    kernel: a tiny (cell, umi, gene) space forces deep tie sets, len-2
+    pairs, and partner adjacency through every slot rule
+    (utils.rs:656-739), in both aggregation models."""
+    from alevin_fry_tpu.ops import crlike
+    from alevin_fry_tpu.ops.crlike_device import resolve_crlike_wta_device
+
+    rng = np.random.RandomState(seed)
+    n_cells, n_genes = 12, 8
+    num_rows = 3 * (n_genes + 1)
+    num_rows -= num_rows % 3
+    n_pairs = 3000
+    c = rng.randint(0, n_cells, n_pairs).astype(np.uint64)
+    u = rng.randint(0, 1 << 4, n_pairs).astype(np.uint64)
+    g = rng.randint(0, 2 * n_genes, n_pairs).astype(np.uint64)
+    ubits, gbits = 4, 5
+    key = (c << np.uint64(ubits + gbits)) | (u << np.uint64(gbits)) | g
+    aln = np.arange(len(c) + 1, dtype=np.int64)
+    t2g = np.arange(2 * n_genes, dtype=np.uint32)
+    for pa in (False, True):
+        rd, cd, vd = resolve_crlike_wta_device(
+            key, ubits, gbits, num_rows, usa=True, prefer_ambig=pa
+        )
+        groups = crlike.resolve_crlike(
+            c, u, g.astype(np.uint32), aln, t2g, prefer_ambig=pa
+        )
+        slot, valid = crlike.usa_slots_for_groups(groups, num_rows)
+        rh, ch, vh = crlike.counts_from_slots(
+            groups.cell, slot, valid, n_cells, num_rows
+        )
+        np.testing.assert_array_equal(rd, rh)
+        np.testing.assert_array_equal(cd, ch)
+        np.testing.assert_array_equal(vd, vh)
+
+
 @pytest.mark.parametrize("usa", [False, True])
 def test_crlike_packed_upload_matches_whole_key(usa, monkeypatch):
     """The u32 low-key + cell-delta packed upload must reassemble the
