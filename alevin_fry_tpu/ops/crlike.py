@@ -360,11 +360,14 @@ def wta_counts_device(
     # packed upload: when (umi, gene) fits 32 bits and cells arrive
     # sorted, ship u32 low-keys + a tiny per-cell delta sideband and
     # rebuild the u64 keys on device — half the link bytes per pair
-    # (AFT_WTA_PACKED_UPLOAD=0 restores whole-key upload)
+    # (AFT_WTA_PACKED_UPLOAD=0 restores whole-key upload; the
+    # no-compaction fast-link mode AFT_WTA_COMPACT=0 skips it too,
+    # since both packings only pay off on slow links)
     if (
         ubits + gbits <= 32
         and cbits <= 32
         and os.environ.get("AFT_WTA_PACKED_UPLOAD", "1") != "0"
+        and os.environ.get("AFT_WTA_COMPACT", "1") != "0"
     ):
         segs = _segments_of_sorted(c)
         if segs is not None:

@@ -294,14 +294,19 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     # of the five tie-set reductions become free or one-pass look-backs)
     last_win = winner & (wrank == tie_sz)
 
-    gi = (key & jnp.uint64((1 << gbits) - 1)).astype(jnp.int64)
+    # gene-id arithmetic runs in int32 (gbits is always << 31): int64 is
+    # software-emulated on the VPU and every 4M-row elementwise op pays
+    # double; only the grp-packed look-back words need 64 bits
+    gi = (key & jnp.uint64((1 << gbits) - 1)).astype(jnp.int32)
     even = (gi & 1) == 0
-    uoff = n_rows // 3
-    aoff = 2 * uoff
+    uoff = jnp.int32(n_rows // 3)
+    aoff = jnp.int32(2 * (n_rows // 3))
 
     vb = gbits + 1
-    g1p = _prev_marked(gi, winner, grp_ord, val_bits=vb)
-    sg = _last_marked_at_or_before(gi, winner & even, grp_ord, val_bits=vb)
+    g1p = _prev_marked(gi, winner, grp_ord, val_bits=vb).astype(jnp.int32)
+    sg = _last_marked_at_or_before(
+        gi, winner & even, grp_ord, val_bits=vb
+    ).astype(jnp.int32)
     nspl = _seg_sum((winner & even).astype(jnp.int32), grp_start)
     # does the tie set contain the unique spliced gene's unspliced
     # partner?  pair ids are adjacent, so the partner row's previous
@@ -316,7 +321,7 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     g1 = jnp.where(l_ == 1, gi, g1p)
     sp1 = (g1 & 1) == 0
     sp2 = (g2 & 1) == 0
-    same = (g1 & ~jnp.int64(1)) == (g2 & ~jnp.int64(1))
+    same = (g1 & ~jnp.int32(1)) == (g2 & ~jnp.int32(1))
     slot1 = jnp.where(sp2, g2 >> 1, uoff + (g2 >> 1))
     slot2 = jnp.where(
         same, aoff + (g1 >> 1),
@@ -333,10 +338,10 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
         jnp.where(l_ == 2, ok2, (l_ >= 3) & (l_ <= 10) & ok3),
     )
 
-    cell = (key >> jnp.uint64(ubits + gbits)).astype(jnp.int64)
+    cell = key >> jnp.uint64(ubits + gbits)
     cs = jnp.where(
         last_win & ok,
-        (cell * jnp.int64(n_rows) + slot).astype(jnp.uint64),
+        cell * jnp.uint64(n_rows) + slot.astype(jnp.uint64),
         PAD,
     )
     cs = jnp.sort(cs)

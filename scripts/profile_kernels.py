@@ -152,8 +152,11 @@ def profile_em_dense(usa: bool):
 
     per_round, t1, t2 = _two_point(build, 10, 110)
     flops = 2 * 2 * B * E * L * (U + 1)
+    import os as _os
+
+    dmode = _os.environ.get("AFT_EM_DENSE_MODE", "factored")
     return {
-        "kernel": f"EM round dense MXU{' (USA)' if usa else ''} "
+        "kernel": f"EM round dense/{dmode}{' (USA)' if usa else ''} "
                   f"(B={B},E={E},L={L},U={U}), fori_loop chained",
         "per_round_ms": round(per_round * 1e3, 4),
         "cells_per_s_per_round": round(B / per_round),
