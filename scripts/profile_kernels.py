@@ -269,11 +269,11 @@ def profile_wta():
     # wide K spread: the two-point difference must dwarf the ~ms-level
     # run-to-run noise of the tunnel's fixed cost, or the per-round
     # number is noise (a [2,12] spread once yielded an impossible
-    # 7G keys/s)
-    # K=42: per-round is ~quarter-second, so 40 extra rounds give an
-    # ~8 s difference (far above tunnel noise); the K=102 chain once
-    # crashed the TPU worker (oversized program)
-    per_round, t1, t2 = _two_point(build, 2, 42)
+    # 7G keys/s).  The r4 scatter-free kernel is ~12x faster, so the
+    # spread widens to keep the difference in seconds (the K=102 chain
+    # of the r3 kernel once crashed the worker; the r4 program is a
+    # fraction of its size and K=162 compiles and runs fine)
+    per_round, t1, t2 = _two_point(build, 2, 162, reps=5)
     return {
         "kernel": f"cr-like WTA ({n>>20}M keys), fori_loop chained",
         "per_round_ms": round(per_round * 1e3, 3),
@@ -326,12 +326,12 @@ def profile_wta_usa():
 
         return call, ()
 
-    per_round, t1, t2 = _two_point(build, 2, 22)
+    per_round, t1, t2 = _two_point(build, 2, 82, reps=5)
     return {
         "kernel": f"cr-like WTA USA ({n>>20}M keys), fori_loop chained",
         "per_round_ms": round(per_round * 1e3, 3),
         "keys_per_s": round(n / per_round),
-        "raw": {"K": [2, 22], "t_s": [round(t1, 4), round(t2, 4)]},
+        "raw": {"K": [2, 82], "t_s": [round(t1, 4), round(t2, 4)]},
     }
 
 
@@ -507,12 +507,12 @@ def profile_atac_sort():
 
         return call, ()
 
-    per_round, t1, t2 = _two_point(build, 2, 22)
+    per_round, t1, t2 = _two_point(build, 2, 62, reps=5)
     return {
         "kernel": f"ATAC sort+RLE ({n>>20}M rows x 2 words), fori_loop chained",
         "per_round_ms": round(per_round * 1e3, 3),
         "rows_per_s": round(n / per_round),
-        "raw": {"K": [2, 22], "t_s": [round(t1, 4), round(t2, 4)]},
+        "raw": {"K": [2, 62], "t_s": [round(t1, 4), round(t2, 4)]},
     }
 
 

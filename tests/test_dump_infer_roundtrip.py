@@ -139,3 +139,60 @@ def test_dump_eq_native_matches_pure(tmp_path):
         )
     assert outs["native"][0] == outs["pure"][0]
     assert outs["native"][1] == outs["pure"][1]
+
+
+def test_usa_transform_labels_hand_fixture():
+    """Hand-computed fixture for the USA relabeling (utils.rs:825-909),
+    independent of this repo's writer: interleaved ids (even = spliced
+    gene g at 2g, odd = unspliced at 2g+1) map to the 3-section space
+    [spliced | unspliced@G | ambiguous@2G], with a spliced gene
+    IMMEDIATELY followed by its own unspliced partner collapsing to one
+    ambiguous id, in label-iteration order (the reference skips the
+    sort: "the tvec won't necessarily be in sorted order").
+
+    G = 10, so uoff = 10, aoff = 20.  Expected vectors worked by hand
+    from the reference's match arms (len-1 vs iterate-and-peek):
+
+      [6]         -> [3]            single spliced g3
+      [7]         -> [13]           single unspliced g3 -> 10+3
+      [6,7]       -> [23]           pair collapses to ambiguous 20+3
+      [6,9]       -> [3,14]         spliced g3; unspliced g4 (no pair)
+      [4,5,8]     -> [22,4]         (4,5) -> ambig g2; 8 -> spliced g4
+                                     — ambiguous id PRECEDES the larger
+                                     spliced id (unsorted output)
+      [1,2]       -> [10,1]         unspliced g0; spliced g1
+      [0,1,2,3,5] -> [20,21,12]     two pair-collapses then unspliced g2
+      [3,4]       -> [11,2]         odd 3 cannot pair forward with 4
+      [2,4]       -> [1,2]          two spliced genes
+    """
+    import numpy as np
+
+    from alevin_fry_tpu.ops.crlike import CellEqClasses, usa_transform_labels
+
+    cases = [
+        ([6], [3]),
+        ([7], [13]),
+        ([6, 7], [23]),
+        ([6, 9], [3, 14]),
+        ([4, 5, 8], [22, 4]),
+        ([1, 2], [10, 1]),
+        ([0, 1, 2, 3, 5], [20, 21, 12]),
+        ([3, 4], [11, 2]),
+        ([2, 4], [1, 2]),
+    ]
+    labels = np.asarray(
+        [g for lab, _ in cases for g in lab], np.uint32
+    )
+    offsets = np.zeros(len(cases) + 1, np.int64)
+    np.cumsum([len(lab) for lab, _ in cases], out=offsets[1:])
+    eqc = CellEqClasses(
+        cell_ids=np.zeros(1, np.int64),
+        cell_eq_offsets=np.asarray([0, len(cases)], np.int64),
+        label_offsets=offsets,
+        labels=labels,
+        counts=np.ones(len(cases), np.uint32),
+    )
+    new_offsets, new_labels = usa_transform_labels(eqc, num_rows=30)
+    for i, (_lab, want) in enumerate(cases):
+        got = new_labels[new_offsets[i]:new_offsets[i + 1]].tolist()
+        assert got == want, f"case {i}: {_lab} -> {got}, want {want}"
