@@ -357,14 +357,15 @@ def wta_counts_device(
     gbits = _bits_for(int(g.max()) + 1 if len(g) else 1)
     if cbits + ubits + gbits > 64 or len(c) == 0:
         return None
-    # packed upload: when (umi, gene) fits 32 bits and cells arrive
-    # sorted, ship u32 low-keys + a tiny per-cell delta sideband and
-    # rebuild the u64 keys on device — half the link bytes per pair
-    # (AFT_WTA_PACKED_UPLOAD=0 restores whole-key upload; the
+    # packed upload: when (umi, gene) fits 40 bits (12bp UMIs + any
+    # realistic gene space) and cells arrive sorted, ship u32 low-keys
+    # (+ a u8 overflow plane above 32 bits) + a tiny per-cell delta
+    # sideband and rebuild the u64 keys on device — 4-5 B/pair instead
+    # of 8 (AFT_WTA_PACKED_UPLOAD=0 restores whole-key upload; the
     # no-compaction fast-link mode AFT_WTA_COMPACT=0 skips it too,
     # since both packings only pay off on slow links)
     if (
-        ubits + gbits <= 32
+        ubits + gbits <= 40
         and cbits <= 32
         and os.environ.get("AFT_WTA_PACKED_UPLOAD", "1") != "0"
         and os.environ.get("AFT_WTA_COMPACT", "1") != "0"
@@ -372,12 +373,17 @@ def wta_counts_device(
         segs = _segments_of_sorted(c)
         if segs is not None:
             cell_ids = c[segs[:-1]].astype(np.int64)
-            lowkey = (
-                u.astype(np.uint32) << np.uint32(gbits)
-            ) | g.astype(np.uint32)
+            low = (
+                u.astype(np.uint64) << np.uint64(gbits)
+            ) | g.astype(np.uint64)
+            lowkey = (low & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            lowhi = (
+                (low >> np.uint64(32)).astype(np.uint8)
+                if ubits + gbits > 32 else None
+            )
             return resolve_crlike_wta_device_packed(
                 cell_ids, segs, lowkey, ubits, gbits, n_rows, usa=usa,
-                prefer_ambig=prefer_ambig, async_=async_,
+                prefer_ambig=prefer_ambig, async_=async_, lowhi=lowhi,
             )
     key = (
         (c.astype(np.uint64) << np.uint64(ubits + gbits))

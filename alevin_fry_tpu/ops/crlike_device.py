@@ -555,46 +555,49 @@ def _cell_bucket(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _wta_packed_fn(usa: bool, pack32: bool, segred: str = "cum"):
+def _wta_packed_fn(usa: bool, pack32: bool, with_hi: bool, segred: str = "cum"):
     """Variant of _wta_compact_fn whose key stream arrives as u32
-    low-keys plus a per-cell-boundary delta sideband: the u64
-    (cell, umi, gene) keys rebuild ON DEVICE with one scatter + cumsum
-    (cells are sorted within a block, so the cell id per row is the
-    running sum of boundary deltas).  Halves host->device bytes per
-    pair vs uploading u64 keys — the dominant cost when the device sits
-    behind a slow link (BASELINE.md: the quant key stream is ~8 B/pair
-    through a ~30 MB/s tunnel; this makes it ~4 B/pair).  Matches the
-    reference's reader->worker handoff (quant.rs:1527-1743) reimagined
-    as a bandwidth-packed input pipeline."""
+    low-keys (plus a u8 overflow plane when (umi, gene) needs 33-40
+    bits) and a per-cell-boundary delta sideband: the u64 (cell, umi,
+    gene) keys rebuild ON DEVICE with one scatter + cumsum (cells are
+    sorted within a block, so the cell id per row is the running sum of
+    boundary deltas).  4-5 B/pair instead of 8 host->device — the
+    dominant cost when the device sits behind a slow link (BASELINE.md:
+    ~30 MB/s tunnel).  Matches the reference's reader->worker handoff
+    (quant.rs:1527-1743) reimagined as a bandwidth-packed input
+    pipeline."""
     import jax
     import jax.numpy as jnp
 
-    def run(lowkey, pos, delta, n, ub, gb, nr, pa):
+    def run(lowkey, hi8, pos, delta, n, ub, gb, nr, pa):
         npad = lowkey.shape[0]
         ind = jnp.zeros(npad, jnp.uint32).at[pos].add(
             delta, mode="drop"
         )
         cid = jnp.cumsum(ind).astype(jnp.uint64)
         key = (cid << jnp.uint64(ub + gb)) | lowkey.astype(jnp.uint64)
+        if with_hi:
+            key = key | (hi8.astype(jnp.uint64) << jnp.uint64(32))
         key = jnp.where(jnp.arange(npad) < n, key, PAD)
         ok, oc = (
             _kernel_usa(key, ub, gb, nr, pa) if usa else _kernel(key, ub, gb, nr)
         )
         return _compact(ok, oc, pack32)
 
-    return jax.jit(run, static_argnums=(4, 5, 6, 7))
+    return jax.jit(run, static_argnums=(5, 6, 7, 8))
 
 
 def resolve_crlike_wta_device_packed(
     cell_ids: np.ndarray, segs: np.ndarray, lowkey: np.ndarray,
     ubits: int, gbits: int, n_rows: int,
     usa: bool = False, prefer_ambig: bool = False, async_: bool = False,
+    lowhi: np.ndarray | None = None,
 ):
-    """Packed-upload WTA resolution: ``lowkey`` holds (umi << gbits |
-    gene) per pair (must fit 32 bits), ``cell_ids``/``segs`` give the
-    sorted per-cell id and pair-offset runs (``_segments_of_sorted``
-    layout).  Semantically identical to resolve_crlike_wta_device on
-    the reassembled keys."""
+    """Packed-upload WTA resolution: ``lowkey`` holds the low 32 bits
+    of (umi << gbits | gene) per pair, ``lowhi`` the 33rd-40th bits
+    (when needed), ``cell_ids``/``segs`` the sorted per-cell id and
+    pair-offset runs (``_segments_of_sorted`` layout).  Semantically
+    identical to resolve_crlike_wta_device on the reassembled keys."""
     import jax
     import jax.numpy as jnp
 
@@ -604,6 +607,12 @@ def resolve_crlike_wta_device_packed(
     cpad = _cell_bucket(n_cells)
     buf = np.full(pad_to, 0xFFFFFFFF, np.uint32)
     buf[:n] = lowkey
+    with_hi = lowhi is not None
+    if with_hi:
+        hbuf = np.full(pad_to, 0xFF, np.uint8)
+        hbuf[:n] = lowhi
+    else:
+        hbuf = np.zeros(0, np.uint8)
     pos = np.full(cpad, pad_to, np.int32)  # OOB -> dropped by scatter
     pos[:n_cells] = segs[:-1]
     delta = np.zeros(cpad, np.uint32)
@@ -613,11 +622,12 @@ def resolve_crlike_wta_device_packed(
     max_cells = int(cell_ids[-1]) + 1 if n_cells else 1
     pack32 = max_cells * n_rows < (1 << 32)
     segred = os.environ.get("AFT_WTA_SEGRED", "cum")
-    fn = _wta_packed_fn(usa, pack32, segred)
+    fn = _wta_packed_fn(usa, pack32, with_hi, segred)
     with jax.enable_x64(True):
         out = fn(
-            jnp.asarray(buf), jnp.asarray(pos), jnp.asarray(delta),
-            np.int32(n), ubits, gbits, n_rows, prefer_ambig,
+            jnp.asarray(buf), jnp.asarray(hbuf), jnp.asarray(pos),
+            jnp.asarray(delta), np.int32(n), ubits, gbits, n_rows,
+            prefer_ambig,
         )
     pending = PendingWta(out[0], out[1:], n_rows, pack32, pad_to)
     return pending if async_ else pending.get()

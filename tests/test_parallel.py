@@ -306,6 +306,27 @@ def test_crlike_packed_upload_matches_whole_key(usa, monkeypatch):
     np.testing.assert_array_equal(c0, c1)
     np.testing.assert_array_equal(v0, v1)
 
+    # u8 overflow plane: widen the umi field past 32 bits (the 12bp-UMI
+    # regime) and split the low key into u32 + u8 planes
+    ubits_w = 30
+    key_w = (
+        (c.astype(np.uint64) << np.uint64(ubits_w + gbits))
+        | (u << np.uint64(gbits + ubits_w - ubits))  # same umi values, shifted field
+        | g
+    )
+    rw, cw, vw = resolve_crlike_wta_device(
+        key_w, ubits_w, gbits, n_rows, usa=usa, n_cells=n_cells
+    )
+    low = (u << np.uint64(gbits + ubits_w - ubits)) | g
+    r2, c2, v2 = resolve_crlike_wta_device_packed(
+        cell_ids, segs, (low & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        ubits_w, gbits, n_rows, usa=usa,
+        lowhi=(low >> np.uint64(32)).astype(np.uint8),
+    )
+    np.testing.assert_array_equal(rw, r2)
+    np.testing.assert_array_equal(cw, c2)
+    np.testing.assert_array_equal(vw, v2)
+
 
 def test_crlike_sharded_matches_single(mesh):
     """Cell-boundary-sharded WTA over the mesh == single-device result."""
