@@ -318,13 +318,34 @@ def main():
             t0 = time.perf_counter()
             np.asarray(dput)
             down_s = time.perf_counter() - t0
+            # link-byte accounting for the quant stage: ~1.1 pairs/read
+            # after per-read gene dedup; upload = 5 B/pair through the
+            # packed u32+u8 path (was 8 B/pair whole-key in r3), download
+            # = 8 B/COO entry (pack32 prefix fetch).  At the measured
+            # tunnel rates this predicts the quant-stage floor; the
+            # kernels themselves run in tens of ms on-chip
+            # (PROFILE_r04.json)
+            n_pairs = int(N_READS * 1.1)
+            up_mb = n_pairs * 5 / 1e6
+            dn_mb = n_pairs * 0.5 * 8 / 1e6  # ~half the pairs survive as COO
+            h2d = len(buf) / up_s / 1e6
+            d2h = len(buf) / down_s / 1e6
             Path("BENCH_DEVICE.json").write_text(json.dumps({
                 **line,
                 "mtx_identical_to_host_path": bool(ident),
                 "stage_breakdown_s": best_stages,
                 "transfer_MBps": {
-                    "h2d": round(len(buf) / up_s / 1e6, 1),
-                    "d2h": round(len(buf) / down_s / 1e6, 1),
+                    "h2d": round(h2d, 1),
+                    "d2h": round(d2h, 1),
+                },
+                "quant_link_accounting": {
+                    "upload_MB_est": round(up_mb, 1),
+                    "upload_B_per_pair": 5,
+                    "upload_B_per_pair_r3": 8,
+                    "download_MB_est": round(dn_mb, 1),
+                    "pure_link_s_at_measured_rates": round(
+                        up_mb / h2d + dn_mb / d2h, 2
+                    ),
                 },
             }) + "\n")
     finally:
