@@ -483,7 +483,7 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
     # 1.03 — at ~100% of the factored formulation's own operand-byte
     # roofline, so factored is the accelerator default
     dmode = _os.environ.get("AFT_EM_DENSE_MODE", "factored") if dense else ""
-    c2_env = int(_os.environ.get("AFT_EM_FACTOR_C2", "16"))
+    c2_env = int(_os.environ.get("AFT_EM_FACTOR_C2", "8"))
     key = (
         "compact", usa, with_last_round, weighted, fixed_rounds, dense,
         init_random, dmode, c2_env,
@@ -518,10 +518,13 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
                 # loop-invariant operands shrink ~ (U+1)/(c1+c2) x; the
                 # digit matmuls run in bf16 (one-hots are exact there)
                 # with f32 values carried as split hi+lo bf16 pairs
-                # lo-digit width: measured on v5e at U=2048 (USA), c2=16
-                # beats c2=32 (2.34 vs 3.91 ms/round) — the (B, 2*c2, K)
-                # split intermediates cost more than a wider hi one-hot,
-                # whose generation XLA fuses.  AFT_EM_FACTOR_C2 overrides.
+                # lo-digit width, measured on v5e: the (B, 2*c2, K)
+                # split intermediates dominate while the hi one-hot's
+                # generation fuses into its dot, so SMALLER c2 wins
+                # until the c1-wide compare cost bites: at U=512,
+                # c2=4/8/16/32 read 0.72/0.47/1.01/— ms per round and at
+                # U=2048 (USA) c2=8/16/32 read 2.14/2.34/3.91.  c2=8 is
+                # the default; AFT_EM_FACTOR_C2 overrides.
                 c2 = c2_env
                 c1 = -(-(U + 1) // c2)
                 upad = c1 * c2
