@@ -32,6 +32,11 @@ REF_READS_PER_SEC = 800_000.0
 
 DEVICE_MODE = "--device" in sys.argv or os.environ.get("AFT_BENCH_DEVICE") == "1"
 ATAC_MODE = "--atac" in sys.argv
+# --usa: quantify in USA (spliced/unspliced/ambiguous) mode via the
+# 3-column tg-map — the north-star output mode; with --device the
+# device tie-set slotting kernel resolves it and the run asserts
+# byte-identity against the host path
+USA_MODE = "--usa" in sys.argv or os.environ.get("AFT_BENCH_USA") == "1"
 
 # Backend pinning. The framework's auto policy routes resolution/EM/
 # rescue through the device whenever a real accelerator backend is up —
@@ -136,6 +141,12 @@ def make_dataset(d: Path, rng: np.random.RandomState):
     with open(d / "t2g.tsv", "w") as fh:
         for i in range(N_TXPS):
             fh.write(f"tx_{i}\tg_{i // 4}\n")
+    # 3-column spliced/unspliced map for USA mode (--usa): odd txps are
+    # the unspliced forms of the same genes
+    with open(d / "t2g_3col.tsv", "w") as fh:
+        for i in range(N_TXPS):
+            status = "S" if i % 2 == 0 else "U"
+            fh.write(f"tx_{i}\tg_{i // 4}\t{status}\n")
 
 
 def main_atac():
@@ -234,6 +245,7 @@ def main():
         # provisioned pages); take the best of three full pipeline runs
         best = None
         best_stages = None
+        tg_map = d / ("t2g_3col.tsv" if USA_MODE else "t2g.tsv")
         for rep in range(3):
             t0 = time.perf_counter()
             generate_permit_list(GenPermitListOpts(
@@ -247,7 +259,7 @@ def main():
             collate(d / f"gpl{rep}", d / "rad", cmdline="bench")
             t2 = time.perf_counter()
             quantify(QuantOpts(
-                input_dir=d / f"gpl{rep}", tg_map=d / "t2g.tsv",
+                input_dir=d / f"gpl{rep}", tg_map=tg_map,
                 output_dir=d / f"quant{rep}", resolution="cr-like",
                 cmdline="bench",
             ))
@@ -263,6 +275,8 @@ def main():
 
         reads_per_sec = N_READS / best
         label = "device" if DEVICE_MODE else "host"
+        if USA_MODE:
+            label += ", USA mode"
         line = {
             "metric": (
                 "end-to-end reads/s (gpl+collate+quant cr-like, "
@@ -290,7 +304,7 @@ def main():
             from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
 
             quantify(QuantOpts(
-                input_dir=d / "gpl0", tg_map=d / "t2g.tsv",
+                input_dir=d / "gpl0", tg_map=tg_map,
                 output_dir=host_dir, resolution="cr-like", cmdline="bench",
             ))
             ident = (
@@ -330,7 +344,10 @@ def main():
             dn_mb = n_pairs * 0.5 * 8 / 1e6  # ~half the pairs survive as COO
             h2d = len(buf) / up_s / 1e6
             d2h = len(buf) / down_s / 1e6
-            Path("BENCH_DEVICE.json").write_text(json.dumps({
+            out_name = (
+                "BENCH_DEVICE_USA.json" if USA_MODE else "BENCH_DEVICE.json"
+            )
+            Path(out_name).write_text(json.dumps({
                 **line,
                 "mtx_identical_to_host_path": bool(ident),
                 "stage_breakdown_s": best_stages,
