@@ -86,32 +86,21 @@ def _seg_sum(x, start, with_rank=False):
     return tot - base
 
 
-def _prev_marked(val, mark, grp_ord, val_bits=32):
-    """At each row, the (segment-local) value at the nearest STRICTLY
-    EARLIER marked row of the same segment; -1 when none.  One forward
-    cummax over (segment_ordinal | value) packed words plus a shift —
-    half the cost of a full segmented reduction when only
-    "look-back" visibility is needed."""
+def _last_marked(val, mark, grp_ord, val_bits=32, strict=False):
+    """At each row, the (segment-local) value at the nearest marked row
+    at-or-before it — or STRICTLY before it with ``strict`` — within
+    the same segment; -1 when none.  One forward cummax over
+    (segment_ordinal | value) packed words (plus a one-row shift for
+    the strict variant) — half the cost of a full segmented reduction
+    when only look-back visibility is needed."""
     import jax.lax as lax
     import jax.numpy as jnp
 
     mask = (jnp.int64(1) << val_bits) - 1
     p = (grp_ord.astype(jnp.int64) << val_bits) | val
     run = lax.cummax(jnp.where(mark, p, jnp.int64(-1)))
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int64), run[:-1]])
-    got = (prev >> val_bits) == grp_ord
-    return jnp.where(got, prev & mask, -1)
-
-
-def _last_marked_at_or_before(val, mark, grp_ord, val_bits=32):
-    """At each row, the value at the nearest marked row AT OR BEFORE it
-    within the same segment; -1 when none.  One forward cummax."""
-    import jax.lax as lax
-    import jax.numpy as jnp
-
-    mask = (jnp.int64(1) << val_bits) - 1
-    p = (grp_ord.astype(jnp.int64) << val_bits) | val
-    run = lax.cummax(jnp.where(mark, p, jnp.int64(-1)))
+    if strict:
+        run = jnp.concatenate([jnp.full((1,), -1, jnp.int64), run[:-1]])
     got = (run >> val_bits) == grp_ord
     return jnp.where(got, run & mask, -1)
 
@@ -303,8 +292,10 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     aoff = jnp.int32(2 * (n_rows // 3))
 
     vb = gbits + 1
-    g1p = _prev_marked(gi, winner, grp_ord, val_bits=vb).astype(jnp.int32)
-    sg = _last_marked_at_or_before(
+    g1p = _last_marked(
+        gi, winner, grp_ord, val_bits=vb, strict=True
+    ).astype(jnp.int32)
+    sg = _last_marked(
         gi, winner & even, grp_ord, val_bits=vb
     ).astype(jnp.int32)
     nspl = _seg_sum((winner & even).astype(jnp.int32), grp_start)

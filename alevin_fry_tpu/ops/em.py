@@ -346,15 +346,12 @@ def _get_em_kernel(usa: bool, with_last_round: bool, init_random: bool = False,
             init_alphas = (seeds + 0.5) * 1e-3
         init_alphas = init_alphas.at[:, R].set(0.0)
 
-        # single-label contributions are loop-invariant: scatter them
-        # ONCE and add per round.  (Rebuilding this inside one_update
-        # cost a ~2.5 ms/round floor on v5e — a (B,E) random scatter
-        # every round that XLA's LICM did not hoist; see
-        # scripts/em_roofline_probe.py, PROFILE_r04.)
-        base = jnp.zeros((B, R + 1), jnp.float32)
-        base = base.at[jnp.arange(B)[:, None], jnp.where(single, s_label, R)].add(
-            s_contrib
-        )
+        # single-label contributions are loop-invariant: `seeds` above
+        # IS that scatter — reuse it as the per-round base instead of
+        # rebuilding it inside one_update, which cost a ~2.5 ms/round
+        # floor on v5e (a (B,E) random scatter every round that XLA's
+        # LICM did not hoist; scripts/em_roofline_probe.py, PROFILE_r04)
+        base = seeds
 
         def one_update(alphas):
             if usa:
@@ -662,13 +659,11 @@ def _get_em_kernel_compact(usa: bool, with_last_round: bool,
                 alphas, idx.reshape(B, -1), axis=1
             ).reshape(idx.shape)
 
-        # single-label contributions are loop-invariant: scatter them
-        # ONCE (a per-round rebuild was a measured ~2.5 ms floor on
-        # v5e — see scripts/em_roofline_probe.py, PROFILE_r04)
-        base = jnp.zeros((B, U + 1), jnp.float32)
-        base = base.at[
-            jnp.arange(B)[:, None], jnp.where(single, s_label, U)
-        ].add(s_contrib)
+        # single-label contributions are loop-invariant: `seeds` above
+        # IS that scatter — reuse it as the per-round base (a per-round
+        # rebuild was a measured ~2.5 ms floor on v5e — see
+        # scripts/em_roofline_probe.py, PROFILE_r04)
+        base = seeds
 
         def one_update(alphas):
             if dense:

@@ -27,7 +27,6 @@ matrix mass is bounded by mapped reads, and the host and device WTA
 paths agree bit-for-bit on real input.
 """
 
-import json
 import os
 from pathlib import Path
 
@@ -107,10 +106,14 @@ def test_real_toy_10x_v3_end_to_end(tmp_path):
     assert all(r in permit_set for r in rows), "barcode off the permit list"
 
     r, c, v, shape = read_matrix_market(mtx)
-    gpl_stats = json.loads((gpl_h / "generate_permit_list.json").read_text())
-    mapped = gpl_stats.get("num-reads", gpl_stats.get("num_reads", None))
-    if mapped is not None:
-        assert v.sum() <= mapped, "more molecules than mapped reads"
+    # molecules cannot exceed matched reads: permit_freq.bin records the
+    # per-barcode matched-read histogram the gpl pass built
+    from alevin_fry_tpu.radz import bincodeio
+
+    _bclen, _keys, freq = bincodeio.read_permit_freq(
+        gpl_h / "permit_freq.bin"
+    )
+    assert v.sum() <= freq.sum(), "more molecules than matched reads"
 
     # --- distribution report: real vs the synthetic generator --------------
     sizes = np.bincount(r, minlength=shape[0])
@@ -123,21 +126,25 @@ def test_real_data_ambiguity_profile(tmp_path):
     """Eq-class ambiguity histogram of the real RAD vs the synthetic
     generator's uniform 1..3-gene draw — recorded so the gap between
     synthetic and real inputs is measured, not assumed."""
-    from alevin_fry_tpu.pipeline.quant import parse_tg_map
     from alevin_fry_tpu.radz import read_prelude
     from alevin_fry_tpu.radz.chunkio import decode_all_chunks
     from alevin_fry_tpu.radz.records import RecordSchema
+    from alevin_fry_tpu.utils import parse_tg_map
 
     rad, _permit, t2g = _dataset()
-    tid_to_gid, gene_names, _g2i, usa = parse_tg_map(t2g)
     with open(rad / "map.rad", "rb") as fh:
         prelude, ftm, _ = read_prelude(fh)
+        tid_to_gid, gene_names, _g2i, usa = parse_tg_map(
+            t2g, prelude.hdr.ref_names
+        )
         schema = RecordSchema.from_prelude(prelude)
-        cols = decode_all_chunks(fh, prelude, schema, max_chunks=200)
-    offs = cols["aln_offsets"]
+        # cap the scan at 200 chunks; small files have fewer
+        n_chunks = min(200, prelude.hdr.num_chunks) or None
+        batch = decode_all_chunks(fh, schema, num_chunks=n_chunks)
+    offs = batch.aln_offsets
     genes_per_read = []
     for i in range(min(len(offs) - 1, 200_000)):
-        tids = cols["refs"][offs[i]:offs[i + 1]]
+        tids = batch.refs[offs[i]:offs[i + 1]]
         genes_per_read.append(len(np.unique(tid_to_gid[tids])))
     hist = np.bincount(genes_per_read)[:12]
     print(f"[real-data] genes-per-read histogram (first 12): {hist.tolist()} "
