@@ -722,12 +722,16 @@ def resolve_crlike_wta_device(
     return pending if async_ else pending.get()
 
 
-def sharded_crlike_wta(mesh, keys_per_shard, ubits: int, gbits: int, n_rows: int):
+def sharded_crlike_wta(
+    mesh, keys_per_shard, ubits: int, gbits: int, n_rows: int,
+    usa: bool = False, prefer_ambig: bool = False,
+):
     """Run the WTA kernel data-parallel over a device mesh.
 
     ``keys_per_shard`` is a (n_shards, L) u64 array, each row one
     shard's padded key block split at CELL boundaries (a cell's triplets
-    must live in exactly one shard).  Returns per-shard (out_key,
+    must live in exactly one shard).  ``usa``/``prefer_ambig`` select
+    the USA tie-set slotting kernel.  Returns per-shard (out_key,
     out_cnt) blocks gathered to the host; no cross-shard collective is
     needed because cells are independent (SURVEY.md §2.3).
     """
@@ -738,15 +742,22 @@ def sharded_crlike_wta(mesh, keys_per_shard, ubits: int, gbits: int, n_rows: int
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis))
 
-    @partial(jax.jit, static_argnums=(1, 2, 3))
-    def run(blocks, ubits, gbits, n_rows):
+    @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+    def run(blocks, ubits, gbits, n_rows, usa, pa):
         blocks = jax.lax.with_sharding_constraint(blocks, sharding)
-        ok, oc = jax.vmap(lambda k: _kernel(k, ubits, gbits, n_rows))(blocks)
+        kern = (
+            (lambda k: _kernel_usa(k, ubits, gbits, n_rows, pa))
+            if usa else (lambda k: _kernel(k, ubits, gbits, n_rows))
+        )
+        ok, oc = jax.vmap(kern)(blocks)
         return (
             jax.lax.with_sharding_constraint(ok, sharding),
             jax.lax.with_sharding_constraint(oc, sharding),
         )
 
     with jax.enable_x64(True):
-        ok, oc = run(jnp.asarray(keys_per_shard), ubits, gbits, n_rows)
+        ok, oc = run(
+            jnp.asarray(keys_per_shard), ubits, gbits, n_rows, usa,
+            prefer_ambig,
+        )
         return np.asarray(ok), np.asarray(oc)

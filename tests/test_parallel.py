@@ -328,6 +328,46 @@ def test_crlike_packed_upload_matches_whole_key(usa, monkeypatch):
     np.testing.assert_array_equal(vw, v2)
 
 
+def test_crlike_sharded_usa_matches_single(mesh):
+    """Cell-boundary-sharded USA-mode WTA over the mesh == single-device
+    result (the tie-set slotting kernel vmapped across shards)."""
+    from alevin_fry_tpu.ops.crlike_device import (
+        PAD, resolve_crlike_wta_device, sharded_crlike_wta,
+    )
+
+    rng = np.random.RandomState(17)
+    n_shards = len(jax.devices())
+    n_cells, n_genes = 6 * n_shards, 10
+    num_rows = 3 * (n_genes + 1)
+    num_rows -= num_rows % 3
+    ubits, gbits = 8, 6
+    n_pairs = 1800
+    c = np.sort(rng.randint(0, n_cells, n_pairs)).astype(np.uint64)
+    u = rng.randint(0, 1 << ubits, n_pairs).astype(np.uint64)
+    g = rng.randint(0, 2 * n_genes, n_pairs).astype(np.uint64)
+    key = (
+        (c << np.uint64(ubits + gbits)) | (u << np.uint64(gbits)) | g
+    )
+    r1, c1, v1 = resolve_crlike_wta_device(
+        key, ubits, gbits, num_rows, usa=True
+    )
+    bounds = np.searchsorted(c, np.arange(1, n_shards) * 6)
+    blocks = np.split(key, bounds)
+    L = 1 << int(max(len(b) for b in blocks) - 1).bit_length()
+    padded = np.full((n_shards, L), PAD, np.uint64)
+    for i, b in enumerate(blocks):
+        padded[i, : len(b)] = b
+    ok, oc = sharded_crlike_wta(
+        mesh, padded, ubits, gbits, num_rows, usa=True
+    )
+    keep = ok != PAD
+    uniq = ok[keep].astype(np.int64)
+    cnt = oc[keep]
+    np.testing.assert_array_equal(uniq // num_rows, r1)
+    np.testing.assert_array_equal(uniq % num_rows, c1)
+    np.testing.assert_array_equal(cnt.astype(np.float32), v1)
+
+
 def test_crlike_sharded_matches_single(mesh):
     """Cell-boundary-sharded WTA over the mesh == single-device result."""
     from alevin_fry_tpu.ops.crlike_device import (
