@@ -37,6 +37,12 @@ ATAC_MODE = "--atac" in sys.argv
 # device tie-set slotting kernel resolves it and the run asserts
 # byte-identity against the host path
 USA_MODE = "--usa" in sys.argv or os.environ.get("AFT_BENCH_USA") == "1"
+# --real: run the reference CI recipe (rust.yml:63-81) on a REAL
+# dataset in the toy_data layout instead of the synthetic generator;
+# the directory comes from AFT_TEST_REAL_RAD (no network egress in
+# this image, so the dataset must be staged by the operator —
+# tests/test_real_data.py documents the layout)
+REAL_DIR = os.environ.get("AFT_TEST_REAL_RAD") if "--real" in sys.argv else None
 
 # Backend pinning. The framework's auto policy routes resolution/EM/
 # rescue through the device whenever a real accelerator backend is up —
@@ -224,6 +230,72 @@ def main_atac():
         shutil.rmtree(d, ignore_errors=True)
 
 
+def main_real():
+    """Reference CI recipe on a REAL staged dataset (rust.yml:63-81):
+    gpl(unfiltered) -> collate -> quant cr-like over the toy_data
+    layout in $AFT_TEST_REAL_RAD; reports end-to-end reads/s counted
+    from the RAD chunk headers.  USA mode engages automatically via the
+    dataset's 3-column t2g."""
+    import struct
+
+    from alevin_fry_tpu.pipeline.collate import collate
+    from alevin_fry_tpu.pipeline.gpl import (
+        CellFilterMethod, GenPermitListOpts, generate_permit_list,
+    )
+    from alevin_fry_tpu.pipeline.quant import QuantOpts, quantify
+    from alevin_fry_tpu.radz import read_prelude
+
+    src = Path(REAL_DIR)
+    rad = src / "alevin_map"
+    permit = src / "10x_v3_permit.txt"
+    t2g = src / "t2g_3col.tsv"
+    for p in (rad, permit, t2g):
+        assert p.exists(), f"real dataset incomplete: missing {p}"
+
+    # count reads by walking the chunk headers (no record decode)
+    n_reads = 0
+    with open(rad / "map.rad", "rb") as fh:
+        read_prelude(fh)
+        while True:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                break
+            nbytes, nrec = struct.unpack("<II", hdr)
+            n_reads += nrec
+            fh.seek(nbytes - 8, 1)
+
+    d = Path(tempfile.mkdtemp(prefix="aft_bench_real_"))
+    try:
+        best = None
+        for rep in range(3):
+            t0 = time.perf_counter()
+            generate_permit_list(GenPermitListOpts(
+                input_dir=rad, output_dir=d / f"gpl{rep}",
+                fmeth=CellFilterMethod(
+                    "unfiltered", path=permit, min_reads=10
+                ),
+                expected_ori="fw", cmdline="bench-real",
+            ))
+            collate(d / f"gpl{rep}", rad, cmdline="bench-real")
+            quantify(QuantOpts(
+                input_dir=d / f"gpl{rep}", tg_map=t2g,
+                output_dir=d / f"quant{rep}", resolution="cr-like",
+                cmdline="bench-real",
+            ))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({
+            "metric": "end-to-end reads/s (REAL dataset, gpl+collate+"
+                      "quant cr-like USA)",
+            "value": round(n_reads / best, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(n_reads / best / REF_READS_PER_SEC, 3),
+            "n_reads": n_reads,
+        }))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main():
     rng = np.random.RandomState(7)
     # benchmark working set lives in tmpfs when available: this host's
@@ -370,4 +442,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main_atac() if ATAC_MODE else main()
+    if REAL_DIR:
+        main_real()
+    elif ATAC_MODE:
+        main_atac()
+    else:
+        main()
