@@ -87,12 +87,14 @@ def _seg_sum(x, start, with_rank=False):
 
 
 def _last_marked(val, mark, grp_ord, val_bits=32, strict=False):
-    """At each row, the (segment-local) value at the nearest marked row
-    at-or-before it — or STRICTLY before it with ``strict`` — within
-    the same segment; -1 when none.  One forward cummax over
-    (segment_ordinal | value) packed words (plus a one-row shift for
-    the strict variant) — half the cost of a full segmented reduction
-    when only look-back visibility is needed."""
+    """At each row, the MAX ``val`` over marked rows at-or-before it —
+    or strictly before it with ``strict`` — within the same segment; -1
+    when none.  When values ascend over a segment's marked rows (the
+    kernels' case: gene ids ascend within a sorted group) this is
+    exactly the value at the nearest earlier mark.  One forward cummax
+    over (segment_ordinal | value) packed words (plus a one-row shift
+    for the strict variant) — half the cost of a full segmented
+    reduction when only look-back visibility is needed."""
     import jax.lax as lax
     import jax.numpy as jnp
 
