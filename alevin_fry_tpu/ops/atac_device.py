@@ -190,6 +190,28 @@ def sort_rle_host(cols: Sequence[np.ndarray]):
             words[0], np.asarray([0, n], np.int64)
         )
         return _unpack_cols([uniq], layouts, len(cols)), counts
+    if len(words) == 2:
+        # two packed words: the fused native 2-word sort + RLE + unpack
+        # replaces the lexsort/compare/shift-mask chain below (measured
+        # the bulk of the ATAC sort and dedup host stages)
+        from ..radz import _native
+
+        if _native.available():
+            n_cols = len(cols)
+            word_idx = np.empty(n_cols, np.int32)
+            shifts_pc = np.empty(n_cols, np.int32)
+            widths_pc = np.empty(n_cols, np.int32)
+            for wi, lay in enumerate(layouts):
+                shift = sum(w for _, w in lay)
+                for ci, w in lay:
+                    shift -= w
+                    word_idx[ci] = wi
+                    shifts_pc[ci] = shift
+                    widths_pc[ci] = w
+            ucols, counts = _native.sort2_rle_unpack(
+                words[0], words[1], word_idx, shifts_pc, widths_pc
+            )
+            return ucols, counts
     order = np.lexsort(tuple(words[::-1]))
     sw = [w[order] for w in words]
     neq = np.zeros(n - 1, bool)

@@ -117,6 +117,15 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,  # range_starts, range_counts
             ctypes.c_int32,                    # n_threads
         ]
+        lib.radc_sort2_rle_unpack.restype = ctypes.c_int64
+        lib.radc_sort2_rle_unpack.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,  # w0, w1
+            ctypes.c_int64,                    # n
+            ctypes.c_void_p, ctypes.c_void_p,  # word_idx, shifts
+            ctypes.c_void_p, ctypes.c_int32,   # widths, n_cols
+            ctypes.c_void_p, ctypes.c_void_p,  # out_cols, cnt_out
+            ctypes.c_int32,                    # n_threads
+        ]
         lib.radc_crlike_wta_unique.restype = None
         lib.radc_crlike_wta_unique.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,  # cell_ids, cell_read_offsets
@@ -498,6 +507,32 @@ def sort_rle_u64_segments(keys: np.ndarray, seg_offsets: np.ndarray):
             pieces_u.append(uniq[s : s + c])
             pieces_c.append(cnt[s : s + c])
     return np.concatenate(pieces_u), np.concatenate(pieces_c)
+
+
+def sort2_rle_unpack(
+    w0: np.ndarray, w1: np.ndarray,
+    word_idx: np.ndarray, shifts: np.ndarray, widths: np.ndarray,
+):
+    """Fused global 2-word lexicographic sort + RLE + column unpack
+    (csrc::radc_sort2_rle_unpack).  Returns (cols[list of int64],
+    counts[int64]) over the distinct rows in sorted order."""
+    lib = _load()
+    w0 = np.ascontiguousarray(w0, np.uint64)
+    w1 = np.ascontiguousarray(w1, np.uint64)
+    word_idx = np.ascontiguousarray(word_idx, np.int32)
+    shifts = np.ascontiguousarray(shifts, np.int32)
+    widths = np.ascontiguousarray(widths, np.int32)
+    n = len(w0)
+    n_cols = len(word_idx)
+    out = np.empty(n_cols * max(n, 1), np.int64)
+    cnt = np.empty(max(n, 1), np.int64)
+    k = int(lib.radc_sort2_rle_unpack(
+        w0.ctypes.data, w1.ctypes.data, n,
+        word_idx.ctypes.data, shifts.ctypes.data, widths.ctypes.data,
+        n_cols, out.ctypes.data, cnt.ctypes.data, _NTHREADS,
+    ))
+    cols = [out[c * n : c * n + k].copy() for c in range(n_cols)]
+    return cols, cnt[:k].copy()
 
 
 def crlike_wta_unique(

@@ -730,6 +730,52 @@ void radc_sort_rle_u64_segments(uint64_t* keys, const int64_t* seg_offsets,
   for (auto& th : ts) th.join();
 }
 
+// Global lexicographic sort + run-length encode + column unpack of
+// rows packed into TWO u64 words (the ATAC (chr, start, frag_len,
+// barcode) row layout, atac/sort.rs:45-62 ordering).  Sorts (w0, w1)
+// pairs (halved + merged across 2 threads past 64k rows), then one
+// RLE pass emits each distinct row's unpacked int64 columns — column
+// c of row r lands at out_cols[c * n + r] — and its multiplicity.
+// Returns the distinct-row count.  Replaces an np.lexsort + compare +
+// flatnonzero + per-column shift/mask chain over megarow arrays (the
+// measured bulk of the ATAC sort/dedup host stages).
+int64_t radc_sort2_rle_unpack(const uint64_t* w0, const uint64_t* w1,
+                              int64_t n, const int32_t* word_idx,
+                              const int32_t* shifts, const int32_t* widths,
+                              int32_t n_cols, int64_t* out_cols,
+                              int64_t* cnt_out, int32_t n_threads) {
+  if (n <= 0) return 0;
+  std::vector<std::pair<uint64_t, uint64_t>> v(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) v[static_cast<size_t>(i)] = {w0[i], w1[i]};
+  if (n_threads >= 2 && n > (1 << 16)) {
+    const int64_t mid = n / 2;
+    std::thread th([&] { std::sort(v.begin(), v.begin() + mid); });
+    std::sort(v.begin() + mid, v.end());
+    th.join();
+    std::inplace_merge(v.begin(), v.begin() + mid, v.end());
+  } else {
+    std::sort(v.begin(), v.end());
+  }
+  int64_t w = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i > 0 && v[static_cast<size_t>(i)] == v[static_cast<size_t>(i - 1)]) {
+      ++cnt_out[w];
+      continue;
+    }
+    ++w;
+    cnt_out[w] = 1;
+    for (int32_t c = 0; c < n_cols; ++c) {
+      const uint64_t word = word_idx[c] == 0 ? v[static_cast<size_t>(i)].first
+                                             : v[static_cast<size_t>(i)].second;
+      const uint64_t m =
+          widths[c] >= 64 ? ~0ULL : ((1ULL << widths[c]) - 1ULL);
+      out_cols[static_cast<int64_t>(c) * n + w] =
+          static_cast<int64_t>((word >> shifts[c]) & m);
+    }
+  }
+  return w + 1;
+}
+
 // Hash-based distinct counting of u64 keys (open addressing, linear
 // probing).  Returns the number of distinct keys; uniq_out/cnt_out
 // receive them in table order (caller sorts the small result).

@@ -458,6 +458,11 @@ def test_sort_rle_host_matches_lexsort():
     cases = [
         [rng.randint(0, 1 << 8, 400), rng.randint(0, 1 << 26, 400),
          rng.randint(0, 1 << 11, 400), rng.randint(0, 1 << 33, 400)],
+        # duplicate-heavy two-word case: few distinct values but wide
+        # bit-widths (>64 total), pinning the RLE counts of the fused
+        # native 2-word kernel
+        [rng.randint(0, 3, 500) << 35, rng.randint(0, 4, 500) << 35,
+         rng.randint(0, 3, 500)],
         # 3 wide columns -> >3 words is impossible here, but force the
         # raw fallback with a negative column
         [rng.randint(-5, 5, 300), rng.randint(0, 100, 300)],
