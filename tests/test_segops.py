@@ -94,3 +94,30 @@ def test_last_marked_matches_numpy(strict):
             val_bits=16, strict=strict,
         )
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("n", [1, 300, 40000])
+def test_pallas_seg_sum_matches_xla(n):
+    """The single-pass Pallas scan kernels (ops/pallas_segscan.py,
+    interpret mode on CPU) must equal the XLA cumulative formulation —
+    including under an enable_x64 scope, which the production WTA
+    kernels run in."""
+    import jax
+    import jax.numpy as jnp
+
+    from alevin_fry_tpu.ops.crlike_device import _seg_sum
+    from alevin_fry_tpu.ops.pallas_segscan import seg_sum
+
+    rng = np.random.RandomState(n)
+    x = rng.randint(0, 5, n).astype(np.int32)
+    start = np.zeros(n, bool)
+    start[0] = True
+    start[rng.rand(n) < 0.15] = True
+    with jax.enable_x64(True):
+        tp, rp = seg_sum(
+            jnp.asarray(x), jnp.asarray(start), with_rank=True,
+            interpret=True,
+        )
+        tx, rx = _seg_sum(jnp.asarray(x), jnp.asarray(start), with_rank=True)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(tx))
+    np.testing.assert_array_equal(np.asarray(rp), np.asarray(rx))
