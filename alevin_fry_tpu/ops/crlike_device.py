@@ -103,7 +103,13 @@ def _last_marked(val, mark, grp_ord, val_bits=32, strict=False):
     exactly the value at the nearest earlier mark.  One forward cummax
     over (segment_ordinal | value) packed words (plus a one-row shift
     for the strict variant) — half the cost of a full segmented
-    reduction when only look-back visibility is needed."""
+    reduction when only look-back visibility is needed.  On TPU the
+    packed int64 word becomes a Pallas (hi, lo) int32 pair scan — no
+    64-bit emulation (ops/pallas_segscan.py)."""
+    if val_bits <= 31 and _segscan_backend() == "pallas":
+        from .pallas_segscan import last_marked
+
+        return last_marked(val, mark, grp_ord, strict=strict)
     import jax.lax as lax
     import jax.numpy as jnp
 
@@ -125,7 +131,12 @@ def _seg_reduce(val, mark, start, grp_ord, *, val_bits=32):
     earlier segments' words are always smaller, so the running max at a
     segment's end row is that segment's own reduction, and the packed
     words at end rows are non-decreasing, so a reverse cummin broadcasts
-    each end's word back over exactly its own segment."""
+    each end's word back over exactly its own segment.  On TPU the
+    packed word becomes a Pallas (hi, lo) int32 pair scan."""
+    if val_bits <= 31 and _segscan_backend() == "pallas":
+        from .pallas_segscan import seg_reduce
+
+        return seg_reduce(val, mark, start, grp_ord)
     import jax.lax as lax
     import jax.numpy as jnp
 

@@ -164,6 +164,149 @@ def _min_fn(n_rows: int, interpret: bool = False):
     )
 
 
+def _scan_pair(h, l, axis, size, bigger):
+    """Inclusive Hillis-Steele scan of (hi, lo) int32 pairs under the
+    lexicographic max (or min with ``bigger=False``) — the Pallas
+    replacement for XLA cumulative ops over (ordinal << bits | value)
+    packed int64 words, with no 64-bit emulation."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    ident_h = I32_MIN if bigger else I32_MAX
+    idx = jax.lax.broadcasted_iota(jnp.int32, h.shape, axis)
+    s = 1
+    while s < size:
+        rh = pltpu.roll(h, np.int32(s), axis=axis)
+        rl = pltpu.roll(l, np.int32(s), axis=axis)
+        m = idx >= np.int32(s)
+        rh = jnp.where(m, rh, ident_h)
+        if bigger:
+            take = (rh > h) | ((rh == h) & (rl > l))
+        else:
+            take = (rh < h) | ((rh == h) & (rl < l))
+        h = jnp.where(take, rh, h)
+        l = jnp.where(take, rl, l)
+        s *= 2
+    return h, l
+
+
+def _scan2d_pair(h, l, bigger):
+    import jax
+    import jax.numpy as jnp
+
+    wh, wl = _scan_pair(h, l, 1, LANES, bigger)
+    rah, ral = wh[:, LANES - 1:], wl[:, LANES - 1:]
+    rh, rl = _scan_pair(rah, ral, 0, ROWS, bigger)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    first = row_id == jnp.int32(0)
+    ident_h = I32_MIN if bigger else I32_MAX
+    ph = jnp.where(first, ident_h, _shift_down(rh))
+    pl_ = jnp.where(first, jnp.int32(0), _shift_down(rl))
+    if bigger:
+        take = (ph > wh) | ((ph == wh) & (pl_ > wl))
+    else:
+        take = (ph < wh) | ((ph == wh) & (pl_ < wl))
+    return jnp.where(take, ph, wh), jnp.where(take, pl_, wl)
+
+
+@functools.lru_cache(maxsize=None)
+def _lex_fn(n_rows: int, bigger: bool, interpret: bool = False):
+    """Running lexicographic max/min over (hi, lo) int32 pair streams
+    in ONE HBM pass (carry pair in SMEM)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (n_rows // ROWS,)
+    ident_h = I32_MIN if bigger else I32_MAX
+
+    def kernel(h_ref, l_ref, oh_ref, ol_ref, carry_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == jnp.int32(0))
+        def _init():
+            carry_ref[0, 0] = jnp.int32(ident_h)
+            carry_ref[0, 1] = jnp.int32(0)
+
+        h, l = _scan2d_pair(h_ref[:], l_ref[:], bigger)
+        ch, cl = carry_ref[0, 0], carry_ref[0, 1]
+        if bigger:
+            take = (ch > h) | ((ch == h) & (cl > l))
+        else:
+            take = (ch < h) | ((ch == h) & (cl < l))
+        h = jnp.where(take, ch, h)
+        l = jnp.where(take, cl, l)
+        oh_ref[:] = h
+        ol_ref[:] = l
+        carry_ref[0, 0] = h[ROWS - 1, LANES - 1]
+        carry_ref[0, 1] = l[ROWS - 1, LANES - 1]
+
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1, 2), jnp.int32)],
+        interpret=interpret,
+    )
+
+
+def _run_lex(h, l, bigger, interpret):
+    """Pad + reshape + one-pass lex scan, back to flat (hi, lo)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = h.shape[0]
+    pad = -n % BLOCK
+    ident_h = int(I32_MIN if bigger else I32_MAX)
+    h2 = jnp.pad(h, (0, pad), constant_values=ident_h).reshape(-1, LANES)
+    l2 = jnp.pad(l, (0, pad)).reshape(-1, LANES)
+    with jax.enable_x64(False):
+        oh, ol = _lex_fn((n + pad) // LANES, bigger, interpret)(h2, l2)
+    return oh.reshape(-1)[:n], ol.reshape(-1)[:n]
+
+
+def last_marked(val, mark, grp_ord, strict=False, interpret=False):
+    """Pallas counterpart of crlike_device._last_marked: running max of
+    int32 ``val`` over marked rows of the row's contiguous segment
+    (strictly-before with ``strict``); -1 when none."""
+    import jax.numpy as jnp
+
+    h = jnp.where(mark, grp_ord, jnp.int32(-1))
+    l = jnp.where(mark, val.astype(jnp.int32), jnp.int32(0))
+    rh, rl = _run_lex(h, l, True, interpret)
+    if strict:
+        rh = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rh[:-1]])
+        rl = jnp.concatenate([jnp.zeros((1,), jnp.int32), rl[:-1]])
+    return jnp.where(rh == grp_ord, rl, jnp.int32(-1))
+
+
+def seg_reduce(val, mark, start, grp_ord, interpret=False):
+    """Pallas counterpart of crlike_device._seg_reduce: per-row max of
+    int32 ``val`` >= 0 over marked rows of the row's contiguous
+    segment; -1 where the segment has no marked row.  Forward lex-max
+    pass + flip-wrapped reverse lex-min broadcast from segment ends."""
+    import jax.numpy as jnp
+
+    h = jnp.where(mark, grp_ord, jnp.int32(-1))
+    l = jnp.where(mark, val.astype(jnp.int32), jnp.int32(0))
+    rh, rl = _run_lex(h, l, True, interpret)
+    is_end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
+    eh = jnp.where(is_end, rh, I32_MAX)
+    el = jnp.where(is_end, rl, jnp.int32(0))
+    bh, bl = _run_lex(eh[::-1], el[::-1], False, interpret)
+    bh, bl = bh[::-1], bl[::-1]
+    return jnp.where(bh == grp_ord, bl, jnp.int32(-1))
+
+
 def seg_sum(x, start, with_rank=False, interpret=False):
     """Pallas-backed `_seg_sum`: per-row segment totals (and inclusive
     in-segment running sums) of non-negative int32 ``x`` over contiguous

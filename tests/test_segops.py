@@ -121,3 +121,54 @@ def test_pallas_seg_sum_matches_xla(n):
         tx, rx = _seg_sum(jnp.asarray(x), jnp.asarray(start), with_rank=True)
     np.testing.assert_array_equal(np.asarray(tp), np.asarray(tx))
     np.testing.assert_array_equal(np.asarray(rp), np.asarray(rx))
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_pallas_last_marked_matches_xla(strict):
+    import jax
+    import jax.numpy as jnp
+
+    from alevin_fry_tpu.ops.crlike_device import _last_marked
+    from alevin_fry_tpu.ops.pallas_segscan import last_marked
+
+    rng = np.random.RandomState(31)
+    n = 5000
+    start, seg_id = _random_segments(rng, n)
+    grp_ord = (seg_id + 1).astype(np.int32)
+    mark = rng.rand(n) < 0.25
+    val = rng.randint(0, 1 << 15, n).astype(np.int64)
+    with jax.enable_x64(True):
+        got_p = last_marked(
+            jnp.asarray(val.astype(np.int32)), jnp.asarray(mark),
+            jnp.asarray(grp_ord), strict=strict, interpret=True,
+        )
+        want = _last_marked(
+            jnp.asarray(val), jnp.asarray(mark), jnp.asarray(grp_ord),
+            val_bits=16, strict=strict,
+        )
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want))
+
+
+def test_pallas_seg_reduce_matches_xla():
+    import jax
+    import jax.numpy as jnp
+
+    from alevin_fry_tpu.ops.crlike_device import _seg_reduce
+    from alevin_fry_tpu.ops.pallas_segscan import seg_reduce
+
+    rng = np.random.RandomState(37)
+    n = 5000
+    start, seg_id = _random_segments(rng, n)
+    grp_ord = (seg_id + 1).astype(np.int32)
+    mark = rng.rand(n) < 0.3
+    val = rng.randint(0, 1 << 20, n).astype(np.int64)
+    with jax.enable_x64(True):
+        got_p = seg_reduce(
+            jnp.asarray(val.astype(np.int32)), jnp.asarray(mark),
+            jnp.asarray(start), jnp.asarray(grp_ord), interpret=True,
+        )
+        want = _seg_reduce(
+            jnp.asarray(val), jnp.asarray(mark), jnp.asarray(start),
+            jnp.asarray(grp_ord), val_bits=21,
+        )
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want))
