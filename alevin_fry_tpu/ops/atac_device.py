@@ -96,7 +96,11 @@ def _unpack_cols(
 
 
 @functools.lru_cache(maxsize=None)
-def _sort_rle_fn(n_words: int):
+def _sort_rle_fn(n_words: int, segscan: str | None = None):
+    # ``segscan`` keys the cache on the scan backend _seg_sum resolves
+    # at trace time (crlike_device._segscan_backend); callers pass it so
+    # an AFT_WTA_SEGSCAN flip retraces instead of silently reusing the
+    # previous backend's program
     import jax
     import jax.numpy as jnp
 
@@ -268,7 +272,9 @@ def sort_rle_device(
         b = np.full(pad_to, PAD, np.uint64)
         b[:n] = w
         bufs.append(b)
-    fn = _sort_rle_fn(len(words))
+    from .crlike_device import _segscan_backend
+
+    fn = _sort_rle_fn(len(words), _segscan_backend())
     with jax.enable_x64(True):
         out = fn(*[jnp.asarray(b) for b in bufs])
     pending = PendingSortRle(

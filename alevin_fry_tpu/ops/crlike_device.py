@@ -195,7 +195,11 @@ def _kernel(key, ubits, gbits, n_rows):
     t_count = _seg_sum(valid.astype(jnp.int32), trip_start)
     tc = jnp.where(trip_start, t_count, 0)
     # per-group winning count, broadcast to every row of the group
-    gmax = _seg_reduce(tc.astype(jnp.int64), trip_start, grp_start, grp_ord)
+    # counts fit 31 bits (bounded by the array length), which lets the
+    # Pallas pair-scan backend engage (its gate is val_bits <= 31)
+    gmax = _seg_reduce(
+        tc.astype(jnp.int64), trip_start, grp_start, grp_ord, val_bits=31
+    )
     winner = trip_start & (tc.astype(jnp.int64) == gmax)
 
     # tie-set size per group; non-USA unique rule keeps singletons
@@ -307,12 +311,14 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
         p_count = _seg_sum(tc, pair_start)
         pc = jnp.where(trip_start, p_count, 0)
         gmax_ct = _seg_reduce(
-            pc.astype(jnp.int64), trip_start, grp_start, grp_ord
+            pc.astype(jnp.int64), trip_start, grp_start, grp_ord,
+            val_bits=31,
         )
         winner = trip_start & (pc.astype(jnp.int64) == gmax_ct)
     else:
         gmax_ct = _seg_reduce(
-            tc.astype(jnp.int64), trip_start, grp_start, grp_ord
+            tc.astype(jnp.int64), trip_start, grp_start, grp_ord,
+            val_bits=31,
         )
         winner = trip_start & (tc.astype(jnp.int64) == gmax_ct)
 
@@ -653,8 +659,7 @@ def resolve_crlike_wta_device_packed(
         delta[1:n_cells] = np.diff(cell_ids).astype(np.uint32)
     max_cells = int(cell_ids[-1]) + 1 if n_cells else 1
     pack32 = max_cells * n_rows < (1 << 32)
-    segred = os.environ.get("AFT_WTA_SEGRED", "cum")
-    fn = _wta_packed_fn(usa, pack32, with_hi, segred)
+    fn = _wta_packed_fn(usa, pack32, with_hi, _segred_cache_key())
     with jax.enable_x64(True):
         out = fn(
             jnp.asarray(buf), jnp.asarray(hbuf), jnp.asarray(pos),

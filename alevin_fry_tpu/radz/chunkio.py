@@ -155,6 +155,21 @@ def _walk_records_py(
     return rec_starts, num_aln
 
 
+def count_records(fh: BinaryIO) -> int:
+    """Walk chunk headers to EOF (seeking past bodies, no decode) and
+    sum the record counts.  ``fh`` must be positioned just past the
+    prelude.  A chunk's ``nbytes`` includes its own 8-byte header."""
+    n = 0
+    while True:
+        hdr = fh.read(8)
+        if len(hdr) < 8:
+            break
+        nbytes, nrec = struct.unpack("<II", hdr)
+        n += nrec
+        fh.seek(nbytes - 8, 1)
+    return n
+
+
 def read_chunk_bodies(
     fh: BinaryIO, num_chunks: int | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -42,7 +42,14 @@ USA_MODE = "--usa" in sys.argv or os.environ.get("AFT_BENCH_USA") == "1"
 # the directory comes from AFT_TEST_REAL_RAD (no network egress in
 # this image, so the dataset must be staged by the operator —
 # tests/test_real_data.py documents the layout)
-REAL_DIR = os.environ.get("AFT_TEST_REAL_RAD") if "--real" in sys.argv else None
+REAL_DIR = None
+if "--real" in sys.argv:
+    REAL_DIR = os.environ.get("AFT_TEST_REAL_RAD")
+    if not REAL_DIR:
+        sys.exit(
+            "--real requires AFT_TEST_REAL_RAD=<dir with alevin_map/, "
+            "10x_v3_permit.txt, t2g_3col.tsv>"
+        )
 
 # Backend pinning. The framework's auto policy routes resolution/EM/
 # rescue through the device whenever a real accelerator backend is up —
@@ -236,8 +243,6 @@ def main_real():
     layout in $AFT_TEST_REAL_RAD; reports end-to-end reads/s counted
     from the RAD chunk headers.  USA mode engages automatically via the
     dataset's 3-column t2g."""
-    import struct
-
     from alevin_fry_tpu.pipeline.collate import collate
     from alevin_fry_tpu.pipeline.gpl import (
         CellFilterMethod, GenPermitListOpts, generate_permit_list,
@@ -253,16 +258,11 @@ def main_real():
         assert p.exists(), f"real dataset incomplete: missing {p}"
 
     # count reads by walking the chunk headers (no record decode)
-    n_reads = 0
+    from alevin_fry_tpu.radz.chunkio import count_records
+
     with open(rad / "map.rad", "rb") as fh:
         read_prelude(fh)
-        while True:
-            hdr = fh.read(8)
-            if len(hdr) < 8:
-                break
-            nbytes, nrec = struct.unpack("<II", hdr)
-            n_reads += nrec
-            fh.seek(nbytes - 8, 1)
+        n_reads = count_records(fh)
 
     d = Path(tempfile.mkdtemp(prefix="aft_bench_real_"))
     try:
