@@ -178,13 +178,20 @@ def _scan_pair(h, l, axis, size, bigger):
     from jax.experimental.pallas import tpu as pltpu
 
     ident_h = I32_MIN if bigger else I32_MAX
+    ident_l = I32_MIN if bigger else I32_MAX
     idx = jax.lax.broadcasted_iota(jnp.int32, h.shape, axis)
     s = 1
     while s < size:
         rh = pltpu.roll(h, np.int32(s), axis=axis)
         rl = pltpu.roll(l, np.int32(s), axis=axis)
         m = idx >= np.int32(s)
+        # Mask BOTH words to the lexicographic identity so the pair
+        # operator is self-contained: a rolled-in identity hi with a
+        # garbage lo would still lose every comparison only because
+        # consumers never read rows whose hi equals the identity —
+        # an invariant no caller should have to carry.
         rh = jnp.where(m, rh, ident_h)
+        rl = jnp.where(m, rl, ident_l)
         if bigger:
             take = (rh > h) | ((rh == h) & (rl > l))
         else:
@@ -205,8 +212,9 @@ def _scan2d_pair(h, l, bigger):
     row_id = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
     first = row_id == jnp.int32(0)
     ident_h = I32_MIN if bigger else I32_MAX
+    ident_l = I32_MIN if bigger else I32_MAX
     ph = jnp.where(first, ident_h, _shift_down(rh))
-    pl_ = jnp.where(first, jnp.int32(0), _shift_down(rl))
+    pl_ = jnp.where(first, jnp.int32(ident_l), _shift_down(rl))
     if bigger:
         take = (ph > wh) | ((ph == wh) & (pl_ > wl))
     else:
@@ -225,6 +233,7 @@ def _lex_fn(n_rows: int, bigger: bool, interpret: bool = False):
 
     grid = (n_rows // ROWS,)
     ident_h = I32_MIN if bigger else I32_MAX
+    ident_l = ident_h
 
     def kernel(h_ref, l_ref, oh_ref, ol_ref, carry_ref):
         step = pl.program_id(0)
@@ -232,7 +241,7 @@ def _lex_fn(n_rows: int, bigger: bool, interpret: bool = False):
         @pl.when(step == jnp.int32(0))
         def _init():
             carry_ref[0, 0] = jnp.int32(ident_h)
-            carry_ref[0, 1] = jnp.int32(0)
+            carry_ref[0, 1] = jnp.int32(ident_l)
 
         h, l = _scan2d_pair(h_ref[:], l_ref[:], bigger)
         ch, cl = carry_ref[0, 0], carry_ref[0, 1]
@@ -272,7 +281,7 @@ def _run_lex(h, l, bigger, interpret):
     pad = -n % BLOCK
     ident_h = int(I32_MIN if bigger else I32_MAX)
     h2 = jnp.pad(h, (0, pad), constant_values=ident_h).reshape(-1, LANES)
-    l2 = jnp.pad(l, (0, pad)).reshape(-1, LANES)
+    l2 = jnp.pad(l, (0, pad), constant_values=ident_h).reshape(-1, LANES)
     with jax.enable_x64(False):
         oh, ol = _lex_fn((n + pad) // LANES, bigger, interpret)(h2, l2)
     return oh.reshape(-1)[:n], ol.reshape(-1)[:n]

@@ -19,8 +19,32 @@ _LIB = None
 _TRIED = False
 
 
+def _maybe_rebuild(so: Path) -> None:
+    """Rebuild libradc.so from source when radc.cpp is newer (stale
+    committed binary = supply-chain/drift risk, ADVICE r4).  Quiet
+    no-op when the toolchain is absent or AFT_RADC_NO_BUILD=1."""
+    if os.environ.get("AFT_RADC_NO_BUILD"):
+        return
+    src = so.parent / "radc.cpp"
+    mk = so.parent / "Makefile"
+    if not (src.exists() and mk.exists()):
+        return
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", str(so.parent)],
+            check=True, capture_output=True, timeout=300,
+        )
+    except Exception:
+        pass  # fall back to whatever binary (or Python path) exists
+
+
 def _find_lib():
     here = Path(__file__).resolve().parent.parent.parent
+    _maybe_rebuild(here / "csrc" / "libradc.so")
     for cand in (here / "csrc" / "libradc.so", here / "libradc.so"):
         if cand.exists():
             return str(cand)

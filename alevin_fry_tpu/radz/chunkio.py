@@ -165,6 +165,14 @@ def count_records(fh: BinaryIO) -> int:
         if len(hdr) < 8:
             break
         nbytes, nrec = struct.unpack("<II", hdr)
+        if nbytes < 8:
+            # A chunk's nbytes includes its own 8-byte header; anything
+            # smaller would seek backwards and re-read the same header
+            # forever on a corrupt/truncated file.
+            raise ValueError(
+                f"corrupt RAD chunk header: nbytes={nbytes} (< 8) at "
+                f"offset {fh.tell() - 8}"
+            )
         n += nrec
         fh.seek(nbytes - 8, 1)
     return n

@@ -169,3 +169,21 @@ def test_native_walk_matches_python(tmp_path):
     np.testing.assert_array_equal(rs_py, rs_c)
     np.testing.assert_array_equal(na_py, na_c)
     assert batch.n_reads == len(rs_c)
+
+
+def test_count_records_rejects_corrupt_header():
+    """A chunk header claiming nbytes < 8 must raise, not seek backwards
+    and loop forever (ADVICE r4; reachable from bench.py --real on a
+    truncated/garbage RAD)."""
+    import io
+    import struct
+
+    import pytest
+
+    from alevin_fry_tpu.radz.chunkio import count_records
+
+    good = struct.pack("<II", 8 + 4, 1) + b"\x00" * 4
+    bad = struct.pack("<II", 0, 7)
+    fh = io.BytesIO(good + bad)
+    with pytest.raises(ValueError, match="corrupt RAD chunk header"):
+        count_records(fh)

@@ -123,16 +123,18 @@ def test_pallas_seg_sum_matches_xla(n):
     np.testing.assert_array_equal(np.asarray(rp), np.asarray(rx))
 
 
+@pytest.mark.parametrize("n", [5000, 40000])
 @pytest.mark.parametrize("strict", [False, True])
-def test_pallas_last_marked_matches_xla(strict):
+def test_pallas_last_marked_matches_xla(strict, n):
+    """n=40000 > BLOCK exercises the cross-block SMEM carry of the lex
+    pair-scan kernel in interpret mode (previously TPU-only coverage)."""
     import jax
     import jax.numpy as jnp
 
     from alevin_fry_tpu.ops.crlike_device import _last_marked
     from alevin_fry_tpu.ops.pallas_segscan import last_marked
 
-    rng = np.random.RandomState(31)
-    n = 5000
+    rng = np.random.RandomState(31 + n)
     start, seg_id = _random_segments(rng, n)
     grp_ord = (seg_id + 1).astype(np.int32)
     mark = rng.rand(n) < 0.25
@@ -149,15 +151,16 @@ def test_pallas_last_marked_matches_xla(strict):
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want))
 
 
-def test_pallas_seg_reduce_matches_xla():
+@pytest.mark.parametrize("n", [5000, 40000])
+def test_pallas_seg_reduce_matches_xla(n):
+    """n=40000 > BLOCK covers the multi-block carry path (see above)."""
     import jax
     import jax.numpy as jnp
 
     from alevin_fry_tpu.ops.crlike_device import _seg_reduce
     from alevin_fry_tpu.ops.pallas_segscan import seg_reduce
 
-    rng = np.random.RandomState(37)
-    n = 5000
+    rng = np.random.RandomState(37 + n)
     start, seg_id = _random_segments(rng, n)
     grp_ord = (seg_id + 1).astype(np.int32)
     mark = rng.rand(n) < 0.3
