@@ -273,12 +273,17 @@ def find_neighbors(
     * ``host``   — native C++/NumPy variant expansion + binary search;
     * ``jax``    — the device searchsorted kernel (same asymptotics as
       the host path, runs as one XLA program over the query batch);
-    * ``pallas`` — the brute-force XOR-popcount Pallas kernel (O(Q*K),
-      only competitive for small kept tables or barcodes > 16 bases);
-    * ``auto`` (default) — the device searchsorted kernel when a real
-      accelerator backend is up, barcodes fit u32 (<= 16 bases) and the
-      query batch is large enough to amortize dispatch; the host path
-      otherwise.
+    * ``mxu``    — the MXU one-hot-contraction Pallas kernel: matches
+      = (Q x 4L)@(4L x K) bf16 dot, d<=1 <=> matches >= L-1, with the
+      count/min-index epilogue fused so the (Q,K) field never touches
+      HBM.  Measured 12.4 ms per 65k x 131k at 90% MXU (PROFILE_r05),
+      19.9x the retired brute-force VPU kernel; covers lengths 2..32;
+    * ``pallas`` — the brute-force XOR-popcount VPU kernel (kept for
+      A/B and lengths > 32);
+    * ``auto`` (default) — on a real accelerator with a large query
+      batch: the searchsorted kernel when barcodes fit u32 (<= 16
+      bases, O(Q L log K) beats any O(Q K) formulation), the MXU
+      kernel for 17..32 bases; the host path otherwise.
 
     All backends implement the same contract and are identity-tested
     against each other (tests/test_pallas_hamming.py)."""
@@ -287,9 +292,9 @@ def find_neighbors(
     mode = os.environ.get("AFT_RESCUE_BACKEND", "auto")
     nq, nk = len(queries), len(kept_sorted)
     if mode != "host" and nq and nk:
-        use_dev = mode in ("jax", "pallas") or (
+        use_dev = mode in ("jax", "pallas", "mxu") or (
             mode == "auto"
-            and length <= 16
+            and length <= 32
             and nq >= (1 << 15)
             and _accelerator_present()
         )
@@ -297,7 +302,11 @@ def find_neighbors(
             try:
                 from . import pallas_hamming as ph
 
-                if mode == "pallas" or length > 16:
+                if mode == "pallas":
+                    return ph.find_neighbors_pallas(queries, kept_sorted, length)
+                if mode == "mxu" or (2 <= length <= 32 and length > 16):
+                    return ph.find_neighbors_mxu(queries, kept_sorted, length)
+                if length > 32:
                     return ph.find_neighbors_pallas(queries, kept_sorted, length)
                 return ph.find_neighbors_searchsorted(queries, kept_sorted, length)
             except Exception:  # pragma: no cover - device fallback

@@ -132,6 +132,150 @@ def _build_kernel():
 
 _RUN = None
 _SS_RUN = None
+_MXU_RUN = {}
+
+# MXU formulation tiling: 1024 queries x 2048 kept per grid step, the
+# kept tile consumed as 16 MXU-native (128,128) column chunks.
+_M_QT = 1024
+_M_KT = 2048
+_M_CH = 128
+_I32_MAX = 2147483647
+
+
+def _build_mxu_kernel(length: int, interpret: bool):
+    """Hamming<=1 as an MXU matmul (VERDICT r4 Next #3).
+
+    Over 2-bit base codes, distance(q, k) = L - matches(q, k) where
+    ``matches`` is the inner product of 4-letter one-hot encodings —
+    so the whole O(Q x K) distance field is a (Q x 4L)@(4L x K) bf16
+    contraction (one-hot dots are exact in bf16: partial sums <= 32).
+    d <= 1  <=>  matches >= L - 1.  The kernel fuses the epilogue so
+    the (Q, K) hit matrix never exists in HBM: each grid step computes
+    a (1024 x 2048) tile of matches as 16 (1024x128) MXU dots and
+    folds it into two per-query accumulators — hit count, and the
+    minimum *global kept index* of any hit (kept arrives sorted, so
+    min index == smallest neighbor, which is the rescue contract,
+    cellfilter.rs:198-233).  Per-lane partials (Qt, 128) avoid any
+    in-kernel cross-lane relayout; XLA reduces the 128 lanes after.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    thresh = np.float32(length - 1.5)  # matches > L-1.5 <=> matches >= L-1
+
+    def kernel(qoh_ref, koh_ref, cnt_ref, idx_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == jnp.int32(0))
+        def _init():
+            cnt_ref[:] = jnp.zeros_like(cnt_ref)
+            idx_ref[:] = jnp.full_like(idx_ref, _I32_MAX)
+
+        q = qoh_ref[:]  # (QT, 128) bf16 one-hot rows
+        cnt = cnt_ref[:]
+        idx = idx_ref[:]
+        base = j * jnp.int32(_M_KT)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_M_QT, _M_CH), 1)
+        for t in range(_M_KT // _M_CH):  # static unroll: 16 MXU dots
+            k = koh_ref[t * _M_CH:(t + 1) * _M_CH, :]  # (128, 128) bf16
+            m = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (QT, 128) match counts
+            near = m > thresh
+            cnt = cnt + near.astype(jnp.int32)
+            gidx = base + jnp.int32(t * _M_CH) + lane
+            idx = jnp.minimum(
+                idx, jnp.where(near, gidx, jnp.int32(_I32_MAX))
+            )
+        cnt_ref[:] = cnt
+        idx_ref[:] = idx
+
+    @jax.jit
+    def run(q_lo, q_hi, k_lo, k_hi, nk_real):
+        # One-hot prologue ON DEVICE (ships 8 B/barcode over the link,
+        # not 256 B of one-hot): plane[n, p*4+b] = (base_p(n) == b).
+        def onehot(lo, hi):
+            n = lo.shape[0]
+            pos = jnp.arange(length, dtype=jnp.uint32)
+            word = jnp.where(pos < 16, lo[:, None], hi[:, None])
+            sh = jnp.where(pos < 16, pos * 2, (pos - 16) * 2)
+            code = (word >> sh[None, :]) & jnp.uint32(3)  # (n, L)
+            plane = (
+                code[:, :, None] == jnp.arange(4, dtype=jnp.uint32)
+            ).astype(jnp.bfloat16).reshape(n, 4 * length)
+            return jnp.pad(plane, ((0, 0), (0, _M_CH - 4 * length)))
+
+        qoh = onehot(q_lo, q_hi)
+        koh = onehot(k_lo, k_hi)
+        # kept pads get ALL-ZERO one-hot rows (matches == 0, never a
+        # hit); a padded code value would alias a real all-A barcode
+        koh = jnp.where(
+            jnp.arange(koh.shape[0], dtype=jnp.int32)[:, None] < nk_real,
+            koh, jnp.bfloat16(0),
+        )
+        grid = (q_lo.shape[0] // _M_QT, k_lo.shape[0] // _M_KT)
+        cnt, idx = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_M_QT, _M_CH), lambda i, j: (i, 0)),
+                pl.BlockSpec((_M_KT, _M_CH), lambda i, j: (j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((_M_QT, _M_CH), lambda i, j: (i, 0)),
+                pl.BlockSpec((_M_QT, _M_CH), lambda i, j: (i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(qoh.shape, jnp.int32),
+                jax.ShapeDtypeStruct(qoh.shape, jnp.int32),
+            ],
+            interpret=interpret,
+        )(qoh, koh)
+        # lane reduction epilogue (cheap, stays on device)
+        return cnt.sum(axis=1), idx.min(axis=1)
+
+    return run
+
+
+def find_neighbors_mxu(
+    queries: np.ndarray, kept: np.ndarray, length: int,
+    interpret: bool = False,
+):
+    """MXU-contraction Hamming<=1 search; same contract as
+    ops.barcodes.find_neighbors_batch.  Supports length <= 32."""
+    assert 2 <= length <= 32, "one-hot MXU path needs 2..32-base barcodes"
+    key = (length, interpret)
+    if key not in _MXU_RUN:
+        _MXU_RUN[key] = _build_mxu_kernel(length, interpret)
+    import jax.numpy as jnp
+
+    queries = np.asarray(queries, np.uint64)
+    kept_sorted = np.sort(np.asarray(kept, np.uint64))
+    nq, nk = len(queries), len(kept_sorted)
+    if nq == 0 or nk == 0:
+        return np.zeros(nq, np.int64), np.zeros(nq, np.uint64)
+
+    qpad = -nq % _M_QT
+    kpad = -nk % _M_KT
+    # query pads are sliced off after; kept pads are zeroed (one-hot
+    # row masked by nk_real) inside the prologue
+    qp = np.concatenate([queries, np.zeros(qpad, np.uint64)])
+    kp = np.concatenate([kept_sorted, np.zeros(kpad, np.uint64)])
+    cnt, idx = _MXU_RUN[key](
+        jnp.asarray((qp & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((qp >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((kp & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((kp >> np.uint64(32)).astype(np.uint32)),
+        np.int32(nk),
+    )
+    cnt = np.asarray(cnt)[:nq].astype(np.int64)
+    idx = np.asarray(idx)[:nq]
+    rep = np.where(
+        cnt > 0, kept_sorted[np.minimum(idx, nk - 1)], np.uint64(0)
+    )
+    return cnt, rep
 
 
 def _build_searchsorted_kernel():

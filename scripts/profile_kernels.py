@@ -470,6 +470,61 @@ def profile_hamming():
     }
 
 
+def profile_hamming_mxu():
+    """MXU-contraction Hamming kernel (VERDICT r4 Next #3), same
+    65536x131072 shape as the brute-force kernel.  FLOP model: one
+    (Q x 128)@(128 x K) bf16 contraction = 2*Q*K*128 FLOPs (the 4L=64
+    one-hot is zero-padded to the 128-lane chunk, so the padded width
+    is the honest FLOP count the MXU actually executes).  Chained by
+    perturbing the query low words with the previous round's counts."""
+    import jax
+    import jax.numpy as jnp
+
+    import alevin_fry_tpu.ops.pallas_hamming as ph
+
+    rng = np.random.RandomState(2)
+    nq, nk = 65536, 131072
+    length = 16
+    queries = rng.randint(0, 1 << 32, nq).astype(np.uint64)
+    kept = np.sort(np.unique(rng.randint(0, 1 << 32, nk).astype(np.uint64)))
+    nk_real = len(kept)
+    kpad = -nk_real % ph._M_KT
+    kp = np.concatenate([kept, np.zeros(kpad, np.uint64)])
+    q_lo = (queries & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    q_hi = (queries >> np.uint64(32)).astype(np.uint32)
+    k_lo = (kp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k_hi = (kp >> np.uint64(32)).astype(np.uint32)
+    run = ph._build_mxu_kernel(length, False)
+
+    def build(k):
+        @jax.jit
+        def chain(q_lo, q_hi, k_lo, k_hi):
+            def body(_i, q):
+                ql, qh = q
+                cnt, _idx = run(ql, qh, k_lo, k_hi, jnp.int32(nk_real))
+                return (ql ^ (cnt.astype(jnp.uint32) & jnp.uint32(1)), qh)
+
+            ql, qh = jax.lax.fori_loop(0, k, body, (q_lo, q_hi))
+            return ql.sum()
+
+        args = tuple(jnp.asarray(x) for x in (q_lo, q_hi, k_lo, k_hi))
+        return (lambda: chain(*args)), ()
+
+    per_round, t1, t2 = _two_point(build, 1, 9)
+    pairs = nq * len(kp)
+    flops = 2 * pairs * 128
+    return {
+        "kernel": f"MXU Hamming<=1 ({nq}x{len(kp)}, L={length}), "
+                  "fori_loop chained",
+        "per_round_ms": round(per_round * 1e3, 2),
+        "pair_dist_per_s": f"{pairs / per_round / 1e9:.2f}G",
+        "model_flops": flops,
+        "achieved_TFLOPs": round(flops / per_round / 1e12, 2),
+        "mxu_utilization_pct": round(100 * flops / per_round / PEAK_BF16, 1),
+        "raw": {"K": [1, 9], "t_s": [round(t1, 4), round(t2, 4)]},
+    }
+
+
 def profile_atac_sort():
     """ATAC segmented sort+RLE kernel (ops/atac_device.py::_sort_rle_fn)
     over 4M two-word rows — the production shape for (chr, start,
@@ -581,6 +636,7 @@ def main():
         "cc": profile_pug_cc,
         "cc_dense": profile_cc_dense,
         "hamming": profile_hamming,
+        "hamming_mxu": profile_hamming_mxu,
         "atac_sort": profile_atac_sort,
         "transfer": profile_transfer,
     }
