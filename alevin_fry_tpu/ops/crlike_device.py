@@ -149,6 +149,28 @@ def _seg_reduce(val, mark, start, grp_ord, *, val_bits=32):
     return jnp.where(got, r & mask, -1)
 
 
+def _wta_output_mode() -> str:
+    """Effective output-tail mode (``AFT_WTA_COMPACT``):
+
+    * ``fuse`` — two-sort fused tail: no third compaction sort; the
+      host fetches one sorted row per resolved UMI and drops adjacent
+      duplicates.  Measured 20.4/20.8 ms per 4M keys (plain/USA) vs
+      28.0/28.8 ms for ``1`` — 27% whole-kernel (PROFILE_r05) — at
+      the price of a larger fetch (rows ~ resolved UMIs, not unique
+      (cell, gene)).
+    * ``1`` — three-sort compacted tail (fetch = nnz unique pairs).
+    * ``0`` — no compaction; fetch the full padded arrays.
+    * ``auto`` (default) — ``fuse`` on a co-located accelerator;
+      ``1`` behind this image's ~30 MB/s axon tunnel, where the extra
+      fetched bytes cost more than the 4.6 ms sort saved."""
+    mode = os.environ.get("AFT_WTA_COMPACT", "auto")
+    if mode != "auto":
+        return mode
+    import importlib.util
+
+    return "1" if importlib.util.find_spec("axon") is not None else "fuse"
+
+
 def _use_scatter_segred() -> bool:
     """AFT_WTA_SEGRED=scatter selects the round-3 scatter formulation
     (kept for A/B profiling); the default is the scatter-free cumulative
@@ -175,8 +197,9 @@ def _segred_cache_key() -> str:
     )
 
 
-def _kernel(key, ubits, gbits, n_rows):
+def _kernel(key, ubits, gbits, n_rows, fuse_shift=None):
     if _use_scatter_segred():
+        assert fuse_shift is None
         return _kernel_scatter(key, ubits, gbits, n_rows)
     import jax.numpy as jnp
 
@@ -218,10 +241,44 @@ def _kernel(key, ubits, gbits, n_rows):
     cg_prev = jnp.concatenate([cg[:1] ^ jnp.uint64(1), cg[:-1]])
     cg_start = (cg != cg_prev) & cg_valid
     cg_count = _seg_sum(cg_valid.astype(jnp.int32), cg_start)
+    if fuse_shift is not None:
+        return _emit_fused(cg, cg_valid, cg_count, fuse_shift)
     # emit (key, count) at the segment-start positions; PAD elsewhere
     out_key = jnp.where(cg_start, cg, PAD)
     out_cnt = jnp.where(cg_start, cg_count, 0)
     return out_key, out_cnt
+
+
+def _emit_fused(cg, cg_valid, cg_count, fuse_shift):
+    """Two-sort tail (VERDICT r4 Next #4): after the (cell, gene) sort
+    the VALID rows are already compact at the front, so instead of
+    masking non-start rows to PAD and paying a third sort to
+    re-compact (`_compact`), broadcast each run's total to every row
+    of the run (``_seg_sum`` already does) and emit it AT EVERY valid
+    row.  The prefix is sorted with adjacent duplicates carrying
+    identical values; the host drops duplicates with one vectorized
+    compare.  Saves one full-width 4M-key sort (~4.6 ms, sort_probe)
+    at the price of fetching one row per resolved UMI instead of one
+    per unique (cell, gene) — measured both ways in PROFILE_r05.
+
+    ``fuse_shift == 32`` (cellgene < 2^32) emits two u32 planes —
+    int64 elementwise ops are VPU-emulated at 2x, so narrowing first
+    is cheaper than building one u64 word; the wider 24-bit layout
+    packs a u64 because cellgene needs 40 bits."""
+    import jax.numpy as jnp
+
+    nnz = cg_valid.sum(dtype=jnp.int32)
+    if fuse_shift == 32:
+        lo = jnp.where(
+            cg_valid, cg.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF)
+        )
+        return nnz, lo, cg_count.astype(jnp.uint32)
+    packed = jnp.where(
+        cg_valid,
+        (cg << jnp.uint64(fuse_shift)) | cg_count.astype(jnp.uint64),
+        PAD,
+    )
+    return nnz, packed
 
 
 def _kernel_scatter(key, ubits, gbits, n_rows):
@@ -275,7 +332,8 @@ def _kernel_scatter(key, ubits, gbits, n_rows):
     return out_key, out_cnt
 
 
-def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
+def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False,
+                fuse_shift=None):
     """USA-mode WTA: per (cell, umi) the winner tie set maps to a
     spliced/unspliced/ambiguous slot by the reference's len-1/2/3..10
     rules (utils.rs:656-739, quant.rs:516-589).  Gene ids are the USA
@@ -286,6 +344,7 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     winning pair emits all its observed variants
     (pugutils.rs:505-641)."""
     if _use_scatter_segred():
+        assert fuse_shift is None
         return _kernel_usa_scatter(key, ubits, gbits, n_rows, prefer_ambig)
     import jax.numpy as jnp
 
@@ -387,6 +446,8 @@ def _kernel_usa(key, ubits, gbits, n_rows, prefer_ambig=False):
     cs_prev = jnp.concatenate([cs[:1] ^ jnp.uint64(1), cs[:-1]])
     cs_start = (cs != cs_prev) & cs_valid
     cs_count = _seg_sum(cs_valid.astype(jnp.int32), cs_start)
+    if fuse_shift is not None:
+        return _emit_fused(cs, cs_valid, cs_count, fuse_shift)
     out_key = jnp.where(cs_start, cs, PAD)
     out_cnt = jnp.where(cs_start, cs_count, 0)
     return out_key, out_cnt
@@ -543,6 +604,65 @@ def _fetch_prefix(arr, nnz: int, pad_to: int):
         return np.asarray(_slice_fn(b)(arr))[:nnz]
 
 
+class PendingWtaFused:
+    """Pending handle for the two-sort fused kernel tail
+    (`_emit_fused`): fetches an nnz-row sorted prefix — two u32
+    planes (shift=32) or one packed u64 plane (shift=24) — with
+    adjacent duplicates, and drops the duplicates host-side with one
+    vectorized compare on the unique (cell, gene) key."""
+
+    def __init__(self, nnz_dev, arrays, n_rows: int, shift: int, pad_to: int):
+        self._nnz = nnz_dev
+        self._arrays = arrays
+        self._n_rows = n_rows
+        self._shift = shift
+        self._pad_to = pad_to
+
+    def get(self):
+        nnz = int(np.asarray(self._nnz))
+        if self._shift == 32:
+            lo = _fetch_prefix(self._arrays[0], nnz, self._pad_to)
+            cn = _fetch_prefix(self._arrays[1], nnz, self._pad_to)
+            self._arrays = None
+            if nnz == 0:
+                z = np.zeros(0, np.int64)
+                return z, z, np.zeros(0, np.float32)
+            keep = np.ones(nnz, bool)
+            keep[1:] = lo[1:] != lo[:-1]
+            uniq = lo[keep].astype(np.int64)
+            cnt = cn[keep].astype(np.int64)
+        else:
+            packed = _fetch_prefix(self._arrays[0], nnz, self._pad_to)
+            self._arrays = None
+            if nnz == 0:
+                z = np.zeros(0, np.int64)
+                return z, z, np.zeros(0, np.float32)
+            keep = np.ones(nnz, bool)
+            keep[1:] = packed[1:] != packed[:-1]
+            packed = packed[keep]
+            uniq = (packed >> np.uint64(self._shift)).astype(np.int64)
+            cnt = (
+                packed & np.uint64((1 << self._shift) - 1)
+            ).astype(np.int64)
+        return (
+            (uniq // self._n_rows).astype(np.int64),
+            (uniq % self._n_rows).astype(np.int64),
+            cnt.astype(np.float32),
+        )
+
+
+def _fuse_shift_for(max_cells: int, n_rows: int, pad_to: int):
+    """Packed-word layout for the fused tail, or None when the
+    (cell, gene) space + count can't share a u64: counts are bounded
+    by the block's row count, so shift=32 needs cellgene < 2^32 and
+    shift=24 needs cellgene < 2^40 with blocks under 16M rows."""
+    if max_cells * n_rows < (1 << 32):
+        return 32
+    if max_cells * n_rows < (1 << 40) and pad_to < (1 << 24):
+        return 24
+    return None
+
+
 class PendingWta:
     """A submitted-but-unfetched device WTA resolution.  Holding the
     fetch until ``get()`` lets JAX's async dispatch overlap the
@@ -590,6 +710,41 @@ def _pad_bucket(n: int) -> int:
 def _cell_bucket(n: int) -> int:
     """Padded cell-count bucket for the packed-upload sideband."""
     return max(256, 1 << int(max(n - 1, 1)).bit_length())
+
+
+@functools.lru_cache(maxsize=None)
+def _wta_fused_fn(usa: bool, shift: int, segred: str = "cum"):
+    import jax
+
+    def run(k, ub, gb, nr, pa):
+        if usa:
+            return _kernel_usa(k, ub, gb, nr, pa, fuse_shift=shift)
+        return _kernel(k, ub, gb, nr, fuse_shift=shift)
+
+    return jax.jit(run, static_argnums=(1, 2, 3, 4))
+
+
+@functools.lru_cache(maxsize=None)
+def _wta_packed_fused_fn(usa: bool, shift: int, with_hi: bool,
+                         segred: str = "cum"):
+    """Packed-upload front end (u32 lowkeys + cell-delta sideband)
+    combined with the fused two-sort tail."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(lowkey, hi8, pos, delta, n, ub, gb, nr, pa):
+        npad = lowkey.shape[0]
+        ind = jnp.zeros(npad, jnp.uint32).at[pos].add(delta, mode="drop")
+        cid = jnp.cumsum(ind).astype(jnp.uint64)
+        key = (cid << jnp.uint64(ub + gb)) | lowkey.astype(jnp.uint64)
+        if with_hi:
+            key = key | (hi8.astype(jnp.uint64) << jnp.uint64(32))
+        key = jnp.where(jnp.arange(npad) < n, key, PAD)
+        if usa:
+            return _kernel_usa(key, ub, gb, nr, pa, fuse_shift=shift)
+        return _kernel(key, ub, gb, nr, fuse_shift=shift)
+
+    return jax.jit(run, static_argnums=(5, 6, 7, 8))
 
 
 @functools.lru_cache(maxsize=None)
@@ -659,8 +814,19 @@ def resolve_crlike_wta_device_packed(
         delta[1:n_cells] = np.diff(cell_ids).astype(np.uint32)
     max_cells = int(cell_ids[-1]) + 1 if n_cells else 1
     pack32 = max_cells * n_rows < (1 << 32)
-    fn = _wta_packed_fn(usa, pack32, with_hi, _segred_cache_key())
+    fuse = _wta_output_mode() == "fuse"
+    shift = _fuse_shift_for(max_cells, n_rows, pad_to) if fuse else None
     with jax.enable_x64(True):
+        if shift is not None:
+            fn = _wta_packed_fused_fn(usa, shift, with_hi, _segred_cache_key())
+            out = fn(
+                jnp.asarray(buf), jnp.asarray(hbuf), jnp.asarray(pos),
+                jnp.asarray(delta), np.int32(n), ubits, gbits, n_rows,
+                prefer_ambig,
+            )
+            pending = PendingWtaFused(out[0], out[1:], n_rows, shift, pad_to)
+            return pending if async_ else pending.get()
+        fn = _wta_packed_fn(usa, pack32, with_hi, _segred_cache_key())
         out = fn(
             jnp.asarray(buf), jnp.asarray(hbuf), jnp.asarray(pos),
             jnp.asarray(delta), np.int32(n), ubits, gbits, n_rows,
@@ -755,7 +921,16 @@ def resolve_crlike_wta_device(
     pack32 = max_cells * n_rows < (1 << 32)
 
     segred = _segred_cache_key()
-    if os.environ.get("AFT_WTA_COMPACT", "1") != "0":
+    mode = _wta_output_mode()
+    shift = (
+        _fuse_shift_for(max_cells, n_rows, pad_to) if mode == "fuse" else None
+    )
+    if shift is not None:
+        fn = _wta_fused_fn(usa, shift, segred)
+        with jax.enable_x64(True):
+            out = fn(jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig)
+        pending = PendingWtaFused(out[0], out[1:], n_rows, shift, pad_to)
+    elif mode != "0":
         fn = _wta_compact_fn(usa, pack32, segred)
         with jax.enable_x64(True):
             out = fn(jnp.asarray(buf), ubits, gbits, n_rows, prefer_ambig)

@@ -282,6 +282,86 @@ def profile_wta():
     }
 
 
+def profile_wta_variant(usa: bool, variant: str):
+    """Production WTA composition per output variant (VERDICT r4 Next
+    #4): ``compact`` = kernel + the third compaction sort
+    (`_compact`, the r4 production default), ``fused`` = the two-sort
+    fused tail (`fuse_shift`, r5), ``plain`` = kernel alone (no
+    compaction; what PROFILE_r03/r04 called "wta" — full padded fetch,
+    AFT_WTA_COMPACT=0).  Same chained protocol; identical inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from alevin_fry_tpu.ops.crlike_device import (
+        _compact, _kernel, _kernel_usa,
+    )
+
+    rng = np.random.RandomState(1)
+    n = 1 << 22
+    if usa:
+        ubits, gbits, n_genes = 20, 14, 4000
+        n_rows = 3 * (n_genes + 1)
+        g = rng.randint(0, 2 * n_genes, n).astype(np.uint64)
+    else:
+        ubits, gbits, n_rows = 20, 14, 10000
+        g = rng.randint(0, n_rows, n).astype(np.uint64)
+    c = np.sort(rng.randint(0, 4096, n)).astype(np.uint64)
+    u = rng.randint(0, 1 << ubits, n).astype(np.uint64)
+    key_np = (c << np.uint64(ubits + gbits)) | (u << np.uint64(gbits)) | g
+
+    def body_of(key):
+        if variant == "fused":
+            args = (key, ubits, gbits, n_rows)
+            out = (
+                _kernel_usa(*args, False, fuse_shift=32) if usa
+                else _kernel(*args, fuse_shift=32)
+            )
+            # shift=32 emits two u32 planes; fold both into the chain
+            return (
+                out[1].astype(jnp.uint64)
+                ^ (out[2].astype(jnp.uint64) << jnp.uint64(32))
+            )
+        ok, oc = (
+            _kernel_usa(key, ubits, gbits, n_rows, False) if usa
+            else _kernel(key, ubits, gbits, n_rows)
+        )
+        if variant == "compact":
+            _nnz, packed = _compact(ok, oc, True)
+            return packed
+        return ok ^ (oc.astype(jnp.uint64) & jnp.uint64(0x3))
+
+    def build(k):
+        @jax.jit
+        def chain(key):
+            def body(_i, key):
+                out = body_of(key)
+                return key ^ (out & jnp.uint64(0x3FF))
+
+            out = jax.lax.fori_loop(0, k, body, key)
+            return (
+                (out & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).sum()
+                + (out >> jnp.uint64(32)).astype(jnp.uint32).sum()
+            )
+
+        def call():
+            with jax.enable_x64(True):
+                return chain(jnp.asarray(key_np))
+
+        return call, ()
+
+    kspread = (2, 82) if usa else (2, 122)
+    per_round, t1, t2 = _two_point(build, *kspread, reps=5)
+    return {
+        "kernel": (
+            f"cr-like WTA{' USA' if usa else ''} {variant} "
+            f"({n>>20}M keys), fori_loop chained"
+        ),
+        "per_round_ms": round(per_round * 1e3, 3),
+        "keys_per_s": round(n / per_round),
+        "raw": {"K": list(kspread), "t_s": [round(t1, 4), round(t2, 4)]},
+    }
+
+
 def profile_wta_usa():
     """USA-mode WTA over 4M keys: the tie-set slotting variant adds
     ~8 more segmented scatter passes over the sorted keys
@@ -633,6 +713,12 @@ def main():
         "em_dense_usa": lambda: profile_em_dense(True),
         "wta": profile_wta,
         "wta_usa": profile_wta_usa,
+        "wta_compact": lambda: profile_wta_variant(False, "compact"),
+        "wta_fused": lambda: profile_wta_variant(False, "fused"),
+        "wta_plain": lambda: profile_wta_variant(False, "plain"),
+        "wta_usa_compact": lambda: profile_wta_variant(True, "compact"),
+        "wta_usa_fused": lambda: profile_wta_variant(True, "fused"),
+        "wta_usa_plain": lambda: profile_wta_variant(True, "plain"),
         "cc": profile_pug_cc,
         "cc_dense": profile_cc_dense,
         "hamming": profile_hamming,

@@ -734,3 +734,86 @@ def test_quant_device_async_pipeline_matches_sync(tmp_path, monkeypatch):
         for k in env:
             monkeypatch.delenv(k)
     assert outs["host"] == outs["sync"] == outs["async"] == outs["plain"]
+
+
+@pytest.mark.parametrize("usa", [False, True])
+def test_crlike_device_fused_tail_matches_compact(usa, monkeypatch):
+    """The two-sort fused tail (AFT_WTA_COMPACT=fuse, r5) must produce
+    byte-identical COO triplets to the three-sort compacted kernel, in
+    both the shift=32 and shift=24 packed-word layouts."""
+    from alevin_fry_tpu.ops.crlike_device import resolve_crlike_wta_device
+
+    rng = np.random.RandomState(17 + usa)
+    n_cells = 40
+    n_genes = 12 if usa else 50
+    num_rows = (3 * (n_genes + 1)) // 3 * 3 if usa else n_genes
+    n_pairs = 5000
+    c = rng.randint(0, n_cells, n_pairs).astype(np.uint64)
+    u = rng.randint(0, 1 << 9, n_pairs).astype(np.uint64)
+    g = rng.randint(0, (2 * n_genes) if usa else n_genes, n_pairs).astype(
+        np.uint64
+    )
+    ubits, gbits = 9, 6
+    key = (c << np.uint64(ubits + gbits)) | (u << np.uint64(gbits)) | g
+
+    monkeypatch.setenv("AFT_WTA_COMPACT", "1")
+    r0, c0, v0 = resolve_crlike_wta_device(
+        key, ubits, gbits, num_rows, usa=usa, n_cells=n_cells
+    )
+    monkeypatch.setenv("AFT_WTA_COMPACT", "fuse")
+    r1, c1, v1 = resolve_crlike_wta_device(
+        key, ubits, gbits, num_rows, usa=usa, n_cells=n_cells
+    )
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(v0, v1)
+    # force the shift=24 layout: a cell space too large for 32-bit words
+    big_cells = 1 << 27
+    r2, c2, v2 = resolve_crlike_wta_device(
+        key, ubits, gbits, num_rows, usa=usa, n_cells=big_cells
+    )
+    np.testing.assert_array_equal(r0, r2)
+    np.testing.assert_array_equal(c0, c2)
+    np.testing.assert_array_equal(v0, v2)
+
+
+@pytest.mark.parametrize("usa", [False, True])
+def test_crlike_packed_upload_fused_matches(usa, monkeypatch):
+    """Packed-upload front end + fused tail must equal the whole-key
+    compacted path."""
+    from alevin_fry_tpu.ops.crlike_device import (
+        resolve_crlike_wta_device, resolve_crlike_wta_device_packed,
+    )
+
+    rng = np.random.RandomState(29 + usa)
+    n_cells = 32
+    n_genes = 10 if usa else 40
+    num_rows = (3 * (n_genes + 1)) // 3 * 3 if usa else n_genes
+    n_pairs = 4000
+    cells = np.sort(rng.choice(n_cells, 12, replace=False)).astype(np.int64)
+    c = cells[rng.randint(0, len(cells), n_pairs)].astype(np.uint64)
+    u = rng.randint(0, 1 << 9, n_pairs).astype(np.uint64)
+    g = rng.randint(0, (2 * n_genes) if usa else n_genes, n_pairs).astype(
+        np.uint64
+    )
+    ubits, gbits = 9, 6
+    order = np.argsort(c, kind="stable")
+    c, u, g = c[order], u[order], g[order]
+    key = (c << np.uint64(ubits + gbits)) | (u << np.uint64(gbits)) | g
+
+    monkeypatch.setenv("AFT_WTA_COMPACT", "1")
+    r0, c0, v0 = resolve_crlike_wta_device(
+        key, ubits, gbits, num_rows, usa=usa, n_cells=n_cells
+    )
+    monkeypatch.setenv("AFT_WTA_COMPACT", "fuse")
+    cell_ids, counts = np.unique(c, return_counts=True)
+    segs = np.zeros(len(cell_ids) + 1, np.int64)
+    segs[1:] = np.cumsum(counts)
+    lowkey = ((u << np.uint64(gbits)) | g).astype(np.uint32)
+    r1, c1, v1 = resolve_crlike_wta_device_packed(
+        cell_ids.astype(np.int64), segs, lowkey, ubits, gbits, num_rows,
+        usa=usa,
+    )
+    np.testing.assert_array_equal(r0, r1)
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(v0, v1)
