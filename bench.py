@@ -37,6 +37,12 @@ ATAC_MODE = "--atac" in sys.argv
 # device tie-set slotting kernel resolves it and the run asserts
 # byte-identity against the host path
 USA_MODE = "--usa" in sys.argv or os.environ.get("AFT_BENCH_USA") == "1"
+# --hard: use the distribution-hardened generator (tests/synth_hard.py
+# — per-base-error barcodes, bimodal cell sizes, structured multi-gene
+# ambiguity, Hamming-1 UMI satellites) instead of the uniform one; the
+# knee is real so the gpl stage ALSO runs once in knee mode and its
+# selected-cell count is reported
+HARD_MODE = "--hard" in sys.argv or os.environ.get("AFT_BENCH_HARD") == "1"
 # --real: run the reference CI recipe (rust.yml:63-81) on a REAL
 # dataset in the toy_data layout instead of the synthetic generator;
 # the directory comes from AFT_TEST_REAL_RAD (no network egress in
@@ -305,7 +311,22 @@ def main():
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     d = Path(tempfile.mkdtemp(prefix="aft_bench_", dir=tmp_root))
     try:
-        make_dataset(d, rng)
+        n_reads_actual = N_READS
+        if HARD_MODE:
+            import sys as _sys
+
+            _sys.path.insert(
+                0, os.path.join(os.path.dirname(__file__), "tests")
+            )
+            from synth_hard import make_hard_dataset
+
+            hard_stats = make_hard_dataset(
+                d, rng, n_cells=N_CELLS, n_reads=N_READS,
+                n_genes=max(N_TXPS // 4, 100),
+            )
+            n_reads_actual = hard_stats["n_reads"]
+        else:
+            make_dataset(d, rng)
 
         from alevin_fry_tpu.pipeline.collate import collate
         from alevin_fry_tpu.pipeline.gpl import (
@@ -345,10 +366,12 @@ def main():
                     "quant_s": round(t3 - t2, 3),
                 }
 
-        reads_per_sec = N_READS / best
+        reads_per_sec = n_reads_actual / best
         label = "device" if DEVICE_MODE else "host"
         if USA_MODE:
             label += ", USA mode"
+        if HARD_MODE:
+            label += ", hardened generator"
         line = {
             "metric": (
                 "end-to-end reads/s (gpl+collate+quant cr-like, "
@@ -368,6 +391,36 @@ def main():
             ),
         }
         print(json.dumps(line))
+        if HARD_MODE:
+            # knee-mode gpl over the bimodal frequency curve: the
+            # hardened generator is the first whose knee is real;
+            # record where it lands relative to the generated truth
+            from alevin_fry_tpu.pipeline.gpl import (
+                CellFilterMethod as _CFM,
+                GenPermitListOpts as _GPLO,
+                generate_permit_list as _gpl,
+            )
+
+            t0 = time.perf_counter()
+            _gpl(_GPLO(
+                input_dir=d / "rad", output_dir=d / "gpl_knee",
+                fmeth=_CFM("knee"), expected_ori="fw", cmdline="bench",
+            ))
+            knee_s = time.perf_counter() - t0
+            import struct as _struct
+
+            raw = (d / "gpl_knee" / "permit_freq.bin").read_bytes()
+            n_knee = _struct.unpack("<Q", raw[16:24])[0]
+            Path("BENCH_HARD.json").write_text(json.dumps({
+                **line,
+                "stage_breakdown_s": best_stages,
+                "generator_stats": hard_stats,
+                "knee_mode": {
+                    "selected_cells": int(n_knee),
+                    "true_real_cells": hard_stats["n_real_cells"],
+                    "gpl_knee_s": round(knee_s, 3),
+                },
+            }) + "\n")
         if DEVICE_MODE:
             # side artifact for the judge: device-path numbers + the
             # host-vs-device output identity check
