@@ -88,6 +88,7 @@ def make_hard_dataset(
     mean_reads_per_mol: float = 2.5,
     umi_error_rate: float = 0.05,
     wrong_ori_rate: float = 0.02,
+    spliced_frac: float = 0.75,
     chunk: int = 100_000,
 ):
     import sys as _sys
@@ -139,8 +140,9 @@ def make_hard_dataset(
         np.uint64
     )
     # spliced/unspliced status: txps of a gene alternate S (even local
-    # id) / U (odd); 75% of molecules are spliced
-    mol_spliced = rng.rand(n_mols) < 0.75
+    # id) / U (odd); default 75% spliced (whole-cell), ~25% models
+    # single-nucleus profiles
+    mol_spliced = rng.rand(n_mols) < spliced_frac
 
     # ambiguity class per molecule
     amb_class = rng.choice(
@@ -320,6 +322,7 @@ def make_hard_dataset(
             "wide_discard_12label": int((amb_class == 4).sum()),
         },
         "real_cell_reads_lognormal_sigma": 0.8,
+        "spliced_frac": spliced_frac,
     }
     (d / "truth.json").write_text(json.dumps(stats, indent=1))
     return stats
