@@ -235,7 +235,8 @@ def main():
         resolutions=["cr-like"],
         knee=True,
     )
-    out = Path(__file__).resolve().parent.parent / "BENCH_SCALE.json"
+    name = "BENCH_SCALE_DEVICE.json" if DEVICE else "BENCH_SCALE.json"
+    out = Path(__file__).resolve().parent.parent / name
     out.write_text(json.dumps(results, indent=1) + "\n")
     print(json.dumps(results))
 
