@@ -1067,6 +1067,35 @@ def em_cells_batched(
         usa_offsets is not None, with_last_round,
         weighted=class_weights is not None, dense=True,
     )
+    try:
+        _run_jax_buckets(
+            buckets, max_batch_elems, R, cell_eq_offsets, counts,
+            lens_all, labels, label_offsets, class_weights, use_compact,
+            use_dense, dense_cap, usa_offsets, mesh, kern, kern_c,
+            kern_d, uoff, aoff, init_uniform, results,
+        )
+    except Exception as exc:
+        # a co-tenant TPU worker restart (or kernel fault) must not
+        # kill the pipeline mid-quant: finish the unresolved cells on
+        # the NumPy path (SURVEY.md §5 failure detection; the WTA has
+        # the same guard in ops/crlike.py::note_device_failure)
+        from .crlike import note_device_failure
+
+        note_device_failure(exc)
+        for ci in em_cells:
+            if results[ci] is None:
+                _np_one(ci)
+    return results
+
+
+def _run_jax_buckets(
+    buckets, max_batch_elems, R, cell_eq_offsets, counts, lens_all,
+    labels, label_offsets, class_weights, use_compact, use_dense,
+    dense_cap, usa_offsets, mesh, kern, kern_c, kern_d, uoff, aoff,
+    init_uniform, results,
+):
+    import jax.numpy as jnp
+
     for (Ep, Lp), cells in buckets.items():
         # batch size bounded by memory: B*(R+1) floats and B*Ep*Lp ints;
         # quantized to {64, 512, 4096} to bound compile count
@@ -1177,4 +1206,3 @@ def em_cells_batched(
                 results[ci] = (
                     klab[s_:e_], vv2[s_:e_].astype(np.float32)
                 )
-    return results

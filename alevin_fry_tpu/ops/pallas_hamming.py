@@ -317,6 +317,9 @@ def _build_searchsorted_kernel():
     return run
 
 
+_SS_QBLOCK = 1 << 18  # 256k queries per dispatch
+
+
 def find_neighbors_searchsorted(
     queries: np.ndarray, kept_sorted: np.ndarray, length: int
 ):
@@ -324,9 +327,16 @@ def find_neighbors_searchsorted(
     3L+1 substitution variants per query on device and binary-search the
     (replicated) sorted kept table — O(Q * L * log K) instead of the
     brute-force kernel's O(Q * K).  Requires length <= 16 so barcodes
-    fit u32 (TPU jax defaults to 32-bit; the XOR-popcount kernel covers
-    longer barcodes via an explicit lo/hi split).  Same contract as
-    ops.barcodes.find_neighbors_batch."""
+    fit u32 (TPU jax defaults to 32-bit; the MXU/XOR-popcount kernels
+    cover longer barcodes).  Same contract as
+    ops.barcodes.find_neighbors_batch.
+
+    The query axis is processed in fixed 256k blocks: one unblocked
+    dispatch at production scale (1.7M queries x 1.1M kept, 50M-read
+    gpl) materialized multi-hundred-MB (Q, 4L) variant intermediates
+    and crashed this image's TPU worker outright (r5 scale run);
+    blocking bounds device memory AND the compiled-program count (the
+    kept table still pads to a power of two)."""
     assert length <= 16, "searchsorted device path needs barcodes <= 16 bases"
     global _SS_RUN
     if _SS_RUN is None:
@@ -339,17 +349,22 @@ def find_neighbors_searchsorted(
     if nq == 0 or nk == 0:
         return np.zeros(nq, np.int64), np.zeros(nq, np.uint64)
 
-    # bound the program count: pad both axes to powers of two
-    qcap = max(1024, 1 << (nq - 1).bit_length())
     kcap = max(1024, 1 << (nk - 1).bit_length())
-    qp = np.zeros(qcap, np.uint32)
-    qp[:nq] = queries.astype(np.uint32)
     kp = np.full(kcap, 0xFFFFFFFF, np.uint32)
     kp[:nk] = kept_sorted.astype(np.uint32)
+    kp_dev = jnp.asarray(kp)  # uploaded once, reused across blocks
 
-    cnt, rep = _SS_RUN(jnp.asarray(qp), jnp.asarray(kp), nk, length)
-    cnt = np.asarray(cnt)[:nq].astype(np.int64)
-    rep = np.asarray(rep)[:nq].astype(np.uint64)
+    cnt = np.empty(nq, np.int64)
+    rep = np.empty(nq, np.uint64)
+    for s in range(0, nq, _SS_QBLOCK):
+        e = min(s + _SS_QBLOCK, nq)
+        blk = e - s
+        qcap = max(1024, 1 << (blk - 1).bit_length())
+        qp = np.zeros(qcap, np.uint32)
+        qp[:blk] = queries[s:e].astype(np.uint32)
+        c, r = _SS_RUN(jnp.asarray(qp), kp_dev, nk, length)
+        cnt[s:e] = np.asarray(c)[:blk].astype(np.int64)
+        rep[s:e] = np.asarray(r)[:blk].astype(np.uint64)
     return cnt, np.where(cnt > 0, rep, np.uint64(0))
 
 
