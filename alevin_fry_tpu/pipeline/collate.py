@@ -16,6 +16,7 @@ with one chunk per cell and num_chunks patched in the header
 
 from __future__ import annotations
 
+import os
 import struct
 from pathlib import Path
 from typing import Tuple
@@ -448,8 +449,18 @@ def _collate_out_of_core(
             # IO runs on the producer thread — see chunkio)
             pb_ctx = stage_timer(log, "collate scatter", "reads")
             pb = pb_ctx.__enter__()
+            # stream in blocks SMALLER than the spill-bucket bound:
+            # max_records caps a bucket's gather memory, but decoding
+            # 30M-record blocks in one go spikes RSS by GBs and
+            # serializes the producer/consumer overlap — 4M-record
+            # blocks measured 1.3x faster at 10M reads (r5) and cost
+            # nothing (bucket planning is independent of block size)
+            block_records = min(
+                max_records,
+                int(os.environ.get("AFT_COLLATE_BLOCK_RECORDS", 4_000_000)),
+            )
             for batch in iter_decoded_blocks(
-                fh, schema, prelude.hdr.num_chunks or None, max_records,
+                fh, schema, prelude.hdr.num_chunks or None, block_records,
                 prefetch=True, chunk_range=chunk_range,
             ):
                 pb.update(batch.n_reads)
