@@ -465,7 +465,10 @@ def main():
 
             raw = (d / "gpl_knee" / "permit_freq.bin").read_bytes()
             n_knee = _struct.unpack("<Q", raw[16:24])[0]
-            Path("BENCH_HARD.json").write_text(json.dumps({
+            hard_name = (
+                "BENCH_HARD_USA.json" if USA_MODE else "BENCH_HARD.json"
+            )
+            Path(hard_name).write_text(json.dumps({
                 **line,
                 "stage_breakdown_s": best_stages,
                 "generator_stats": hard_stats,
