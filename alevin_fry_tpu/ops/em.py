@@ -967,8 +967,13 @@ def em_cells_batched(
     if use_jax is None:
         # the batched device kernel is the default whenever a real
         # accelerator backend is attached or a mesh was requested; on
-        # CPU-only hosts NumPy wins below ~64 EM cells (jit compile
-        # dominates there).  AFT_EM_BACKEND = host|jax overrides.
+        # CPU-only hosts the per-cell NumPy path wins at EVERY scale
+        # measured (r5 A/B at 10M reads / 38k EM cells: NumPy 28.5 s
+        # vs jax-CPU batched 139.8 s on a 2-core host — the batched
+        # padding waste and XLA-CPU gather codegen lose to tight
+        # per-cell NumPy loops).  An earlier >=64-cell heuristic
+        # picked jax here and was 4.9x slower.  AFT_EM_BACKEND =
+        # host|jax overrides.
         import os
 
         mode = os.environ.get("AFT_EM_BACKEND", "auto")
@@ -979,11 +984,7 @@ def em_cells_batched(
         else:
             from .crlike import accelerator_present
 
-            use_jax = (
-                mesh is not None
-                or len(em_cells) >= 64
-                or accelerator_present()
-            )
+            use_jax = mesh is not None or accelerator_present()
 
     def _np_one(ci):
         s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
