@@ -85,6 +85,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.radc_format_triplets_f32.restype = ctypes.c_int64
+        lib.radc_format_triplets_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.radc_ori_counts.restype = ctypes.c_int64
         lib.radc_ori_counts.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,   # buf, len
@@ -832,6 +837,25 @@ def format_triplets(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray) -> byt
     n = len(rows)
     out = np.empty(max(n, 1) * 62, np.uint8)
     ln = lib.radc_format_triplets(
+        rows.ctypes.data, cols.ctypes.data, vals.ctypes.data, n,
+        out.ctypes.data,
+    )
+    return out[:ln].tobytes()
+
+
+def format_triplets_f32(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray
+) -> bytes:
+    """Format float COO triplets as 'r c v\\n' lines natively: exact-
+    int64 values print as integers, the rest Rust-Display-f32 —
+    byte-identical to the Python fallback (radz/mtx.py)."""
+    lib = _load()
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float32)
+    n = len(rows)
+    out = np.empty(max(n, 1) * 105, np.uint8)
+    ln = lib.radc_format_triplets_f32(
         rows.ctypes.data, cols.ctypes.data, vals.ctypes.data, n,
         out.ctypes.data,
     )

@@ -1008,16 +1008,13 @@ int64_t radc_format_triplets(const int64_t* rows, const int64_t* cols,
   return p - out;
 }
 
-// Format f32 values the way Rust's `Display` does — shortest round-trip
+// Emit one f32 the way Rust's `Display` does — shortest round-trip
 // decimal digits (std::to_chars shortest == Ryu, the algorithm Rust
 // uses), rendered positionally (never scientific), NaN/inf spelled
-// Rust-style.  Output is '\n'-separated; returns bytes written.
-// `out` must have room for 64 bytes per value.
-int64_t radc_format_f32(const float* vals, int64_t n, char* out) {
-  char* p = out;
+// Rust-style.  Advances p; needs up to 63 bytes.
+static void radc_emit_f32(char*& p, float v) {
   char tmp[48];
-  for (int64_t i = 0; i < n; ++i) {
-    const float v = vals[i];
+  {
     if (std::isnan(v)) {
       std::memcpy(p, "NaN", 3);
       p += 3;
@@ -1072,6 +1069,52 @@ int64_t radc_format_f32(const float* vals, int64_t n, char* out) {
         std::memcpy(p, digits, nd);
         p += nd;
       }
+    }
+  }
+}
+
+int64_t radc_format_f32(const float* vals, int64_t n, char* out) {
+  char* p = out;
+  for (int64_t i = 0; i < n; ++i) {
+    radc_emit_f32(p, vals[i]);
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// Format COO triplets with FLOAT values as "r c v\n" MatrixMarket
+// body lines, matching the Python fallback byte-for-byte: a value
+// that is exactly an int64 prints as an integer, anything else prints
+// Rust-Display-f32 (shortest round-trip, positional).  out needs
+// n * 105 bytes; returns bytes written.
+int64_t radc_format_triplets_f32(const int64_t* rows, const int64_t* cols,
+                                 const float* vals, int64_t n, char* out) {
+  char* p = out;
+  auto emit_i = [&p](int64_t v) {
+    char tmp[20];
+    int k = 0;
+    if (v < 0) {
+      *p++ = '-';
+      v = -v;
+    }
+    do {
+      tmp[k++] = static_cast<char>('0' + (v % 10));
+      v /= 10;
+    } while (v);
+    while (k) *p++ = tmp[--k];
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    emit_i(rows[i]);
+    *p++ = ' ';
+    emit_i(cols[i]);
+    *p++ = ' ';
+    const float v = vals[i];
+    const int64_t iv = static_cast<int64_t>(v);
+    if (std::isfinite(v) && v > -9.2e18f && v < 9.2e18f &&
+        v == static_cast<float>(iv)) {
+      emit_i(iv);
+    } else {
+      radc_emit_f32(p, v);
     }
     *p++ = '\n';
   }

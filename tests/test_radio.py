@@ -187,3 +187,41 @@ def test_count_records_rejects_corrupt_header():
     fh = io.BytesIO(good + bad)
     with pytest.raises(ValueError, match="corrupt RAD chunk header"):
         count_records(fh)
+
+
+def test_native_mixed_mtx_body_matches_python():
+    """radc_format_triplets_f32 (r5) must be byte-identical to the
+    numpy/python fallback across exact-int, fractional, tiny, huge,
+    and float32-boundary values."""
+    import numpy as np
+
+    from alevin_fry_tpu.radz import _native
+    from alevin_fry_tpu.radz.mtx import format_f32_list
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native lib absent")
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([
+        rng.randint(0, 1000, 500).astype(np.float32),
+        rng.rand(500).astype(np.float32) * 1e-8,
+        (rng.rand(500) * 1e12).astype(np.float32),
+        np.array([0.0, -0.0, 1.5, 0.1, 123456.78, 3.4e38, 1e-45,
+                  np.float32(2 ** 24), np.float32(2 ** 24) + 2],
+                 np.float32),
+    ])
+    rows = rng.randint(1, 1 << 40, len(vals))
+    cols = rng.randint(1, 100000, len(vals))
+    native = _native.format_triplets_f32(rows, cols, vals)
+    with np.errstate(invalid="ignore"):
+        ivals = vals.astype(np.int64)
+    is_int = (vals == ivals) & np.isfinite(vals)
+    vstr = np.char.mod("%d", ivals).astype(object)
+    ni = np.flatnonzero(~is_int)
+    vstr[ni] = format_f32_list(vals[ni])
+    body = np.char.add(
+        np.char.add(np.char.mod("%d ", rows), np.char.mod("%d ", cols)),
+        np.char.add(np.asarray(vstr, dtype=np.str_), "\n"),
+    )
+    assert native == "".join(body.tolist()).encode()
