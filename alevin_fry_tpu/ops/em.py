@@ -1015,6 +1015,28 @@ def em_cells_batched(
     LADDER_STATS["numpy_outlier_cells"] += _n_out
 
     if not use_jax:
+        if class_weights is None:
+            # threaded native batch (bit-identical to the per-cell
+            # NumPy loop: same f32 accumulation order — csrc
+            # radc_em_cells; property-tested in test_em.py).  The
+            # NumPy loop stays as the no-native fallback and the
+            # weighted (long-read) path.
+            from ..radz import _native
+
+            if _native.available():
+                nnz, oi, ov = _native.em_cells(
+                    cell_eq_offsets, label_offsets, labels, counts,
+                    num_rows, usa_offsets, init_uniform,
+                    with_last_round, _native._NTHREADS,
+                )
+                for ci in em_cells:
+                    base = label_offsets[cell_eq_offsets[ci]]
+                    k = int(nnz[ci])
+                    results[ci] = (
+                        oi[base : base + k].copy(),
+                        ov[base : base + k].copy(),
+                    )
+                return results
         for ci in em_cells:
             _np_one(ci)
         return results

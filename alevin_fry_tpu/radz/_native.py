@@ -90,6 +90,16 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.radc_em_cells.restype = ctypes.c_int64
+        lib.radc_em_cells.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,  # ceo, lo
+            ctypes.c_void_p, ctypes.c_void_p,  # labels, counts
+            ctypes.c_int64, ctypes.c_int64,    # n_cells, R
+            ctypes.c_int64, ctypes.c_int64,    # uoff, aoff
+            ctypes.c_int32, ctypes.c_int32,    # init_uniform, last_round
+            ctypes.c_int32,                    # n_threads
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # outs
+        ]
         lib.radc_ori_counts.restype = ctypes.c_int64
         lib.radc_ori_counts.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,   # buf, len
@@ -860,6 +870,43 @@ def format_triplets_f32(
         out.ctypes.data,
     )
     return out[:ln].tobytes()
+
+
+def em_cells(
+    cell_eq_offsets: np.ndarray,
+    label_offsets: np.ndarray,
+    labels: np.ndarray,
+    counts: np.ndarray,
+    num_rows: int,
+    usa_offsets,
+    init_uniform: bool,
+    with_last_round: bool,
+    n_threads: int,
+):
+    """Threaded native batched per-cell EM — bit-identical to
+    ops/em.py::em_optimize_cell_np (same f32 accumulation order).
+    Returns (nnz_per_cell[int64], idx[int64], val[f32]) where cell
+    ci's nonzeros live at [label_offsets[cell_eq_offsets[ci]] ...] —
+    the caller slices per cell."""
+    lib = _load()
+    ceo = np.ascontiguousarray(cell_eq_offsets, np.int64)
+    lo = np.ascontiguousarray(label_offsets, np.int64)
+    lab = np.ascontiguousarray(labels, np.uint32)
+    cts = np.ascontiguousarray(counts, np.uint32)
+    n_cells = len(ceo) - 1
+    uoff, aoff = usa_offsets if usa_offsets is not None else (-1, -1)
+    cap = int(lo[-1])
+    out_nnz = np.zeros(max(n_cells, 1), np.int64)
+    out_idx = np.empty(max(cap, 1), np.int64)
+    out_val = np.empty(max(cap, 1), np.float32)
+    lib.radc_em_cells(
+        ceo.ctypes.data, lo.ctypes.data, lab.ctypes.data, cts.ctypes.data,
+        n_cells, num_rows, uoff, aoff,
+        1 if init_uniform else 0, 1 if with_last_round else 0,
+        int(n_threads),
+        out_nnz.ctypes.data, out_idx.ctypes.data, out_val.ctypes.data,
+    )
+    return out_nnz, out_idx, out_val
 
 
 def encode_records_native(

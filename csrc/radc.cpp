@@ -2510,3 +2510,195 @@ extern "C" int64_t radc_bgzf_inflate(
     if (status[t]) return status[t];
   return 0;
 }
+
+// --- Batched per-cell EM (host path) ----------------------------------------
+// Exact C++ port of ops/em.py::em_optimize_cell_np (em.rs:116-294
+// semantics): f32 arithmetic with the SAME accumulation order as the
+// NumPy reference (element order within each class, class order within
+// the cell), so outputs are bit-identical to the Python path.  The
+// per-cell working set is confined to the cell's touched label ids
+// (plus USA partner positions), so the dense R-wide scratch is zeroed
+// once per thread, not per iteration.
+//
+// Layout: cells ci own classes [ceo[ci], ceo[ci+1]); class e owns
+// labels [lo[e], lo[e+1]) (GLOBAL flat offsets).  Outputs: for cell ci
+// the nonzero (index, value) pairs are written at out_idx/out_val
+// positions [lo[ceo[ci]] .. ) — i.e. each cell writes into its own
+// label region (nnz <= #labels always) — with out_nnz[ci] the count.
+// usa: uoff/aoff >= 0 selects the 3-section abundance coupling
+// (em.rs:94-114); -1 disables.
+namespace {
+
+struct EmConsts {
+  static constexpr float kMinOut = 0.01f;
+  static constexpr float kCheckCutoff = 1e-2f;
+  static constexpr float kRelTol = 1e-2f;
+  static constexpr int kMinIter = 2;
+  static constexpr int kMaxIter = 100;
+};
+
+inline float em_abundance(const float* alphas, int64_t idx, int64_t uoff,
+                          int64_t aoff) {
+  if (uoff < 0) return alphas[idx];
+  if (idx >= aoff)
+    return alphas[idx - uoff] + alphas[idx - aoff] + alphas[idx];
+  if (idx >= uoff) return alphas[idx + uoff] + alphas[idx];
+  return alphas[idx + aoff] + alphas[idx];
+}
+
+}  // namespace
+
+extern "C" int64_t radc_em_cells(
+    const int64_t* ceo, const int64_t* lo, const uint32_t* labels,
+    const uint32_t* counts, int64_t n_cells, int64_t R, int64_t uoff,
+    int64_t aoff, int32_t init_uniform, int32_t with_last_round,
+    int32_t n_threads, int64_t* out_nnz, int64_t* out_idx,
+    float* out_val) {
+  if (n_cells == 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+
+  auto work = [&](int64_t c0, int64_t c1) {
+    std::vector<float> alphas_v(static_cast<size_t>(R), 0.0f);
+    std::vector<float> out_v(static_cast<size_t>(R), 0.0f);
+    float* alphas = alphas_v.data();
+    float* out = out_v.data();
+    std::vector<int64_t> touched;   // label ids (may repeat; deduped)
+    std::vector<int64_t> readset;   // touched + USA partner positions
+
+    for (int64_t ci = c0; ci < c1; ++ci) {
+      const int64_t es = ceo[ci], ee = ceo[ci + 1];
+      const int64_t base = lo[es];
+      // gather touched ids + single/multi structure
+      touched.clear();
+      bool needs_em = false;
+      for (int64_t e = es; e < ee; ++e) {
+        const int64_t ls = lo[e], le = lo[e + 1];
+        if (le - ls > 1) needs_em = true;
+        for (int64_t j = ls; j < le; ++j)
+          touched.push_back(static_cast<int64_t>(labels[j]));
+      }
+      std::sort(touched.begin(), touched.end());
+      touched.erase(std::unique(touched.begin(), touched.end()),
+                    touched.end());
+      readset.assign(touched.begin(), touched.end());
+      if (uoff >= 0) {
+        for (int64_t t : touched) {
+          if (t >= aoff) {
+            readset.push_back(t - uoff);
+            readset.push_back(t - aoff);
+          } else if (t >= uoff) {
+            readset.push_back(t + uoff);
+          } else {
+            readset.push_back(t + aoff);
+          }
+        }
+        std::sort(readset.begin(), readset.end());
+        readset.erase(std::unique(readset.begin(), readset.end()),
+                      readset.end());
+      }
+
+      // seed scatter (single-label classes), in class order
+      for (int64_t e = es; e < ee; ++e)
+        if (lo[e + 1] - lo[e] == 1)
+          alphas[labels[lo[e]]] += static_cast<float>(counts[e - 0]);
+
+      int64_t nnz = 0;
+      int64_t* oidx = out_idx + base;
+      float* oval = out_val + base;
+      if (!needs_em) {
+        for (int64_t t : touched)
+          if (alphas[t] != 0.0f) {
+            oidx[nnz] = t;
+            oval[nnz++] = alphas[t];
+          }
+        out_nnz[ci] = nnz;
+        for (int64_t t : readset) alphas[t] = 0.0f;
+        continue;
+      }
+
+      // init over the read set (values elsewhere are never read:
+      // gathers and partner reads are confined to readset)
+      if (init_uniform) {
+        const float u = 1.0f / static_cast<float>(R);
+        for (int64_t t : readset) alphas[t] = u;
+      } else {
+        for (int64_t t : readset)
+          alphas[t] = (alphas[t] + 0.5f) * 1e-3f;
+      }
+
+      int it = 0;
+      bool last_round = false;
+      bool converged = true;
+      while (it < EmConsts::kMinIter ||
+             (it < EmConsts::kMaxIter && !converged) || last_round) {
+        // out := zeros (touched only; out is zero elsewhere)
+        for (int64_t t : touched) out[t] = 0.0f;
+        for (int64_t e = es; e < ee; ++e) {
+          const int64_t ls = lo[e], le = lo[e + 1];
+          if (le - ls == 1) out[labels[ls]] += static_cast<float>(counts[e]);
+        }
+        for (int64_t e = es; e < ee; ++e) {
+          const int64_t ls = lo[e], le = lo[e + 1];
+          if (le - ls <= 1) continue;
+          float denom = 0.0f;
+          for (int64_t j = ls; j < le; ++j)
+            denom += em_abundance(alphas, labels[j], uoff, aoff);
+          if (denom > 0.0f) {
+            const float inv = static_cast<float>(counts[e]) / denom;
+            for (int64_t j = ls; j < le; ++j)
+              out[labels[j]] +=
+                  em_abundance(alphas, labels[j], uoff, aoff) * inv;
+          }
+        }
+        converged = true;
+        for (int64_t t : touched) {
+          if (out[t] > EmConsts::kCheckCutoff &&
+              std::fabs(alphas[t] - out[t]) > EmConsts::kRelTol) {
+            converged = false;
+            break;
+          }
+        }
+        // alphas := out over the READ SET (positions outside touched
+        // become zero — matching NumPy's full-array assignment)
+        for (int64_t t : readset) alphas[t] = out[t];
+        ++it;
+        if (last_round) break;
+        if (with_last_round && it >= EmConsts::kMinIter && converged) {
+          for (int64_t t : readset)
+            if (alphas[t] < EmConsts::kMinOut) alphas[t] = 0.0f;
+          last_round = true;
+        }
+        if (!with_last_round && it >= EmConsts::kMinIter && converged)
+          break;
+      }
+      for (int64_t t : touched) {
+        float v = alphas[t];
+        if (v < EmConsts::kMinOut) v = 0.0f;
+        if (v != 0.0f) {
+          oidx[nnz] = t;
+          oval[nnz++] = v;
+        }
+      }
+      out_nnz[ci] = nnz;
+      // reset scratch for the next cell
+      for (int64_t t : readset) alphas[t] = 0.0f;
+      for (int64_t t : touched) out[t] = 0.0f;
+    }
+  };
+
+  const int64_t T = std::min<int64_t>(n_threads, n_cells);
+  if (T <= 1) {
+    work(0, n_cells);
+  } else {
+    std::vector<std::thread> ts;
+    const int64_t per = (n_cells + T - 1) / T;
+    for (int64_t t = 1; t < T; ++t) {
+      const int64_t s = t * per;
+      if (s >= n_cells) break;
+      ts.emplace_back(work, s, std::min(n_cells, s + per));
+    }
+    work(0, std::min(per, n_cells));
+    for (auto& th : ts) th.join();
+  }
+  return 0;
+}

@@ -336,3 +336,69 @@ def test_bootstrap_jax_compact_matches_numpy_stats(monkeypatch):
     # totals conserved and entries close (init noise shrinks with reps)
     np.testing.assert_allclose(a.sum(), b.sum(), rtol=1e-3)
     np.testing.assert_allclose(a, b, atol=1.5, rtol=0.2)
+
+
+def test_native_em_cells_bit_identical_to_numpy():
+    """The r5 threaded C++ batched EM (csrc radc_em_cells) must be
+    BIT-identical to em_optimize_cell_np — same f32 accumulation
+    order — across non-USA and USA modes, single-label-only cells,
+    empty cells, and convergence-length diversity."""
+    import numpy as np
+
+    from alevin_fry_tpu.ops.em import em_optimize_cell_np
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native lib absent")
+    rng = np.random.RandomState(11)
+    for usa in (False, True):
+        R = 3 * 40 if usa else 50
+        uoff, aoff = (R // 3, 2 * (R // 3)) if usa else (None, None)
+        usa_offsets = (uoff, aoff) if usa else None
+        n_cells = 60
+        ceo = [0]
+        lo = [0]
+        labels = []
+        counts = []
+        for ci in range(n_cells):
+            ne = rng.randint(0, 12)  # incl. empty cells
+            for _ in range(ne):
+                ll = rng.randint(1, 6)
+                top = R // 3 if usa else R
+                labels.extend(
+                    rng.choice(top, size=ll, replace=False).tolist()
+                )
+                lo.append(len(labels))
+                counts.append(rng.randint(1, 60))
+            ceo.append(len(counts))
+        ceo = np.asarray(ceo, np.int64)
+        lo = np.asarray(lo, np.int64)
+        labels = np.asarray(labels, np.uint32)
+        counts = np.asarray(counts, np.uint32)
+        for init_uniform in (False, True):
+            for wlr in (False, True):
+                nnz, oi, ov = _native.em_cells(
+                    ceo, lo, labels, counts, R, usa_offsets,
+                    init_uniform, wlr, 2,
+                )
+                for ci in range(n_cells):
+                    s, e = ceo[ci], ceo[ci + 1]
+                    want = em_optimize_cell_np(
+                        lo[s : e + 1] - lo[s],
+                        labels[lo[s] : lo[e]] if e > s else labels[:0],
+                        counts[s:e], R, usa_offsets, init_uniform, wlr,
+                    )
+                    wn = np.flatnonzero(want)
+                    base = lo[s] if e > s else lo[s]
+                    k = int(nnz[ci])
+                    np.testing.assert_array_equal(
+                        oi[base : base + k], wn,
+                        err_msg=f"usa={usa} ci={ci}",
+                    )
+                    # BIT identical: same f32 accumulation order
+                    np.testing.assert_array_equal(
+                        ov[base : base + k], want[wn].astype(np.float32),
+                        err_msg=f"usa={usa} ci={ci}",
+                    )
