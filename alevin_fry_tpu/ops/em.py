@@ -948,15 +948,19 @@ def em_cells_batched(
     e_cell = np.repeat(np.arange(C), np.diff(cell_eq_offsets))
     np.logical_or.at(needs_em, e_cell, lens_all > 1)
 
-    # fast path: unique-count cells
+    # fast path: unique-count cells.  Scatter only the length-1
+    # classes — a degenerate zero-length class carries a count but no
+    # label and must contribute nothing (previously it broadcast-
+    # crashed this path; caught by the r5 native-EM property tests)
     for ci in np.flatnonzero(~needs_em):
         s, e = cell_eq_offsets[ci], cell_eq_offsets[ci + 1]
         if s == e:
             results[ci] = (np.zeros(0, np.int64), np.zeros(0, np.float32))
             continue
-        idx = labels[label_offsets[s] : label_offsets[e]]
+        one = lens_all[s:e] == 1
+        idx = labels[label_offsets[s:e][one]]
         alphas = np.zeros(num_rows, np.float32)
-        np.add.at(alphas, idx, counts[s:e].astype(np.float32))
+        np.add.at(alphas, idx, counts[s:e][one].astype(np.float32))
         nz = np.flatnonzero(alphas)
         results[ci] = (nz, alphas[nz])
 

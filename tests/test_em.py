@@ -402,3 +402,45 @@ def test_native_em_cells_bit_identical_to_numpy():
                         ov[base : base + k], want[wn].astype(np.float32),
                         err_msg=f"usa={usa} ci={ci}",
                     )
+
+
+def test_native_em_cells_matches_numpy_batch_with_empty_classes(monkeypatch):
+    """Zero-length classes (possible from degenerate eq-class maps)
+    must route identically through the native batch and the pure-NumPy
+    batch path — including cells whose classes are all singles+empties
+    (the caller's seed fast path)."""
+    import numpy as np
+
+    from alevin_fry_tpu.ops import em
+    from alevin_fry_tpu.radz import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native lib absent")
+    rng = np.random.RandomState(23)
+    R = 60
+    ceo = [0]
+    lo = [0]
+    labels = []
+    counts = []
+    for ci in range(40):
+        ne = rng.randint(1, 8)
+        for _ in range(ne):
+            ll = rng.randint(0, 4)  # INCLUDING zero-length classes
+            labels.extend(rng.choice(R, size=ll, replace=False).tolist())
+            lo.append(len(labels))
+            counts.append(rng.randint(1, 30))
+        ceo.append(len(counts))
+    args = (
+        np.asarray(ceo, np.int64), np.asarray(lo, np.int64),
+        np.asarray(labels, np.uint32), np.asarray(counts, np.uint32),
+        R, None, False, True,
+    )
+    got = em.em_cells_batched(*args, use_jax=False)
+    monkeypatch.setattr(_native, "available", lambda: False)
+    want = em.em_cells_batched(*args, use_jax=False)
+    assert len(got) == len(want)
+    for ci, ((gi, gv), (wi, wv)) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(gi, wi, err_msg=f"ci={ci}")
+        np.testing.assert_array_equal(gv, wv, err_msg=f"ci={ci}")
