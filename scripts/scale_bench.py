@@ -224,7 +224,10 @@ def main():
         n_cells=int(50_000 * scale) or 100,
         n_genes=5000,
         spliced_frac=None,
-        resolutions=["cr-like", "cr-like-em"],
+        # parsimony drives the PUG graph build + greedy cover at 48M
+        # pairs — at this scale the hard generator's Hamming-1 UMI
+        # satellites give the edge rules real work (r5)
+        resolutions=["cr-like", "cr-like-em", "parsimony"],
     )
     results["nuclei100k"] = run_config(
         "nuclei100k",
