@@ -443,6 +443,13 @@ def main():
                 "server); the reference binary cannot be built or timed in "
                 "this image"
             ),
+            # production-scale runs (50M reads / 50k cells; 100k-cell
+            # nuclei) with per-stage rates + peak RSS live in the
+            # sidecar artifacts (scripts/scale_bench.py, r5)
+            "scale_runs": [
+                "BENCH_SCALE.json", "BENCH_SCALE_DEVICE.json",
+                "COLLECTIVES_r05.json",
+            ],
         }
         print(json.dumps(line))
         if HARD_MODE:
