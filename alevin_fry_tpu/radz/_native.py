@@ -893,6 +893,13 @@ def em_cells(
     lo = np.ascontiguousarray(label_offsets, np.int64)
     lab = np.ascontiguousarray(labels, np.uint32)
     cts = np.ascontiguousarray(counts, np.uint32)
+    # the C++ kernel indexes dense R-wide scratch with these ids; an
+    # out-of-range label would corrupt memory where the NumPy path
+    # would raise — validate once up front (vectorized, negligible)
+    if len(lab) and int(lab.max()) >= num_rows:
+        raise ValueError(
+            f"label id {int(lab.max())} >= num_rows {num_rows}"
+        )
     n_cells = len(ceo) - 1
     uoff, aoff = usa_offsets if usa_offsets is not None else (-1, -1)
     cap = int(lo[-1])
