@@ -194,29 +194,46 @@ def main_atac():
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     d = Path(tempfile.mkdtemp(prefix="aft_bench_atac_", dir=tmp_root))
     try:
-        wl = np.unique(
-            rng.randint(0, 1 << 32, 2 * n_cells).astype(np.uint64)
-        )[:n_cells]
-        cell_of_read = rng.randint(0, n_cells, n_reads)
-        chrs = rng.randint(0, 8, n_reads)
-        poss = rng.randint(0, 49_000_000, n_reads)
-        flens = rng.randint(50, 1500, n_reads)
-        (d / "rad").mkdir()
-        chunk = 100_000
-        chunks = []
-        for s in range(0, n_reads, chunk):
-            e = min(s + chunk, n_reads)
-            chunks.append([
-                (int(wl[cell_of_read[i]]),
-                 [(int(chrs[i]), 4, int(poss[i]), int(flens[i]))])
-                for i in range(s, e)
-            ])
-        write_atac_rad(d / "rad" / "map.rad", refs, ref_lens, chunks,
-                       bc_len=16)
-        rc = revcomp_packed(wl, 16)
-        (d / "wl.txt").write_text(
-            "".join(s + "\n" for s in unpack_seqs_to_strings(rc, 16))
-        )
+        hard_stats = None
+        if HARD_MODE:
+            # nucleosome-banded lengths, peak-clustered positions, PCR
+            # duplicates, non-proper/multimapped records, barcode
+            # errors (tests/synth_hard.py::make_hard_atac_dataset, r5)
+            import sys as _sys
+
+            _sys.path.insert(
+                0, os.path.join(os.path.dirname(__file__), "tests")
+            )
+            from synth_hard import make_hard_atac_dataset
+
+            hard_stats = make_hard_atac_dataset(
+                d, rng, n_cells=n_cells, n_frags=n_reads,
+            )
+            n_reads = hard_stats["n_fragments"]
+        else:
+            wl = np.unique(
+                rng.randint(0, 1 << 32, 2 * n_cells).astype(np.uint64)
+            )[:n_cells]
+            cell_of_read = rng.randint(0, n_cells, n_reads)
+            chrs = rng.randint(0, 8, n_reads)
+            poss = rng.randint(0, 49_000_000, n_reads)
+            flens = rng.randint(50, 1500, n_reads)
+            (d / "rad").mkdir()
+            chunk = 100_000
+            chunks = []
+            for s in range(0, n_reads, chunk):
+                e = min(s + chunk, n_reads)
+                chunks.append([
+                    (int(wl[cell_of_read[i]]),
+                     [(int(chrs[i]), 4, int(poss[i]), int(flens[i]))])
+                    for i in range(s, e)
+                ])
+            write_atac_rad(d / "rad" / "map.rad", refs, ref_lens, chunks,
+                           bc_len=16)
+            rc = revcomp_packed(wl, 16)
+            (d / "wl.txt").write_text(
+                "".join(s + "\n" for s in unpack_seqs_to_strings(rc, 16))
+            )
         if DEVICE_MODE:
             # drive the on-chip segmented sort+RLE kernel through the
             # whole chain (VERDICT r4 Next #6); the host chain runs
@@ -249,6 +266,8 @@ def main_atac():
                     "dedup_s": round(t4 - t3, 3),
                 }
         label = " (device sort/dedup kernels)" if DEVICE_MODE else ""
+        if HARD_MODE:
+            label += " (hardened generator)"
         line = {
             "metric": (
                 f"ATAC end-to-end reads/s (gpl+collate+sort+dedup{label})"
@@ -258,6 +277,8 @@ def main_atac():
             "vs_baseline": round(n_reads / best / REF_READS_PER_SEC, 3),
             "stage_breakdown_s": best_stages,
         }
+        if hard_stats is not None:
+            line["generator_stats"] = hard_stats
         print(json.dumps(line))
         if DEVICE_MODE:
             # byte-identity: rerun sort+dedup on the host backend over
@@ -292,7 +313,10 @@ def main_atac():
                 json.dumps(line2) + "\n"
             )
         else:
-            Path("BENCH_ATAC.json").write_text(json.dumps(line) + "\n")
+            atac_name = (
+                "BENCH_ATAC_HARD.json" if HARD_MODE else "BENCH_ATAC.json"
+            )
+            Path(atac_name).write_text(json.dumps(line) + "\n")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -326,3 +326,178 @@ def make_hard_dataset(
     }
     (d / "truth.json").write_text(json.dumps(stats, indent=1))
     return stats
+
+
+def make_hard_atac_dataset(
+    d: Path,
+    rng: np.random.RandomState,
+    n_cells: int = 2000,
+    n_frags: int = 1_000_000,
+    n_chrs: int = 8,
+    chr_len: int = 50_000_000,
+    bc_len: int = 16,
+    ambient_factor: int = 8,
+    dup_rate: float = 0.3,
+    chunk: int = 100_000,
+):
+    """Distribution-hardened scATAC fragment generator (r5; the uniform
+    bench drew uniform positions/lengths and no duplicates).  Models:
+
+    * **nucleosome banding** — fragment lengths draw from the canonical
+      mixture: nucleosome-free (~60-140 bp), mono- (~160-250) and
+      di-nucleosome (~300-500) modes with an exponential tail, plus a
+      >2000 bp tail that the MAX_ATAC_FRAG_LEN filter must drop
+      (constants.rs:11);
+    * **peak-clustered positions** — 60% of fragments land in ~3k
+      accessibility peaks per chromosome (500 bp wide), the rest
+      background-uniform: the genomic-bin histogram
+      (atac/cellfilter.rs:67-102) sees real hot spots;
+    * **PCR duplicates** — a fraction of fragments repeat the exact
+      (cell, chr, pos, len) tuple so dedup has real work
+      (atac/deduplicate.rs counters light up);
+    * **non-proper pairs and multi-mapping** — a few % of records get
+      map_type != 4 or 2 alignments (both filtered);
+    * **log-normal cells over an ambient population** + per-cycle
+      Phred-ramp barcode errors, as in the RNA generator.
+
+    Writes rad/map.rad + wl.txt (REVERSE-COMPLEMENT whitelist, the 10x
+    ATAC convention the pipeline consumes with -d rc) + truth.json.
+    """
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).parent))
+    from synth import make_atac_prelude
+
+    from alevin_fry_tpu.ops.barcodes import (
+        revcomp_packed, unpack_seqs_to_strings,
+    )
+    from alevin_fry_tpu.radz import RadWriter
+    from alevin_fry_tpu.radz.chunkio import encode_records
+
+    bc_mask = np.uint64((1 << (2 * bc_len)) - 1)
+    n_ambient = ambient_factor * n_cells
+    permit = np.unique(
+        rng.randint(0, 1 << 62, size=int(2.4 * (n_cells + n_ambient)))
+        .astype(np.uint64) & bc_mask
+    )
+    perm = rng.permutation(len(permit))
+    real_bcs = permit[perm[:n_cells]]
+    ambient_bcs = permit[perm[n_cells:n_cells + n_ambient]]
+    real_w = np.exp(rng.normal(0.0, 0.8, n_cells))
+    real_w /= real_w.sum()
+    amb_w = rng.exponential(1.0, n_ambient)
+    amb_w /= amb_w.sum()
+    cell_w = np.concatenate([0.92 * real_w, 0.08 * amb_w])
+    all_bcs = np.concatenate([real_bcs, ambient_bcs])
+
+    # unique molecules, then PCR duplication expands them
+    n_mols = int(n_frags / (1.0 + dup_rate))
+    mol_cell = rng.choice(len(all_bcs), size=n_mols, p=cell_w)
+    mol_chr = rng.randint(0, n_chrs, n_mols)
+    # peak-clustered positions
+    n_peaks = 3000
+    peak_pos = rng.randint(0, chr_len - 3000, (n_chrs, n_peaks))
+    in_peak = rng.rand(n_mols) < 0.6
+    pk = rng.randint(0, n_peaks, n_mols)
+    mol_pos = np.where(
+        in_peak,
+        peak_pos[mol_chr, pk] + rng.randint(0, 500, n_mols),
+        rng.randint(0, chr_len - 3000, n_mols),
+    )
+    # nucleosome-banded fragment lengths
+    band = rng.choice(4, size=n_mols, p=[0.45, 0.33, 0.17, 0.05])
+    flen = np.where(
+        band == 0, rng.randint(60, 141, n_mols),
+        np.where(
+            band == 1, rng.randint(160, 251, n_mols),
+            np.where(
+                band == 2, rng.randint(300, 501, n_mols),
+                # heavy tail incl. > 2000 (filtered by the 2 kb cap)
+                (600 + rng.exponential(700, n_mols)).astype(np.int64),
+            ),
+        ),
+    ).astype(np.int64)
+
+    # expand with PCR duplicates
+    dups = 1 + rng.poisson(dup_rate, n_mols)
+    frag_mol = np.repeat(np.arange(n_mols), dups)[:n_frags]
+    total = len(frag_mol)
+    f_cell = mol_cell[frag_mol]
+    f_chr = mol_chr[frag_mol].astype(np.int64)
+    f_pos = mol_pos[frag_mol].astype(np.int64)
+    f_len = flen[frag_mol]
+
+    # barcode errors (per-cycle ramp)
+    f_bc = all_bcs[f_cell].copy()
+    q = _phred_ramp(bc_len)
+    nerr = np.minimum(rng.poisson(q.sum(), total), 2)
+    pos_prob = q / q.sum()
+    _sub_errors(rng, f_bc, nerr >= 1, pos_prob, bc_len)
+    _sub_errors(rng, f_bc, nerr >= 2, pos_prob, bc_len)
+
+    # map_type: 4 = unique proper pair; ~3% non-proper, ~2% multimapped
+    mt = np.full(total, 4, np.int64)
+    mt[rng.rand(total) < 0.03] = 2
+    multi = rng.rand(total) < 0.02
+
+    order = rng.permutation(total)
+    f_bc, f_chr, f_pos, f_len, mt, multi = (
+        f_bc[order], f_chr[order], f_pos[order], f_len[order],
+        mt[order], multi[order],
+    )
+
+    refs = [f"chr{i+1}" for i in range(n_chrs)]
+    prelude, ftv = make_atac_prelude(refs, [chr_len] * n_chrs, bc_len)
+    (d / "rad").mkdir(exist_ok=True)
+    with open(d / "rad" / "map.rad", "wb") as fh:
+        w = RadWriter(fh, prelude, ftv)
+        for s in range(0, total, chunk):
+            e = min(s + chunk, total)
+            nal = 1 + multi[s:e].astype(np.int64)
+            aoffs = np.zeros(e - s + 1, np.int64)
+            np.cumsum(nal, out=aoffs[1:])
+            n_aln = int(aoffs[-1])
+            rcol = np.empty(n_aln, np.uint64)
+            mtc = np.empty(n_aln, np.uint64)
+            poscol = np.empty(n_aln, np.uint64)
+            flencol = np.empty(n_aln, np.uint64)
+            first = aoffs[:-1]
+            rcol[first] = f_chr[s:e]
+            mtc[first] = mt[s:e]
+            poscol[first] = f_pos[s:e]
+            flencol[first] = np.minimum(f_len[s:e], 65535)
+            sec = np.flatnonzero(multi[s:e])
+            if len(sec):
+                so = aoffs[:-1][sec] + 1
+                rcol[so] = (f_chr[s:e][sec] + 1) % n_chrs
+                mtc[so] = mt[s:e][sec]
+                poscol[so] = f_pos[s:e][sec]
+                flencol[so] = np.minimum(f_len[s:e][sec], 65535)
+            body = encode_records(
+                w.schema,
+                {"barcode": f_bc[s:e]},
+                aoffs,
+                rcol.astype(np.uint32),
+                np.zeros(n_aln, bool),
+                {"type": mtc, "start_pos": poscol, "frag_len": flencol},
+            )
+            w.chunks.write_chunk_bytes(body, e - s)
+        w.finalize()
+
+    rc = revcomp_packed(np.sort(permit), bc_len)
+    (d / "wl.txt").write_text(
+        "".join(s_ + "\n" for s_ in unpack_seqs_to_strings(rc, bc_len))
+    )
+    stats = {
+        "n_fragments": total,
+        "n_molecules_unique": n_mols,
+        "n_real_cells": n_cells,
+        "pcr_duplicate_fragments": int(total - len(np.unique(frag_mol))),
+        "frag_len_over_2000": int((f_len > 2000).sum()),
+        "non_proper_pairs": int((mt != 4).sum()),
+        "multimapped": int(multi.sum()),
+        "peak_fraction": 0.6,
+        "reads_with_bc_error": int((nerr >= 1).sum()),
+    }
+    (d / "truth_atac.json").write_text(json.dumps(stats, indent=1))
+    return stats

@@ -166,3 +166,53 @@ def test_hard_rescue_accepts_and_rejects(hard):
     )
     assert corrected < stats["n_reads"]
     assert corrected > 0.5 * stats["n_reads"]
+
+
+def test_hard_atac_chain_and_counters(tmp_path, monkeypatch):
+    """Hardened ATAC data must light up every dedup counter (PCR
+    duplicates, >2kb fragments, non-proper pairs, multimapping — all
+    structurally absent from the uniform bench generator) and the
+    device sort backend must produce a byte-identical BED."""
+    import json
+
+    from synth_hard import make_hard_atac_dataset
+
+    from alevin_fry_tpu.atac.collate import collate as atac_collate
+    from alevin_fry_tpu.atac.dedup import deduplicate
+    from alevin_fry_tpu.atac.gpl import AtacGplOpts
+    from alevin_fry_tpu.atac.gpl import generate_permit_list as atac_gpl
+    from alevin_fry_tpu.atac.sort import sort as atac_sort
+
+    d = tmp_path
+    stats = make_hard_atac_dataset(
+        d, np.random.RandomState(7), n_cells=300, n_frags=60_000,
+        n_chrs=4, chr_len=5_000_000,
+    )
+    assert stats["pcr_duplicate_fragments"] > 5000
+    assert stats["frag_len_over_2000"] > 100
+    assert stats["non_proper_pairs"] > 500
+    assert stats["multimapped"] > 300
+
+    monkeypatch.setenv("AFT_ATAC_SORT_BACKEND", "host")
+    gpl = d / "gpl"
+    atac_gpl(AtacGplOpts(
+        input_dir=d / "rad", output_dir=gpl,
+        unfiltered_pl=d / "wl.txt", min_reads=1, rc=True,
+        cmdline="hard-atac",
+    ))
+    atac_collate(gpl, d / "rad", cmdline="hard-atac")
+    atac_sort(gpl, d / "rad", cmdline="hard-atac")
+    host_sort_bed = (gpl / "map.bed").read_bytes()
+    import shutil
+
+    shutil.copy(gpl / "map.bed", gpl / "map.sorted.bed")
+    deduplicate(gpl, cmdline="hard-atac")
+    host_bed = (gpl / "map.bed").read_bytes()
+    assert len(host_bed) > 0
+
+    # device (jax-on-CPU) segmented sort backend: byte-identical BED
+    monkeypatch.setenv("AFT_ATAC_SORT_BACKEND", "jax")
+    atac_sort(gpl, d / "rad", cmdline="hard-atac")
+    assert (gpl / "map.bed").read_bytes() == host_sort_bed
+    deduplicate(gpl, cmdline="hard-atac")
+    assert (gpl / "map.bed").read_bytes() == host_bed
