@@ -560,6 +560,8 @@ def main():
             out_name = (
                 "BENCH_DEVICE_USA.json" if USA_MODE else "BENCH_DEVICE.json"
             )
+            if HARD_MODE:
+                out_name = out_name.replace(".json", "_HARD.json")
             Path(out_name).write_text(json.dumps({
                 **line,
                 "mtx_identical_to_host_path": bool(ident),
