@@ -309,9 +309,11 @@ def main_atac():
                     ),
                 },
             }
-            Path("BENCH_ATAC_DEVICE.json").write_text(
-                json.dumps(line2) + "\n"
+            dev_name = (
+                "BENCH_ATAC_DEVICE_HARD.json" if HARD_MODE
+                else "BENCH_ATAC_DEVICE.json"
             )
+            Path(dev_name).write_text(json.dumps(line2) + "\n")
         else:
             atac_name = (
                 "BENCH_ATAC_HARD.json" if HARD_MODE else "BENCH_ATAC.json"
