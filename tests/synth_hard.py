@@ -501,3 +501,153 @@ def make_hard_atac_dataset(
     }
     (d / "truth_atac.json").write_text(json.dumps(stats, indent=1))
     return stats
+
+
+def make_hard_flex_dataset(
+    d: Path,
+    rng: np.random.RandomState,
+    n_samples: int = 4,
+    n_cells_per_sample: int = 300,
+    n_reads: int = 300_000,
+    n_genes: int = 400,
+    sample_bc_len: int = 8,
+    cell_bc_len: int = 16,
+    umi_len: int = 12,
+    chunk: int = 50_000,
+):
+    """Distribution-hardened 10x Flex (multi-barcode) generator (r5).
+
+    Stresses the two-level correction machinery the uniform multi-BC
+    builder (synth.py::write_multi_bc_rad) never did:
+
+    * **rotation barcodes** — each sample has 3 observed rotations
+      mapping to one canonical (the 3-column list format,
+      cellfilter.rs:1085); reads draw a random rotation;
+    * **sample-BC errors** — per-cycle Phred-ramp substitutions on the
+      8 bp sample barcode: 1-sub reads must correct through the 1-edit
+      sample permit map (build_sample_permit_map, cellfilter.rs:1202),
+      2-sub reads must drop;
+    * **shared cell barcodes across samples** (the composite-key
+      identity stress, collate.rs:1194-1198) with log-normal per-cell
+      sizes over an ambient tail, plus cell-BC errors;
+    * **sparse sample positions** — samples occupy non-contiguous
+      wells so the manifest ordinal (simpleaf#195) does real work.
+
+    Writes rad/map.rad, samples.tsv (3-column), t2g.tsv, and
+    truth_flex.json; returns the stats dict."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).parent))
+    from synth import make_multi_bc_prelude
+
+    from alevin_fry_tpu.ops.barcodes import unpack_seq
+    from alevin_fry_tpu.radz import RadWriter
+    from alevin_fry_tpu.radz.chunkio import encode_records
+
+    smask = np.uint64((1 << (2 * sample_bc_len)) - 1)
+    cmask = np.uint64((1 << (2 * cell_bc_len)) - 1)
+
+    # canonical sample barcodes at sparse well positions + rotations
+    wells = rng.choice(16, n_samples, replace=False)
+    canon = np.unique(
+        rng.randint(0, 1 << 62, 4 * n_samples).astype(np.uint64) & smask
+    )[:n_samples]
+    rotations = {}
+    all_rot = []
+    for si, cb in enumerate(canon):
+        rots = np.unique(np.concatenate([
+            [cb],
+            rng.randint(0, 1 << 62, 8).astype(np.uint64) & smask,
+        ]))[:3]
+        rotations[si] = rots
+        for r in rots:
+            all_rot.append((int(r), int(cb), f"well{wells[si]}"))
+
+    # shared cell-barcode pool (same cells appear in every sample)
+    pool = np.unique(
+        rng.randint(0, 1 << 62, 3 * n_cells_per_sample).astype(np.uint64)
+        & cmask
+    )[:n_cells_per_sample]
+    cell_w = np.exp(rng.normal(0.0, 0.8, n_cells_per_sample))
+    cell_w /= cell_w.sum()
+    sample_w = rng.dirichlet(np.full(n_samples, 4.0))
+
+    r_sample = rng.choice(n_samples, n_reads, p=sample_w)
+    r_cell = rng.choice(n_cells_per_sample, n_reads, p=cell_w)
+    r_cellbc = pool[r_cell].copy()
+    # observed sample BC: random rotation of the sample
+    rot_pick = rng.randint(0, 3, n_reads)
+    r_samplebc = np.array(
+        [rotations[s][k] for s, k in zip(r_sample, rot_pick)], np.uint64
+    )
+    # per-cycle errors on both levels
+    qs = _phred_ramp(sample_bc_len)
+    ns = np.minimum(rng.poisson(qs.sum(), n_reads), 2)
+    _sub_errors(rng, r_samplebc, ns >= 1, qs / qs.sum(), sample_bc_len)
+    _sub_errors(rng, r_samplebc, ns >= 2, qs / qs.sum(), sample_bc_len)
+    qc = _phred_ramp(cell_bc_len)
+    nc = np.minimum(rng.poisson(qc.sum(), n_reads), 1)
+    _sub_errors(rng, r_cellbc, nc >= 1, qc / qc.sum(), cell_bc_len)
+
+    r_umi = rng.randint(0, 1 << (2 * umi_len), n_reads).astype(np.uint64)
+    multi = rng.rand(n_reads) < 0.15
+    refs = [f"gene_{i}" for i in range(n_genes)]
+
+    prelude, ftv = make_multi_bc_prelude(
+        refs, sample_bc_len, cell_bc_len, umi_len
+    )
+    (d / "rad").mkdir(exist_ok=True)
+    with open(d / "rad" / "map.rad", "wb") as fh:
+        w = RadWriter(fh, prelude, ftv)
+        for s in range(0, n_reads, chunk):
+            e = min(s + chunk, n_reads)
+            nal = 1 + multi[s:e].astype(np.int64)
+            aoffs = np.zeros(e - s + 1, np.int64)
+            np.cumsum(nal, out=aoffs[1:])
+            rcol = np.empty(int(aoffs[-1]), np.uint32)
+            g1 = rng.randint(0, n_genes, e - s).astype(np.uint32)
+            rcol[aoffs[:-1]] = g1
+            sec = np.flatnonzero(multi[s:e])
+            if len(sec):
+                rcol[aoffs[:-1][sec] + 1] = (
+                    (g1[sec] + 1 + rng.randint(0, n_genes - 1, len(sec)))
+                    % n_genes
+                ).astype(np.uint32)
+            body = encode_records(
+                w.schema,
+                {
+                    "b0": r_samplebc[s:e],
+                    "b1": r_cellbc[s:e],
+                    "u": r_umi[s:e],
+                },
+                aoffs,
+                rcol,
+                np.ones(int(aoffs[-1]), bool),
+                {},
+            )
+            w.chunks.write_chunk_bytes(body, e - s)
+        w.finalize()
+
+    with open(d / "samples.tsv", "w") as fh:
+        for obs, cb, name in all_rot:
+            fh.write(
+                f"{unpack_seq(obs, sample_bc_len)}\t"
+                f"{unpack_seq(cb, sample_bc_len)}\t{name}\n"
+            )
+    with open(d / "t2g.tsv", "w") as fh:
+        for i in range(n_genes):
+            fh.write(f"gene_{i}\tgene_{i}\n")
+
+    stats = {
+        "n_reads": n_reads,
+        "n_samples": n_samples,
+        "wells": sorted(int(x) for x in wells),
+        "rotations_per_sample": 3,
+        "shared_cell_pool": n_cells_per_sample,
+        "sample_bc_1sub": int((ns == 1).sum()),
+        "sample_bc_2sub": int((ns >= 2).sum()),
+        "cell_bc_1sub": int((nc >= 1).sum()),
+        "multi_gene_reads": int(multi.sum()),
+    }
+    (d / "truth_flex.json").write_text(json.dumps(stats, indent=1))
+    return stats

@@ -216,3 +216,55 @@ def test_hard_atac_chain_and_counters(tmp_path, monkeypatch):
     assert (gpl / "map.bed").read_bytes() == host_sort_bed
     deduplicate(gpl, cmdline="hard-atac")
     assert (gpl / "map.bed").read_bytes() == host_bed
+
+
+def test_hard_flex_chain(tmp_path, monkeypatch):
+    """Hardened Flex (multi-barcode) chain: rotation sample barcodes
+    with per-cycle errors must flow through the tiered sample
+    correction (exact + 1-edit, cellfilter.rs:1202/1486-1535), shared
+    cell barcodes must stay sample-separated through the composite
+    key, and the device WTA must match the host byte-for-byte."""
+    import json
+
+    from synth_hard import make_hard_flex_dataset
+
+    d = tmp_path
+    stats = make_hard_flex_dataset(d, np.random.RandomState(13))
+    assert stats["sample_bc_1sub"] > 2000   # 1-edit tier exercised
+    assert stats["sample_bc_2sub"] > 30     # drop tier exercised
+
+    monkeypatch.setenv("AFT_CRLIKE_BACKEND", "host")
+    gpl = d / "gpl"
+    generate_permit_list(GenPermitListOpts(
+        input_dir=d / "rad", output_dir=gpl,
+        fmeth=CellFilterMethod("knee"),
+        expected_ori="both", cmdline="hard-flex",
+        sample_bc_list=d / "samples.tsv",
+    ))
+    info = json.loads((gpl / "sample_info.json").read_text())
+    assert info["num_samples"] == stats["n_samples"]
+    # most reads correct to a sample (rotations + 1-sub recovered);
+    # 2-sub and unlucky 1-subs drop
+    assert info["matched_reads"] > 0.9 * stats["n_reads"]
+    assert info["unmatched_reads"] > stats["sample_bc_2sub"] * 0.5
+
+    collate(gpl, d / "rad", cmdline="hard-flex")
+    quantify(QuantOpts(
+        input_dir=gpl, output_dir=d / "q_host", tg_map=d / "t2g.tsv",
+        resolution="cr-like", cmdline="hard-flex",
+    ))
+    rows = (d / "q_host" / "alevin" / "quants_mat_rows.txt").read_text()
+    prefixes = {ln.split("_")[0] for ln in rows.splitlines() if ln}
+    assert len(prefixes) == stats["n_samples"], prefixes
+    # sparse well names survive into the row labels
+    assert prefixes == {f"well{w}" for w in stats["wells"]}
+
+    monkeypatch.setenv("AFT_CRLIKE_BACKEND", "jax")
+    quantify(QuantOpts(
+        input_dir=gpl, output_dir=d / "q_dev", tg_map=d / "t2g.tsv",
+        resolution="cr-like", cmdline="hard-flex",
+    ))
+    assert (
+        (d / "q_dev" / "alevin" / "quants_mat.mtx").read_bytes()
+        == (d / "q_host" / "alevin" / "quants_mat.mtx").read_bytes()
+    )
