@@ -271,8 +271,11 @@ def find_neighbors(
     ``AFT_RESCUE_BACKEND`` selects the engine:
 
     * ``host``   — native C++/NumPy variant expansion + binary search;
-    * ``jax``    — the device searchsorted kernel (same asymptotics as
-      the host path, runs as one XLA program over the query batch);
+    * ``jax``    — the device searchsorted kernel (host-path
+      asymptotics as one XLA program; kept for A/B — its binary-
+      search gathers lose to the MXU kernel at every measured shape:
+      3.7 vs 0.31 s per 300k x 86k and 23.2 vs 4.3 s per 1.7M x 1.1M
+      warm on v5e, identical outputs);
     * ``mxu``    — the MXU one-hot-contraction Pallas kernel: matches
       = (Q x 4L)@(4L x K) bf16 dot, d<=1 <=> matches >= L-1, with the
       count/min-index epilogue fused so the (Q,K) field never touches
@@ -280,10 +283,10 @@ def find_neighbors(
       19.9x the retired brute-force VPU kernel; covers lengths 2..32;
     * ``pallas`` — the brute-force XOR-popcount VPU kernel (kept for
       A/B and lengths > 32);
-    * ``auto`` (default) — on a real accelerator with a large query
-      batch: the searchsorted kernel when barcodes fit u32 (<= 16
-      bases, O(Q L log K) beats any O(Q K) formulation), the MXU
-      kernel for 17..32 bases; the host path otherwise.
+    * ``auto`` (default) — the MXU kernel on a real accelerator with
+      a large query batch and 2..32-base barcodes (the O(Q L log K)
+      searchsorted asymptotics never beat the MXU's constant factor
+      on-chip — the r5 measurements above); the host path otherwise.
 
     All backends implement the same contract and are identity-tested
     against each other (tests/test_pallas_hamming.py)."""
@@ -294,7 +297,7 @@ def find_neighbors(
     if mode != "host" and nq and nk:
         use_dev = mode in ("jax", "pallas", "mxu") or (
             mode == "auto"
-            and length <= 32
+            and 2 <= length <= 32
             and nq >= (1 << 15)
             and _accelerator_present()
         )
@@ -302,13 +305,13 @@ def find_neighbors(
             try:
                 from . import pallas_hamming as ph
 
-                if mode == "pallas":
+                if mode == "pallas" or length > 32:
                     return ph.find_neighbors_pallas(queries, kept_sorted, length)
-                if mode == "mxu" or (2 <= length <= 32 and length > 16):
-                    return ph.find_neighbors_mxu(queries, kept_sorted, length)
-                if length > 32:
-                    return ph.find_neighbors_pallas(queries, kept_sorted, length)
-                return ph.find_neighbors_searchsorted(queries, kept_sorted, length)
+                if mode == "jax" and length <= 16:
+                    return ph.find_neighbors_searchsorted(
+                        queries, kept_sorted, length
+                    )
+                return ph.find_neighbors_mxu(queries, kept_sorted, length)
             except Exception:  # pragma: no cover - device fallback
                 import logging
 
