@@ -231,11 +231,18 @@ def sort_rle_host(cols: Sequence[np.ndarray]):
 def sort_rle(cols: Sequence[np.ndarray]):
     """Backend dispatch: the device segmented sort+RLE when enabled and
     eligible, else the packed-word host sort.  Identical output either
-    way (== np.lexsort(cols[::-1]) + run-length counts)."""
+    way (== np.lexsort(cols[::-1]) + run-length counts).  A device
+    runtime failure mid-run falls back to the host sort and retires
+    the device for the process (ops/crlike.py::note_device_failure)."""
     if device_backend_enabled():
-        got = sort_rle_device(cols)
-        if got is not None:
-            return got
+        try:
+            got = sort_rle_device(cols)
+            if got is not None:
+                return got
+        except Exception as exc:  # device died mid-run
+            from .crlike import note_device_failure
+
+            note_device_failure(exc)
     return sort_rle_host(cols)
 
 

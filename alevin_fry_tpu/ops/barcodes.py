@@ -319,4 +319,12 @@ def find_neighbors(
                     "device rescue backend failed; falling back to host",
                     exc_info=True,
                 )
+                # retire the device for every later auto dispatch too
+                import sys as _sys
+
+                exc = _sys.exc_info()[1]
+                if exc is not None:
+                    from .crlike import note_device_failure
+
+                    note_device_failure(exc)
     return find_neighbors_batch(queries, kept_sorted, length)

@@ -250,7 +250,16 @@ def _winners_prefer_ambig(tc, tu, tg, t_counts) -> UmiGroups:
 
 def accelerator_present() -> bool:
     """True when jax's default backend is a real accelerator (the jax
-    import is deferred so host-only runs never pay for it)."""
+    import is deferred so host-only runs never pay for it).
+
+    After a device runtime failure (`note_device_failure`) this
+    reports False: every ``auto`` backend policy in the pipeline
+    consults it, so one flag retires the dead device everywhere — a
+    crashed co-tenant worker must not keep receiving dispatches from
+    later stages (observed: the parsimony CC kernel crashed a 50M run
+    AFTER the WTA/EM fallbacks had already engaged)."""
+    if _DEVICE_FAILED:
+        return False
     try:
         import jax
 

@@ -567,7 +567,19 @@ def _cc_labels_batched(
                 )
                 rows = np.repeat(np.arange(n), dg)
                 mat[b].reshape(-1)[rows * Dp + pos] = nb
-        lab = connected_components_batched(mat, valid)
+        try:
+            lab = connected_components_batched(mat, valid)
+        except Exception as exc:  # device died mid-run -> host CC
+            from .crlike import note_device_failure
+
+            note_device_failure(exc)
+            for c in cs:
+                s, e = node_off[c], node_off[c + 1]
+                labels_out[s:e] = _host_cc_labels(
+                    int(e - s), deg[s:e],
+                    nbrs_flat[adj_off[s] : adj_off[e]],
+                )
+            continue
         for b, c in enumerate(cs):
             s, e = node_off[c], node_off[c + 1]
             labels_out[s:e] = lab[b, : e - s]

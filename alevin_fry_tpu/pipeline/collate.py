@@ -130,9 +130,15 @@ def collation_order_device(ranks: np.ndarray, n_cells: int):
     owner = np.minimum(r // cps, S - 1)
     src = np.repeat(np.arange(S, dtype=np.int64), n_pad // S)
     cap = max(1, int(np.bincount(src * S + owner, minlength=S * S).max()))
-    r_out, p_out, dropped = sharded_collate_shuffle(
-        mesh, r, payload, n_cells, cap
-    )
+    try:
+        r_out, p_out, dropped = sharded_collate_shuffle(
+            mesh, r, payload, n_cells, cap
+        )
+    except Exception as exc:  # device died mid-run -> host sort
+        from ..ops.crlike import note_device_failure
+
+        note_device_failure(exc)
+        return None
     if dropped:
         log.warning(
             "device collation shuffle dropped %d reads; falling back to "

@@ -316,6 +316,7 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
         gpl_mesh = None
         wl_dev = None
         wl_dev_counts = None
+        wl_dev_active = False
         if opts.fmeth.kind == "unfiltered" and world == 1:
             # (multi-host runs merge host-local histograms over the DCN
             # instead — per-host read streams differ, so a global-mesh
@@ -325,6 +326,7 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
                 wl_pre, _wl_len = read_barcode_file(opts.fmeth.path)
                 wl_dev = np.sort(np.unique(wl_pre))
                 wl_dev_counts = np.zeros(len(wl_dev), np.int64)
+                wl_dev_active = True
 
         from .progress import stage_timer
 
@@ -343,14 +345,25 @@ def generate_permit_list(opts: GenPermitListOpts) -> int:
                 if nc:
                     max_ambig = max(max_ambig, int(nal[compat].max()))
                 kept = bcs[compat] if nc < len(bcs) else bcs
-                if wl_dev is not None and len(kept):
+                if wl_dev_active and len(kept):
                     from ..parallel.mesh import sharded_histogram
 
-                    cnt, _unm, hit = sharded_histogram(gpl_mesh, kept, wl_dev)
-                    wl_dev_counts += np.asarray(cnt, np.int64)
-                    kept = kept[~hit]
-                    if len(kept) == 0:
-                        continue
+                    try:
+                        cnt, _unm, hit = sharded_histogram(
+                            gpl_mesh, kept, wl_dev
+                        )
+                        wl_dev_counts += np.asarray(cnt, np.int64)
+                        kept = kept[~hit]
+                        if len(kept) == 0:
+                            continue
+                    except Exception as exc:  # device died mid-run
+                        from ..ops.crlike import note_device_failure
+
+                        note_device_failure(exc)
+                        # counts tallied on device so far stay valid
+                        # (they merge below); this block and the rest
+                        # histogram fully on the host
+                        wl_dev_active = False
                 b_bc, b_ct = _histogram(kept)
                 h_bc, h_ct = _merge_histograms(h_bc, h_ct, b_bc, b_ct)
 

@@ -107,3 +107,48 @@ def test_em_batch_failure_falls_back(monkeypatch):
         np.testing.assert_array_equal(gi, wi)
         np.testing.assert_allclose(gv, wv, rtol=1e-5)
     assert crlike._DEVICE_FAILED
+
+
+def test_pug_cc_device_failure_falls_back(monkeypatch):
+    """The parsimony CC ladder must finish on host label propagation
+    when the device kernel dies mid-run (the third distinct crash
+    site observed in the r5 50M device runs)."""
+    from alevin_fry_tpu.ops import pug, pug_device
+
+    n_nodes = np.asarray([5, 3], np.int64)
+    deg = np.asarray([1, 1, 0, 1, 0, 1, 1, 0], np.int64)
+    # cell 0: 0-1, 3-4 edges; cell 1: chain 0-1-2
+    nbrs = np.asarray([1, 0, 4, 1, 2], np.int64)
+    want = pug._cc_labels_batched(n_nodes, deg, nbrs).copy()
+
+    def boom(*a, **k):
+        raise RuntimeError("TPU worker process crashed or restarted")
+
+    monkeypatch.setattr(
+        pug_device, "connected_components_batched", boom
+    )
+    got = pug._cc_labels_batched(n_nodes, deg, nbrs)
+    np.testing.assert_array_equal(got, want)
+    assert crlike._DEVICE_FAILED
+    # and the retired device disables every auto policy
+    assert not crlike.accelerator_present()
+
+
+def test_atac_sort_device_failure_falls_back(monkeypatch):
+    from alevin_fry_tpu.ops import atac_device
+
+    rng = np.random.RandomState(5)
+    cols = [rng.randint(0, 50, 500).astype(np.int64) for _ in range(3)]
+    want_cols, want_counts = atac_device.sort_rle_host(cols)
+
+    monkeypatch.setenv("AFT_ATAC_SORT_BACKEND", "jax")
+
+    def boom(*a, **k):
+        raise RuntimeError("UNAVAILABLE: TPU worker crashed")
+
+    monkeypatch.setattr(atac_device, "sort_rle_device", boom)
+    got_cols, got_counts = atac_device.sort_rle(cols)
+    for a, b in zip(got_cols, want_cols):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(got_counts, want_counts)
+    assert crlike._DEVICE_FAILED
