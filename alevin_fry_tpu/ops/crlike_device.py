@@ -591,17 +591,23 @@ def _slice_fn(b: int):
 
 
 def _fetch_prefix(arr, nnz: int, pad_to: int):
-    """Fetch the first ``nnz`` entries of a device array, rounded up to
-    a power-of-two bucket so the slice-program count stays bounded."""
+    """Fetch the first ``nnz`` entries of a device array.
+
+    At most ONE slice shape per pad shape: when nnz fits the half-pad
+    prefix, a single jitted half slice halves the fetched bytes;
+    otherwise fetch the full array.  (An earlier power-of-two bucket
+    ladder compiled a slice program per nnz bucket — through this
+    image's tunnel every DISTINCT program pays a ~40 s per-process
+    remote load, which dwarfed the bytes it saved; measured r5.)"""
     import jax
 
     if nnz == 0:
         return np.zeros(0, np.dtype(arr.dtype))
-    b = 1 << max(int(nnz - 1).bit_length(), 10)
-    if b >= pad_to:
+    half = pad_to // 2
+    if nnz > half or half < 1024:
         return np.asarray(arr)[:nnz]
     with jax.enable_x64(True):
-        return np.asarray(_slice_fn(b)(arr))[:nnz]
+        return np.asarray(_slice_fn(half)(arr))[:nnz]
 
 
 class PendingWtaFused:
@@ -707,6 +713,25 @@ def _pad_bucket(n: int) -> int:
     return mid if n <= mid else p
 
 
+_STICKY_PAD = 0
+
+
+def _sticky_pad_bucket(n: int) -> int:
+    """Monotone pad bucket: never smaller than any bucket this process
+    already compiled for.  A 50M-read device run streams ~24 equal
+    blocks plus ONE smaller final block — without stickiness that tail
+    block costs a whole extra remote program (35-57 s of compile/load
+    through this image's tunnel, measured r5) to save a few MB of
+    padding.  ``AFT_WTA_STICKY_PAD=0`` disables."""
+    global _STICKY_PAD
+    pad = _pad_bucket(n)
+    if os.environ.get("AFT_WTA_STICKY_PAD", "1") == "0":
+        return pad
+    pad = max(pad, _STICKY_PAD)
+    _STICKY_PAD = pad
+    return pad
+
+
 def _cell_bucket(n: int) -> int:
     """Padded cell-count bucket for the packed-upload sideband."""
     return max(256, 1 << int(max(n - 1, 1)).bit_length())
@@ -796,7 +821,7 @@ def resolve_crlike_wta_device_packed(
 
     n = len(lowkey)
     n_cells = len(cell_ids)
-    pad_to = _pad_bucket(n)
+    pad_to = _sticky_pad_bucket(n)
     cpad = _cell_bucket(n_cells)
     buf = np.full(pad_to, 0xFFFFFFFF, np.uint32)
     buf[:n] = lowkey
@@ -910,7 +935,7 @@ def resolve_crlike_wta_device(
 
     n = len(key)
     if pad_to is None:
-        pad_to = _pad_bucket(n)
+        pad_to = _sticky_pad_bucket(n)
     buf = np.full(pad_to, PAD, np.uint64)
     buf[:n] = key
     # counts are bounded by the block's pair count, so they always fit
