@@ -176,7 +176,6 @@ def make_hard_dataset(
 
     halves = txps_per_gene // 2
     k0 = rng.randint(0, halves, n_mols)
-    lab_lists = []
     lab_counts = np.ones(n_mols, np.int32)
     base_txp = txp_of(mol_gene, mol_spliced, k0)
 
